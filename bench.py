@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs the engine's flagship queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Materialization uses the ``noop`` sink — full execution, no driver
+collect, no output I/O — so the number is pure engine time.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+# Benchmark set: the queries that dominate a real workload — scan-heavy
+# agg, big joins, windows, and the LLM-pipeline operators. Extended as
+# operators land; unknown names are skipped so bench never breaks.
+HEADLINE = [
+    "agg_group_sum",
+    "join_multiway_star",
+    "join_broadcast",
+    "join_range_theta",
+    "window_rank_topk",
+    "agg_distinct",
+    "sort_limit",
+    "udf_python",
+    "dedup_exact",
+    "dedup_near_minhash",
+    "similarity_topk_cosine",
+    "text_analysis_stats",
+    "stream_tumbling_agg",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+    os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
+
+    from frinesis_spark import registry
+    from frinesis_spark.session import get_spark
+
+    spark = get_spark("frinesis_spark_bench")
+    queries = registry.queries()
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    # Warm up the JVM/codegen paths once with the cheapest query.
+    queries["agg_group_sum"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        start = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,527 @@
+"""Batch relational core: scans, filters, joins, aggregates, windows,
+sorts, set ops (SURVEY.md §2B rows ``scan_parquet`` … ``sort_limit``).
+
+Everything here is a stock-Catalyst DataFrame composition — no UDFs,
+no RDDs. Scale notes per query explain why the plan holds at 100 TB
+(reference capability mandate: BASELINE.json "north_star"; the
+reference library itself has no relational layer — absence verified in
+SURVEY.md §2A, /root/reference/sink.go + batchproducer/batchproducer.go).
+
+Determinism rules used throughout (so the driver's order-insensitive
+value-hash vs DuckDB matches):
+- float SUM/AVG → decimal-exact via functions.numeric (see its docstring);
+- every window/limit has a total-order tie-break key;
+- every computed column is aliased identically here and in ORACLE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from frinesis_spark.catalog import table
+from frinesis_spark.functions.numeric import davg, dsum, oracle_davg, oracle_dsum
+
+# --------------------------------------------------------------------------
+# scan / project / filter
+# --------------------------------------------------------------------------
+
+
+def q_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-table parquet scan (columnar read, no pruning losses).
+
+    Scale: a scan is embarrassingly parallel; partition count follows
+    ``spark.sql.files.maxPartitionBytes`` so 100 TB splits into ~1e5
+    tasks with no driver-side state.
+    """
+    return table(spark, sf_dir, "part")
+
+
+def q_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + predicate; both must reach the parquet reader.
+
+    ``.explain`` shows PushedFilters: [LessThanOrEqual(l_shipdate,...)]
+    and ReadSchema limited to 4 of 11 columns — at 100 TB this is the
+    difference between reading 100 TB and ~25 TB.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return li.where(
+        F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02"))
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+def q_filter_in_between_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate variety: IN / BETWEEN / LIKE / IS NOT NULL (all pushable)."""
+    o = table(spark, sf_dir, "orders")
+    return o.where(
+        F.col("o_orderstatus").isin("O", "F")
+        & F.col("o_totalprice").between(1000.0, 50000.0)
+        & F.col("o_orderpriority").like("%URGENT%")
+        & F.col("o_orderdate").isNotNull()
+    ).select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+
+
+# --------------------------------------------------------------------------
+# joins
+# --------------------------------------------------------------------------
+
+
+def q_join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join orders⋈customer on custkey.
+
+    Scale: both sides shuffle-partition on the key (sort-merge or
+    shuffled-hash chosen by Catalyst/AQE); skewed custkeys are split by
+    AQE skew-join. No driver involvement.
+    """
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "c_custkey", "c_name", "c_mktsegment", "o_totalprice"
+    )
+
+
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dim with an explicit broadcast hint: `part` ships to every
+    executor, so the 100 TB `lineitem` side never shuffles at all."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(F.col("p_size") < 20)
+        .select("l_orderkey", "l_linenumber", "p_brand", "p_size", "l_quantity")
+    )
+
+
+def q_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join: every customer, order columns null when absent."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "c_mktsegment", "o_orderkey", "o_totalprice"
+    )
+
+
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join ≙ EXISTS: customers that have at least one order.
+
+    Scale: semi join only ships the join key of the probe side and
+    stops at first match — cheaper than inner-join + distinct.
+    """
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join ≙ NOT EXISTS: customers with no URGENT order.
+
+    The build side is pre-filtered (filter pushes below the join), so
+    the anti join's hash table only holds urgent-order custkeys.
+    """
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    urgent = o.where(F.col("o_orderpriority").like("%URGENT%"))
+    return c.join(urgent, c.c_custkey == urgent.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+def q_join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/theta join: per-user event pairs within a 5-minute window.
+
+    The equi part (user_id) drives the shuffle; the range predicate is
+    applied inside the sort-merge join. Scale: never a cartesian —
+    ``.explain`` must show SortMergeJoin with the range as join
+    condition, not a BroadcastNestedLoopJoin over the full table.
+    """
+    e = table(spark, sf_dir, "events")
+    a = e.alias("a")
+    b = e.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 5 MINUTES")),
+    )
+    return (
+        pairs.groupBy(
+            F.col("a.event_type").alias("etype_first"),
+            F.col("b.event_type").alias("etype_next"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+def q_join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join region→nation→customer→orders→lineitem + revenue agg
+    (TPC-H Q5 shape).
+
+    Scale: the three dims broadcast (region/nation/customer at 100 TB
+    the customer side may exceed the broadcast threshold — then AQE
+    picks SMJ on the shuffle); lineitem⋈orders is the only big-big
+    join and co-partitions on orderkey.
+    """
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation")
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# aggregation
+# --------------------------------------------------------------------------
+
+
+def q_agg_group_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary — the flagship query (SURVEY.md §7).
+
+    Hash aggregate with automatic partial (map-side) + final phases:
+    only |groups| rows cross the shuffle regardless of input size, so
+    this is scan-bound at 100 TB. Float sums are decimal-exact
+    (functions.numeric) → bit-reproducible across runs and engines.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregates: exact COUNT(DISTINCT) per group.
+
+    Scale: Spark expands distinct aggs into a two-phase plan (partial
+    distinct per partition, then merge) — no single-node set. For
+    cardinality estimation at 100 TB prefer q_agg_approx_distinct.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.countDistinct("l_suppkey").alias("distinct_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct — the 100 TB cardinality path.
+
+    Sketches merge associatively, so the shuffle carries one ~KB sketch
+    per group instead of the distinct key set. No DuckDB oracle (HLL
+    implementations differ) → rows-only check.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+    )
+
+
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets with GROUPING() markers."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+    )
+
+
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all 4 combinations of the two keys)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+    )
+
+
+# --------------------------------------------------------------------------
+# windows / sort / set ops
+# --------------------------------------------------------------------------
+
+
+def q_window_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price per priority class (rank window + filter).
+
+    Scale: one shuffle on the partition key; rank+filter prunes inside
+    each partition without materializing a global sort. Tie-break on
+    o_orderkey makes the result a total order → deterministic.
+    """
+    o = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
+    )
+
+
+def q_window_running_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic windows with frames: running sum + lag/lead per customer.
+
+    The running sum is decimal-exact so the cumulative fold is
+    order-of-association independent (Spark evaluates frames
+    incrementally; DuckDB may use a segment tree — with doubles the two
+    could differ in ulps). Order key (o_orderdate, o_orderkey) is total.
+    """
+    o = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = (
+        F.sum(F.col("o_totalprice").cast("decimal(28,4)"))
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("double")
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        run.alias("running_spend"),
+        F.lag("o_totalprice", 1).over(w).alias("prev_price"),
+        F.lead("o_totalprice", 1).over(w).alias("next_price"),
+    )
+
+
+def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ORDER BY + LIMIT 100.
+
+    Scale: Spark plans TakeOrderedAndProject — per-partition top-100
+    then a single driver merge of 100×partitions rows; never a full
+    global sort. Tie-break on o_orderkey for determinism.
+    """
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+def q_set_union_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT over two customer-key sets, tagged.
+
+    buyers   = customers that placed an order
+    building = customers in the BUILDING market segment
+    """
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    buyers = o.select(F.col("o_custkey").alias("custkey")).distinct()
+    building = c.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    both = buyers.intersect(building).withColumn("set_op", F.lit("intersect"))
+    either = buyers.union(building).distinct().withColumn("set_op", F.lit("union"))
+    only_buyers = buyers.exceptAll(building.distinct()).withColumn(
+        "set_op", F.lit("except")
+    )
+    return both.unionByName(either).unionByName(only_buyers)
+
+
+QUERIES = {
+    "scan_parquet": q_scan_parquet,
+    "project_filter": q_project_filter,
+    "filter_in_between_like": q_filter_in_between_like,
+    "join_inner_equi": q_join_inner_equi,
+    "join_broadcast": q_join_broadcast,
+    "join_left_outer": q_join_left_outer,
+    "join_semi": q_join_semi,
+    "join_anti": q_join_anti,
+    "join_range_theta": q_join_range_theta,
+    "join_multiway_star": q_join_multiway_star,
+    "agg_group_sum": q_agg_group_sum,
+    "agg_distinct": q_agg_distinct,
+    "agg_approx_distinct": q_agg_approx_distinct,
+    "agg_rollup": q_agg_rollup,
+    "agg_cube": q_agg_cube,
+    "window_rank_topk": q_window_rank_topk,
+    "window_running_frame": q_window_running_frame,
+    "sort_limit": q_sort_limit,
+    "set_union_except_intersect": q_set_union_except_intersect,
+}
+
+ORACLE = {
+    "scan_parquet": "SELECT * FROM part",
+    "project_filter": """
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    """,
+    "filter_in_between_like": """
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+        FROM orders
+        WHERE o_orderstatus IN ('O', 'F')
+          AND o_totalprice BETWEEN 1000.0 AND 50000.0
+          AND o_orderpriority LIKE '%URGENT%'
+          AND o_orderdate IS NOT NULL
+    """,
+    "join_inner_equi": """
+        SELECT o_orderkey, c_custkey, c_name, c_mktsegment, o_totalprice
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    "join_broadcast": """
+        SELECT l_orderkey, l_linenumber, p_brand, p_size, l_quantity
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_size < 20
+    """,
+    "join_left_outer": """
+        SELECT c_custkey, c_mktsegment, o_orderkey, o_totalprice
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    """,
+    "join_semi": """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    """,
+    "join_anti": """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE c_custkey NOT IN (
+            SELECT o_custkey FROM orders
+            WHERE o_orderpriority LIKE '%URGENT%'
+        )
+    """,
+    "join_range_theta": """
+        SELECT a.event_type AS etype_first, b.event_type AS etype_next,
+               COUNT(*) AS n_pairs
+        FROM events a
+        JOIN events b
+          ON a.user_id = b.user_id
+         AND b.ts > a.ts
+         AND b.ts <= a.ts + INTERVAL 5 MINUTE
+        GROUP BY a.event_type, b.event_type
+    """,
+    "join_multiway_star": f"""
+        SELECT r_name, n_name,
+               {oracle_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+               COUNT(*) AS n_lineitems
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    """,
+    "agg_group_sum": f"""
+        SELECT l_returnflag, l_linestatus,
+               {oracle_dsum('l_quantity')} AS sum_qty,
+               {oracle_dsum('l_extendedprice')} AS sum_base_price,
+               {oracle_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+               {oracle_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+               {oracle_davg('l_quantity')} AS avg_qty,
+               {oracle_davg('l_extendedprice')} AS avg_price,
+               {oracle_davg('l_discount')} AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "agg_distinct": """
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_partkey) AS distinct_parts,
+               COUNT(DISTINCT l_suppkey) AS distinct_supps,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    # agg_approx_distinct: intentionally no oracle (HLL sketches differ
+    # across engines) → rows-only check.
+    "agg_rollup": f"""
+        SELECT l_returnflag, l_linestatus,
+               {oracle_dsum('l_quantity')} AS sum_qty,
+               COUNT(*) AS n_rows,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_status
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "agg_cube": f"""
+        SELECT l_returnflag, l_linestatus,
+               {oracle_dsum('l_quantity')} AS sum_qty,
+               COUNT(*) AS n_rows,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_status
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "window_rank_topk": """
+        SELECT o_orderpriority, rn, o_orderkey, o_totalprice
+        FROM (
+            SELECT o_orderpriority, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice DESC, o_orderkey
+                   ) AS rn
+            FROM orders
+        )
+        WHERE rn <= 3
+    """,
+    "window_running_frame": """
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS running_spend,
+               LAG(o_totalprice, 1) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) AS prev_price,
+               LEAD(o_totalprice, 1) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) AS next_price
+        FROM orders
+    """,
+    "sort_limit": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100
+    """,
+    "set_union_except_intersect": """
+        WITH buyers AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
+             building AS (
+                 SELECT c_custkey AS custkey FROM customer
+                 WHERE c_mktsegment = 'BUILDING'
+             )
+        SELECT custkey, 'intersect' AS set_op
+          FROM (SELECT custkey FROM buyers INTERSECT SELECT custkey FROM building)
+        UNION ALL
+        SELECT custkey, 'union' AS set_op
+          FROM (SELECT custkey FROM buyers UNION SELECT custkey FROM building)
+        UNION ALL
+        SELECT custkey, 'except' AS set_op
+          FROM (SELECT custkey FROM buyers EXCEPT ALL
+                SELECT DISTINCT custkey FROM building)
+    """,
+}

@@ -1,0 +1,165 @@
+"""Scalar expression surface: string/date/math functions, array/map/JSON
+collection functions, and the Python-UDF path (SURVEY.md §2B rows
+``scalar_string_date_math`` / ``scalar_array_map_json`` / ``udf_python``).
+
+All scalar work is per-row and embarrassingly parallel; the only scale
+concern is staying inside whole-stage codegen — which every expression
+here does except the deliberate ``udf_python`` demo, which uses an
+Arrow-vectorized pandas UDF (the sanctioned slow path, ~10-100× faster
+than row-at-a-time Python UDFs).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from frinesis_spark.catalog import table
+from frinesis_spark.functions.numeric import dsum, oracle_dsum
+
+
+def q_scalar_string_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String / date / math scalar functions over `orders`.
+
+    Functions chosen to be bit-deterministic across engines: IEEE sqrt
+    is correctly-rounded, floor/ceil/abs are exact, date parts are
+    integers. (Avoids pow/ln whose libm implementations may differ in
+    ulps between JVM and DuckDB.)
+    """
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.upper(F.col("o_orderstatus")).alias("status_upper"),
+        F.substring(F.col("o_orderpriority"), 1, 1).alias("prio_code"),
+        F.concat_ws("|", F.col("o_orderstatus"), F.col("o_orderpriority")).alias(
+            "status_prio"
+        ),
+        F.length(F.col("o_orderpriority")).cast("long").alias("prio_len"),
+        F.year(F.col("o_orderdate")).cast("long").alias("order_year"),
+        F.month(F.col("o_orderdate")).cast("long").alias("order_month"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("order_month_start"),
+        F.datediff(
+            F.to_timestamp(F.lit("2002-01-01")), F.col("o_orderdate")
+        ).cast("long").alias("days_to_2002"),
+        F.abs(F.col("o_totalprice") - 1000.0).alias("abs_price_delta"),
+        F.sqrt(F.col("o_totalprice")).alias("price_sqrt"),
+        F.floor(F.col("o_totalprice")).cast("long").alias("price_floor"),
+        F.ceil(F.col("o_totalprice") / 100.0).cast("long").alias("price_centi_ceil"),
+    )
+
+
+def q_scalar_array_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection functions: split/size/array_contains on `documents`,
+    JSON extraction + from_json→map on `events.props`.
+
+    The map column is parsed with ``from_json`` into map<string,int>
+    (JVM-side Jackson, codegen) — no Python in the loop.
+    """
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "events")
+    words = F.split(F.col("text"), " ")
+    doc_side = d.select(
+        F.col("doc_id").alias("row_id"),
+        F.size(words).cast("long").alias("n_tokens"),
+        F.array_contains(words, "data").alias("mentions_data"),
+        F.element_at(words, 1).alias("first_token"),
+    )
+    props_map = F.from_json(F.col("props"), T.MapType(T.StringType(), T.LongType()))
+    event_side = e.select(
+        F.col("event_id").alias("row_id"),
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("k_json"),
+        F.element_at(props_map, "k").alias("k_map"),
+        F.size(F.map_keys(props_map)).cast("long").alias("n_keys"),
+    )
+    # Two differently-shaped scalar exercises, one per source table.
+    return doc_side.join(event_side, "row_id", "inner").select(
+        "row_id", "n_tokens", "mentions_data", "first_token", "k_json", "k_map", "n_keys"
+    )
+
+
+@F.pandas_udf(T.DoubleType())
+def _net_revenue_udf(
+    extended: pd.Series, discount: pd.Series, tax: pd.Series
+) -> pd.Series:
+    """Arrow-vectorized pandas UDF: net revenue per lineitem.
+
+    Same IEEE double ops as the SQL expression, so per-row results are
+    bit-identical to the oracle's ``l_extendedprice*(1-l_discount)*(1+l_tax)``.
+    """
+    return extended * (1.0 - discount) * (1.0 + tax)
+
+
+def q_udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UDF surface: vectorized pandas UDF in the hot path, then a
+    decimal-exact aggregate so the fold order can't break parity.
+
+    Scale note: Arrow batches (default 10k rows) amortize the
+    Python hop; still ~5× slower than pure codegen — use only for
+    logic Catalyst can't express.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    net = _net_revenue_udf(
+        F.col("l_extendedprice"), F.col("l_discount"), F.col("l_tax")
+    )
+    return (
+        li.withColumn("net_revenue", net)
+        .groupBy("l_returnflag")
+        .agg(
+            dsum(F.col("net_revenue")).alias("sum_net_revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+QUERIES = {
+    "scalar_string_date_math": q_scalar_string_date_math,
+    "scalar_array_map_json": q_scalar_array_map_json,
+    "udf_python": q_udf_python,
+}
+
+ORACLE = {
+    "scalar_string_date_math": """
+        SELECT o_orderkey,
+               UPPER(o_orderstatus) AS status_upper,
+               SUBSTRING(o_orderpriority, 1, 1) AS prio_code,
+               CONCAT_WS('|', o_orderstatus, o_orderpriority) AS status_prio,
+               CAST(LENGTH(o_orderpriority) AS BIGINT) AS prio_len,
+               CAST(YEAR(o_orderdate) AS BIGINT) AS order_year,
+               CAST(MONTH(o_orderdate) AS BIGINT) AS order_month,
+               DATE_TRUNC('month', o_orderdate) AS order_month_start,
+               CAST(DATE_DIFF('day', CAST(o_orderdate AS DATE),
+                              DATE '2002-01-01') AS BIGINT) AS days_to_2002,
+               ABS(o_totalprice - 1000.0) AS abs_price_delta,
+               SQRT(o_totalprice) AS price_sqrt,
+               CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor,
+               CAST(CEIL(o_totalprice / 100.0) AS BIGINT) AS price_centi_ceil
+        FROM orders
+    """,
+    "scalar_array_map_json": """
+        WITH doc_side AS (
+            SELECT doc_id AS row_id,
+                   CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+                   LIST_CONTAINS(STRING_SPLIT(text, ' '), 'data') AS mentions_data,
+                   STRING_SPLIT(text, ' ')[1] AS first_token
+            FROM documents
+        ), event_side AS (
+            SELECT event_id AS row_id,
+                   CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k_json,
+                   CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k_map,
+                   CAST(1 AS BIGINT) AS n_keys
+            FROM events
+        )
+        SELECT d.row_id, n_tokens, mentions_data, first_token, k_json, k_map, n_keys
+        FROM doc_side d JOIN event_side e ON d.row_id = e.row_id
+    """,
+    "udf_python": f"""
+        SELECT l_returnflag,
+               {oracle_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')}
+                   AS sum_net_revenue,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+}

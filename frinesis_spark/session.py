@@ -1,0 +1,46 @@
+"""SparkSession factory tuned for this engine.
+
+Defaults target correctness-vs-DuckDB parity (UTC session timezone,
+Arrow transfers) and scale hygiene (AQE, partition coalescing, skew
+join handling). On a real cluster the same settings apply; only
+``master`` / memory sizing change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "frinesis_spark") -> SparkSession:
+    """Build (or reuse) the SparkSession.
+
+    local[`SPARK_GRAFT_CPUS`] (default local[*]) for tests/bench; the
+    config block is cluster-safe — nothing here is local-mode-only.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    shuffle_parts = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS") or (
+        cpus if cpus != "*" else str(os.cpu_count() or 8)
+    )
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # Right-size shuffles for the local test box; AQE coalesces
+        # further at runtime, and on a 1000-executor cluster this would
+        # be set to ~2-3x total cores instead.
+        .config("spark.sql.shuffle.partitions", shuffle_parts)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Deterministic timestamp semantics vs the DuckDB oracle
+        # (DuckDB timestamps are UTC-naive).
+        .config("spark.sql.session.timeZone", "UTC")
+        # Arrow for every Python<->JVM hop (pandas UDFs, toPandas).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,63 @@
+"""Simulate the driver's verify flow against /root/repo/__spark_entry__.py."""
+import hashlib, sys, traceback
+sys.path.insert(0, "/root/repo")
+import duckdb
+import __spark_entry__ as entrymod
+from pyspark.sql import SparkSession
+
+spark = (SparkSession.builder.master("local[8]")
+         .appName("driver-sim")
+         .config("spark.sql.session.timeZone", "UTC")
+         .config("spark.ui.enabled", "false")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+# 1. smoke: entry()
+df = entrymod.entry(spark)
+rows = df.collect()
+print(f"entry(): {len(rows)} rows, schema={[f.name for f in df.schema.fields]}")
+assert len(rows) > 0
+
+# 2. t2: queries vs oracle at sf0.01
+SF = "/root/testdata/sf0.01"
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+def canon(pdf):
+    import math, decimal, datetime
+    import pandas as pd, numpy as np
+    def cv(v):
+        if v is None or v is pd.NaT: return "N"
+        if isinstance(v, float): return "N" if math.isnan(v) else repr(v)
+        if isinstance(v, np.floating): return cv(float(v))
+        if isinstance(v, (bool, np.bool_)): return "T" if v else "F"
+        if isinstance(v, (int, np.integer)): return str(int(v))
+        if isinstance(v, decimal.Decimal): return repr(float(v))
+        if isinstance(v, (pd.Timestamp, datetime.datetime, datetime.date)): return v.isoformat()
+        if isinstance(v, (bytes, bytearray)): return bytes(v).hex()
+        if isinstance(v, (list, tuple, np.ndarray)): return "["+",".join(cv(x) for x in v)+"]"
+        return str(v)
+    cols = sorted(pdf.columns)
+    rows = sorted(tuple(cv(pdf.iloc[i][c]) for c in cols) for i in range(len(pdf)))
+    return hashlib.sha256(repr(rows).encode()).hexdigest()[:16], len(pdf)
+
+qs, osql = entrymod.queries(), entrymod.oracle_sql()
+print(f"queries: {len(qs)}, oracles: {len(osql)}")
+fails = []
+for name in sorted(qs):
+    try:
+        spdf = qs[name](spark, SF).toPandas()
+        if name in osql:
+            dpdf = con.execute(osql[name]).fetchdf()
+            sh, sn = canon(spdf); dh, dn = canon(dpdf)
+            ok = sh == dh and sn == dn
+            print(f"{'OK ' if ok else 'MISMATCH'} {name}: spark {sn} rows [{sh}] duck {dn} rows [{dh}]")
+            if not ok: fails.append(name)
+        else:
+            print(f"ROWS-ONLY {name}: {len(spdf)} rows")
+    except Exception as e:
+        print(f"ERROR {name}: {e}")
+        fails.append(name)
+print("FAILURES:", fails if fails else "none")
+sys.exit(1 if fails else 0)
