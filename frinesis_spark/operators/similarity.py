@@ -1,0 +1,168 @@
+"""Similarity search over embedding columns (SURVEY.md §2B
+``similarity_topk_cosine`` + the ANN scale path).
+
+Two operators:
+
+- ``similarity_topk_cosine`` — exact brute-force top-k: broadcast the
+  (small) query set against the full corpus, cosine via Catalyst
+  ``zip_with``/``aggregate`` (JVM, codegen), ranking window per query.
+  Linear in corpus size — the right plan when queries ≪ corpus, which
+  is the common retrieval-evaluation shape. Oracle-checked.
+
+- ``similarity_ann_lsh`` — random-hyperplane LSH: bucket the corpus by
+  sign-bit bands, join queries to bucket-colliding candidates only,
+  re-rank exactly. Sub-linear candidate volume; recall < 1 by design
+  → rows-only check.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from frinesis_spark.catalog import table
+from frinesis_spark.functions.vectors import cosine_similarity, dot
+
+_N_QUERIES = 10  # vec_id < 10 form the query set
+_TOP_K = 5
+_DIM = 64
+_PLANES_PER_BAND = 8
+_N_BANDS = 2  # 2 bands × 8 hyperplanes = 16 sign bits total
+
+
+def _hyperplane(plane: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane in [-1, 1]^dim.
+
+    md5-derived so the LSH buckets are identical on every run and
+    every engine — no RNG state anywhere.
+    """
+    out = []
+    for d in range(_DIM):
+        h = int(hashlib.md5(f"plane{plane}:dim{d}".encode()).hexdigest()[:8], 16)
+        out.append(h / float(0xFFFFFFFF) * 2.0 - 1.0)
+    return out
+
+
+def _queries_and_candidates(spark: SparkSession, sf_dir: str):
+    e = table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
+    return q, c
+
+
+def q_similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for each of the 10 query vectors.
+
+    Plan shape at 100 TB: broadcast(queries) ⋈ corpus scan → per-query
+    top-k via ranking window partitioned on query_id. One pass over
+    the corpus, no shuffle of the big side beyond the k-row-per-query
+    window input (Spark pushes rank-filter into the window sort).
+    """
+    q, c = _queries_and_candidates(spark, sf_dir)
+    cos = cosine_similarity(F.col("qe"), F.col("ce"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cos"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _TOP_K)
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            "neighbor_id",
+            F.round("cos", 6).alias("cos_sim"),
+        )
+    )
+
+
+def _bucketize(df: DataFrame, emb_col: str) -> DataFrame:
+    """Attach (band_idx, bucket) rows: sign bits of md5-fixed hyperplanes."""
+    bands = []
+    for band in range(_N_BANDS):
+        bucket = F.lit(0)
+        for j in range(_PLANES_PER_BAND):
+            plane = band * _PLANES_PER_BAND + j
+            weights = F.array(*[F.lit(w) for w in _hyperplane(plane)])
+            bit = (dot(F.col(emb_col), weights) > 0).cast("int")
+            bucket = bucket + bit * F.lit(2**j)
+        bands.append(
+            F.struct(F.lit(band).alias("band_idx"), bucket.alias("bucket"))
+        )
+    return df.select(
+        "*", F.explode(F.array(*bands)).alias("band")
+    ).select(*df.columns, "band.band_idx", "band.bucket")
+
+
+def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via random-hyperplane LSH + exact re-rank.
+
+    Candidates = corpus rows sharing ≥1 of 2 sign-bit bands with the
+    query. At 100 TB the corpus-side bucketing is a map-only pass and
+    the join shuffles on (band_idx, bucket) — candidate volume is
+    ~corpus/2^8 per band per query instead of the full corpus.
+    Recall < 1 (that's the trade) → rows-only check.
+    """
+    q, c = _queries_and_candidates(spark, sf_dir)
+    qb = _bucketize(q, "qe")
+    cb = _bucketize(c, "ce")
+    cand = (
+        qb.join(cb, ["band_idx", "bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "qe", "neighbor_id", "ce")
+        .distinct()
+    )
+    cos = cosine_similarity(F.col("qe"), F.col("ce"))
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        cand.select("query_id", "neighbor_id", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _TOP_K)
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            "neighbor_id",
+            F.round("cos", 6).alias("cos_sim"),
+        )
+    )
+
+
+QUERIES = {
+    "similarity_topk_cosine": q_similarity_topk_cosine,
+    "similarity_ann_lsh": q_similarity_ann_lsh,
+}
+
+_COS_SQL = """
+    LIST_DOT_PRODUCT(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+    / (SQRT(LIST_DOT_PRODUCT(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+       * SQRT(LIST_DOT_PRODUCT(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))))
+"""
+
+ORACLE = {
+    "similarity_topk_cosine": f"""
+        SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+               ROUND(cos, 6) AS cos_sim
+        FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   {_COS_SQL} AS cos,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_COS_SQL} DESC, c.vec_id
+                   ) AS rank
+            FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+            WHERE q.vec_id < {_N_QUERIES}
+        )
+        WHERE rank <= {_TOP_K}
+    """,
+    # similarity_ann_lsh: intentionally no oracle — approximate recall
+    # by design; exactness of the re-rank formula is covered by
+    # similarity_topk_cosine.
+}

@@ -1,0 +1,255 @@
+"""Text analysis operators for LLM training-data pipelines
+(SURVEY.md §2B ``text_analysis_stats`` + the BASELINE.json mandate:
+language-ID, quality scoring, token counting, fingerprinting).
+
+All four are per-row scalar pipelines + one hash aggregate — map-side
+parallel, shuffle only on the (tiny) group keys. No Python anywhere:
+tokenization, stopword matching, regex token extraction and md5
+fingerprints are Catalyst expressions, so the hot path is whole-stage
+codegen even at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from frinesis_spark.catalog import table
+from frinesis_spark.functions.numeric import davg, dsum, oracle_davg, oracle_dsum
+
+# Tiny per-language marker lexicons for the n-gram/stopword heuristic.
+# Deliberately small: language ID here demonstrates the *plan shape*
+# (vectorized set-intersection scoring + deterministic argmax); a real
+# deployment swaps in fastText/CLD3 lexicons without changing the plan.
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "to", "and", "is", "in", "that"],
+    "es": ["el", "la", "de", "que", "y", "los", "se", "un"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "les", "et", "des", "un", "une", "est", "dans"],
+    "zh": ["的", "是", "不", "了", "在", "人", "有", "我"],
+}
+_LANG_ORDER = ["en", "es", "de", "fr", "zh"]  # argmax tie-break precedence
+
+_STOPWORDS = _LANG_MARKERS["en"]
+_TOKEN_REGEX = "[a-z0-9]+"
+
+
+def q_text_analysis_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics per language: doc counts, char/token volumes,
+    source diversity, and an n_chars-vs-length(text) consistency count."""
+    d = table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        dsum(F.col("n_chars").cast("double")).alias("total_chars"),
+        davg(F.col("n_chars").cast("double")).alias("avg_chars"),
+        F.sum(n_tokens).alias("total_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum(
+            (F.length("text") == F.col("n_chars")).cast("long")
+        ).alias("n_chars_consistent"),
+    )
+
+
+def q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-lexicon language ID: score = |tokens ∩ markers(lang)|,
+    argmax with fixed precedence (CASE chain — identical semantics in
+    the oracle, no struct-comparison subtleties)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split("text", " "))
+    scores = {
+        lang: F.size(
+            F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
+        ).cast("long")
+        for lang, words in _LANG_MARKERS.items()
+    }
+    # First language in precedence order whose score equals the max.
+    best = F.greatest(*scores.values())
+    pred = F.lit(None).cast("string")
+    for lang in reversed(_LANG_ORDER):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    out = d.select(
+        "doc_id",
+        F.col("lang").alias("lang_true"),
+        *[scores[lang].alias(f"score_{lang}") for lang in _LANG_ORDER],
+    )
+    best_o = F.greatest(*[F.col(f"score_{lang}") for lang in _LANG_ORDER])
+    pred_o = F.lit(None).cast("string")
+    for lang in reversed(_LANG_ORDER):
+        pred_o = F.when(F.col(f"score_{lang}") == best_o, F.lit(lang)).otherwise(
+            pred_o
+        )
+    return out.select(
+        "doc_id",
+        "lang_true",
+        pred_o.alias("lang_pred"),
+        best_o.alias("best_score"),
+        (pred_o == F.col("lang_true")).alias("is_match"),
+    )
+
+
+def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality features + composite score per document:
+    token count, mean token length, stopword ratio, symbol ratio.
+
+    All ratios are single double divisions of exact integers →
+    bit-deterministic; the composite is rounded at 6 dp.
+    """
+    d = table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_tokens = F.size(words).cast("long")
+    n_chars = F.length("text").cast("long")
+    alpha_chars = F.length(F.regexp_replace(F.col("text"), "[^a-z]", "")).cast("long")
+    stop_hits = F.size(
+        F.filter(
+            words,
+            lambda w: F.array_contains(
+                F.array(*[F.lit(s) for s in _STOPWORDS]), w
+            ),
+        )
+    ).cast("long")
+    mean_tok_len = (n_chars - (n_tokens - 1)) / n_tokens  # chars minus separators
+    stop_ratio = stop_hits / n_tokens
+    alpha_ratio = alpha_chars / n_chars
+    score = F.round(
+        0.4 * alpha_ratio
+        + 0.3 * F.least(stop_ratio * 5.0, F.lit(1.0))
+        + 0.3 * F.least(n_tokens.cast("double") / 100.0, F.lit(1.0)),
+        6,
+    )
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(mean_tok_len, 6).alias("mean_token_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways per source: whitespace tokens and
+    regex word tokens (the BPE-ish pre-tokenization shape)."""
+    d = table(spark, sf_dir, "documents")
+    ws_tokens = F.size(F.split("text", " ")).cast("long")
+    re_tokens = F.expr(
+        f"size(regexp_extract_all(text, '{_TOKEN_REGEX}', 0))"
+    ).cast("long")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ws_tokens).alias("ws_tokens"),
+        F.sum(re_tokens).alias("re_tokens"),
+        F.max(ws_tokens).alias("max_doc_tokens"),
+    )
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: content hash (md5 of raw text) and a
+    bag-of-words fingerprint (md5 of the sorted distinct token list —
+    invariant to word order, the classic near-dup blocking key)."""
+    d = table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    bag = F.concat_ws(" ", F.array_sort(F.array_distinct(words)))
+    return d.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("content_fp"),
+        F.md5(bag).alias("bag_fp"),
+        F.substring(F.md5(F.col("text")), 1, 8).alias("short_fp"),
+    )
+
+
+QUERIES = {
+    "text_analysis_stats": q_text_analysis_stats,
+    "text_language_id": q_text_language_id,
+    "text_quality_score": q_text_quality_score,
+    "text_token_count": q_text_token_count,
+    "text_fingerprint": q_text_fingerprint,
+}
+
+
+def _marker_list(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in _LANG_MARKERS[lang]) + "]"
+
+
+_SCORE_SQL = {
+    lang: (
+        f"CAST(LEN(LIST_INTERSECT(LIST_DISTINCT(STRING_SPLIT(text, ' ')), "
+        f"{_marker_list(lang)})) AS BIGINT)"
+    )
+    for lang in _LANG_ORDER
+}
+_BEST_SQL = "GREATEST(" + ", ".join(_SCORE_SQL[lang] for lang in _LANG_ORDER) + ")"
+_PRED_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN {_SCORE_SQL[lang]} = {_BEST_SQL} THEN '{lang}'"
+        for lang in _LANG_ORDER
+    )
+    + " END"
+)
+_STOP_LIST = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
+
+ORACLE = {
+    "text_analysis_stats": f"""
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               {oracle_dsum('CAST(n_chars AS DOUBLE)')} AS total_chars,
+               {oracle_davg('CAST(n_chars AS DOUBLE)')} AS avg_chars,
+               CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS total_tokens,
+               COUNT(DISTINCT source) AS n_sources,
+               CAST(SUM(CASE WHEN LENGTH(text) = n_chars THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_chars_consistent
+        FROM documents
+        GROUP BY lang
+    """,
+    "text_language_id": f"""
+        SELECT doc_id,
+               lang AS lang_true,
+               {_PRED_SQL} AS lang_pred,
+               {_BEST_SQL} AS best_score,
+               ({_PRED_SQL}) = lang AS is_match
+        FROM documents
+    """,
+    "text_quality_score": f"""
+        WITH feats AS (
+            SELECT doc_id,
+                   CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(LENGTH(text) AS BIGINT) AS n_chars,
+                   CAST(LENGTH(REGEXP_REPLACE(text, '[^a-z]', '', 'g'))
+                        AS BIGINT) AS alpha_chars,
+                   CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                        w -> LIST_CONTAINS({_STOP_LIST}, w))) AS BIGINT)
+                       AS stop_hits
+            FROM documents
+        )
+        SELECT doc_id,
+               n_tokens,
+               ROUND((n_chars - (n_tokens - 1)) / n_tokens, 6) AS mean_token_len,
+               ROUND(stop_hits / n_tokens, 6) AS stopword_ratio,
+               ROUND(alpha_chars / n_chars, 6) AS alpha_ratio,
+               ROUND(0.4 * (alpha_chars / n_chars)
+                     + 0.3 * LEAST((stop_hits / n_tokens) * 5.0, 1.0)
+                     + 0.3 * LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0),
+                     6) AS quality_score
+        FROM feats
+    """,
+    "text_token_count": f"""
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS ws_tokens,
+               CAST(SUM(LEN(REGEXP_EXTRACT_ALL(text, '{_TOKEN_REGEX}')))
+                    AS BIGINT) AS re_tokens,
+               MAX(CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT))
+                   AS max_doc_tokens
+        FROM documents
+        GROUP BY source
+    """,
+    "text_fingerprint": """
+        SELECT doc_id,
+               MD5(text) AS content_fp,
+               MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(
+                   STRING_SPLIT(text, ' '))), ' ')) AS bag_fp,
+               SUBSTRING(MD5(text), 1, 8) AS short_fp
+        FROM documents
+    """,
+}
