@@ -1,0 +1,221 @@
+"""Event-time windowing queries (SURVEY.md §2B ``stream_*`` rows).
+
+The reference ignores event time entirely (its Msg timestamp is never
+read — /root/reference/sink.go:76), so this layer is driven by the
+BASELINE.json mandate, built on Spark's native event-time machinery:
+
+- tumbling / sliding / session windows: ``F.window`` /
+  ``F.session_window`` — identical semantics in batch and streaming,
+  so the oracle-checked entries here run the batch form and
+  tests/test_streaming.py replays the same pipelines through a real
+  ``readStream`` source and asserts equal results.
+- ``stream_watermark_late`` and ``stream_dedup_stateful`` run the REAL
+  streaming engine inside the query (file-source replay → memory
+  sink): watermark-gated append output and stateful dropDuplicates
+  are behaviors batch execution cannot emulate.
+
+Scale: windowed aggregation shuffles on (window, key) — bounded state
+per key; watermarks bound state size on unbounded streams, which is
+exactly the 100 TB/day concern. Session windows merge gap-contiguous
+state per user — state is O(active sessions), not O(events).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from frinesis_spark.catalog import table
+from frinesis_spark.functions.numeric import dsum, oracle_dsum
+from frinesis_spark.streaming.runner import events_stream, run_append_to_memory
+
+_WATERMARK = "10 minutes"
+_SESSION_GAP = "30 minutes"
+
+
+def _events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "events")
+
+
+def q_stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling window per event_type (batch form; the streaming
+    replay of this exact pipeline is asserted equal in tests)."""
+    e = _events_batch(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def q_stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute window sliding every 5 minutes — each event lands in
+    exactly two windows."""
+    e = _events_batch(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap.
+
+    Spark semantics: session end = last event + gap; events merge while
+    the inter-event gap is strictly less than the gap duration. The
+    oracle reproduces this with lag()+cumsum sessionization.
+    """
+    e = _events_batch(spark, sf_dir)
+    return (
+        e.groupBy(F.session_window("ts", _SESSION_GAP), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming: tumbling agg gated by a 10-minute watermark,
+    replayed through a file stream source into a memory sink.
+
+    Append mode only emits windows the watermark has passed, so the
+    result is the batch aggregation MINUS windows newer than
+    max(ts) - 10min — which is exactly what the oracle computes. This
+    checks actual watermark semantics (state eviction + late-window
+    suppression) against SQL, not an emulation.
+    """
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", _WATERMARK)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("window.end").cast("timestamp_ntz").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_append_to_memory(agg, spark)
+
+
+def q_stream_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming: watermarked stateful dropDuplicates on event_id.
+
+    Emits each event_id the first time it is seen; the watermark bounds
+    the dedup state (ids older than the watermark are evicted — the
+    only way stateful dedup survives an unbounded stream). Output is
+    the distinct id set, so the oracle is plain DISTINCT.
+    """
+    ev = events_stream(spark, sf_dir)
+    deduped = (
+        ev.withWatermark("ts", _WATERMARK)
+        .dropDuplicates(["event_id"])
+        .select("event_id")
+    )
+    return run_append_to_memory(deduped, spark)
+
+
+QUERIES = {
+    "stream_tumbling_agg": q_stream_tumbling_agg,
+    "stream_sliding_agg": q_stream_sliding_agg,
+    "stream_session_window": q_stream_session_window,
+    "stream_watermark_late": q_stream_watermark_late,
+    "stream_dedup_stateful": q_stream_dedup_stateful,
+}
+
+_TRUNC_HOUR = "DATE_TRUNC('hour', ts)"
+# Start of the 5-minute bucket containing ts (epoch_us is exact integer math).
+_TRUNC_5MIN = "MAKE_TIMESTAMP((EPOCH_US(ts) // 300000000) * 300000000)"
+
+ORACLE = {
+    "stream_tumbling_agg": f"""
+        SELECT {_TRUNC_HOUR} AS window_start,
+               {_TRUNC_HOUR} + INTERVAL 1 HOUR AS window_end,
+               event_type,
+               COUNT(*) AS n_events,
+               {oracle_dsum('value')} AS sum_value
+        FROM events
+        GROUP BY 1, 2, 3
+    """,
+    "stream_sliding_agg": f"""
+        WITH expanded AS (
+            SELECT UNNEST([
+                       {_TRUNC_5MIN},
+                       {_TRUNC_5MIN} - INTERVAL 5 MINUTE
+                   ]) AS window_start,
+                   event_type
+            FROM events
+        )
+        SELECT window_start,
+               window_start + INTERVAL 10 MINUTE AS window_end,
+               event_type,
+               COUNT(*) AS n_events
+        FROM expanded
+        GROUP BY 1, 2, 3
+    """,
+    "stream_session_window": f"""
+        WITH flagged AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sessions AS (
+            SELECT *,
+                   SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS session_id
+            FROM flagged
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+               COUNT(*) AS n_events,
+               {oracle_dsum('value')} AS sum_value
+        FROM sessions
+        GROUP BY user_id, session_id
+    """,
+    "stream_watermark_late": f"""
+        WITH wm AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM events)
+        SELECT {_TRUNC_HOUR} AS window_start,
+               {_TRUNC_HOUR} + INTERVAL 1 HOUR AS window_end,
+               event_type,
+               COUNT(*) AS n_events,
+               {oracle_dsum('value')} AS sum_value
+        FROM events
+        GROUP BY 1, 2, 3
+        HAVING {_TRUNC_HOUR} + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+    """,
+    "stream_dedup_stateful": "SELECT DISTINCT event_id FROM events",
+}

@@ -1,0 +1,191 @@
+"""Streaming-semantics tests with deterministic multi-batch replay:
+late-data suppression by watermark, stateful dedup across batches —
+the behaviors the oracle can't check (SURVEY.md §5.3 item 2)."""
+
+import os
+import time
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _write_batch(spark, stage, rows, idx):
+    """One flat parquet file per micro-batch (the file source does not
+    descend into non-partition subdirectories); mtime ordered so the
+    source replays them oldest-first."""
+    import glob
+    import shutil
+    import tempfile
+
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_batch_")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    target = os.path.join(stage, f"batch_{idx}.parquet")
+    shutil.copy(part, target)
+    shutil.rmtree(tmp, ignore_errors=True)
+    base = time.time() - 1000 + idx * 10
+    os.utime(target, (base, base))
+    return target
+
+
+def _run_stream(spark, stage_glob, schema, build, n_batches):
+    name = "mem_" + uuid.uuid4().hex[:12]
+    ckpt = os.path.join("/tmp", "ckpt_" + uuid.uuid4().hex[:12])
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_glob)
+    )
+    q = (
+        build(sdf)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        for _ in range(n_batches + 2):
+            q.processAllAvailable()
+        return spark.table(name).collect()
+    finally:
+        q.stop()
+
+
+@pytest.fixture()
+def stage(tmp_path):
+    return str(tmp_path / "stream_in")
+
+
+def _ts(s):
+    import datetime
+
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_watermark_drops_late_rows(spark, stage):
+    """A row arriving after the watermark passed its window is dropped;
+    a late-but-within-watermark row is still counted."""
+    os.makedirs(stage, exist_ok=True)
+    # Batch 0: events in hours 10/11 → watermark advances to 11:20.
+    _write_batch(
+        spark,
+        stage,
+        [
+            (1, _ts("2024-01-01 10:05:00"), "click", 1.0),
+            (2, _ts("2024-01-01 10:45:00"), "click", 1.0),
+            (3, _ts("2024-01-01 11:30:00"), "click", 1.0),
+        ],
+        0,
+    )
+    # Batch 1: in-time rows; watermark advances to 12:50. (Watermark
+    # filtering takes effect one batch after it advances — empirically
+    # verified — so the late-row probe goes in its own later batch.)
+    _write_batch(
+        spark,
+        stage,
+        [
+            (5, _ts("2024-01-01 11:40:00"), "click", 1.0),
+            (6, _ts("2024-01-01 13:00:00"), "click", 1.0),
+        ],
+        1,
+    )
+    # Batch 2: a row for hour 10, far below the active watermark →
+    # must be dropped; plus one fresh row advancing the watermark.
+    _write_batch(
+        spark,
+        stage,
+        [
+            (4, _ts("2024-01-01 10:50:00"), "click", 1.0),  # LATE → dropped
+            (7, _ts("2024-01-01 13:10:00"), "click", 1.0),
+        ],
+        2,
+    )
+
+    def build(sdf):
+        return (
+            sdf.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.col("window.start").alias("ws"), F.col("event_type"), F.col("n")
+            )
+        )
+
+    rows = _run_stream(
+        spark,
+        stage,
+        "event_id long, ts timestamp, event_type string, value double",
+        build,
+        3,
+    )
+    by_window = {r.ws.isoformat(): r.n for r in rows}
+    # Hour 10 window: rows 1+2 only — the late row 4 must NOT be counted.
+    assert by_window["2024-01-01T10:00:00"] == 2
+    # Hour 11 window: rows 3+5 (row 5 arrived before watermark passed 12:00).
+    assert by_window["2024-01-01T11:00:00"] == 2
+
+
+def test_stateful_dedup_across_batches(spark, stage):
+    """dropDuplicates state persists across micro-batches: an id seen
+    in batch 1 is suppressed in batch 2."""
+    os.makedirs(stage, exist_ok=True)
+    _write_batch(
+        spark,
+        stage,
+        [
+            (100, _ts("2024-01-01 10:00:00"), "a", 1.0),
+            (101, _ts("2024-01-01 10:01:00"), "a", 1.0),
+        ],
+        0,
+    )
+    _write_batch(
+        spark,
+        stage,
+        [
+            (100, _ts("2024-01-01 10:02:00"), "a", 1.0),  # duplicate id
+            (102, _ts("2024-01-01 10:03:00"), "a", 1.0),
+        ],
+        1,
+    )
+
+    def build(sdf):
+        return (
+            sdf.withWatermark("ts", "1 hour")
+            .dropDuplicates(["event_id"])
+            .select("event_id")
+        )
+
+    rows = _run_stream(
+        spark,
+        stage,
+        "event_id long, ts timestamp, event_type string, value double",
+        build,
+        2,
+    )
+    ids = sorted(r.event_id for r in rows)
+    assert ids == [100, 101, 102]
+
+
+def test_streaming_tumbling_matches_batch(spark, sf_dir):
+    """The finalized subset of the real streaming tumbling agg equals
+    the batch computation restricted to the same windows (engine-level
+    batch/stream consistency)."""
+    from frinesis_spark.operators.relational import table  # noqa: F401
+    from frinesis_spark.streaming.windows import (
+        q_stream_tumbling_agg,
+        q_stream_watermark_late,
+    )
+
+    batch = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in q_stream_tumbling_agg(spark, sf_dir).collect()
+    }
+    streamed = q_stream_watermark_late(spark, sf_dir).collect()
+    assert len(streamed) > 0
+    for r in streamed:
+        assert batch[(r.window_start, r.event_type)] == (r.n_events, r.sum_value)
