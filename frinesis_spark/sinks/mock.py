@@ -1,0 +1,111 @@
+"""Mock Kinesis client — port of the reference's test double
+(`mockBatchingClient`, batchproducer_test.go:810-842) with the same
+knobs:
+
+- ``should_err``      — every put_records call raises ("oh noes",
+  batchproducer_test.go:823-825);
+- ``sleep_for_s``     — per-call latency injection (:827), advanced on
+  an injectable clock so timeout tests are wall-clock free;
+- magic partition key ``"fail"`` — per-record ErrorCode/ErrorMessage
+  entries (:831-836), driving the retry-then-drop paths.
+
+Delivered records are appended to ``store_dir`` (one JSON-lines file
+per call, unique name → safe under concurrent executor tasks), which
+is the read-back channel for delivery-multiset assertions — the same
+role localstack's GetRecords plays in the reference's integration
+tests (integration_test.go:112-143).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass, field
+
+FAIL_KEY = "fail"
+
+
+@dataclass
+class MockKinesisClient:
+    store_dir: str | None = None
+    should_err: bool = False
+    sleep_for_s: float = 0.0
+    fail_key: str = FAIL_KEY
+    # injectables (kept local to the process; unit tests only)
+    advance_clock: object = None
+    calls: list = field(default_factory=list)
+
+    def put_records(self, Records, StreamName):  # noqa: N803 (boto3 API)
+        self.calls.append(len(Records))
+        if self.sleep_for_s and self.advance_clock is not None:
+            self.advance_clock(self.sleep_for_s)
+        if self.should_err:
+            raise RuntimeError("oh noes")
+
+        results = []
+        failed = 0
+        delivered = []
+        for rec in Records:
+            if rec["PartitionKey"] == self.fail_key:
+                failed += 1
+                results.append(
+                    {
+                        "ErrorCode": "ProvisionedThroughputExceededException",
+                        "ErrorMessage": "injected failure",
+                    }
+                )
+            else:
+                results.append({"SequenceNumber": "1", "ShardId": "shard-0"})
+                delivered.append(rec)
+        if self.store_dir and delivered:
+            os.makedirs(self.store_dir, exist_ok=True)
+            path = os.path.join(
+                self.store_dir, f"call_{uuid.uuid4().hex}.jsonl"
+            )
+            with open(path, "w") as f:
+                for rec in delivered:
+                    f.write(
+                        json.dumps(
+                            {
+                                "stream": StreamName,
+                                "partition_key": rec["PartitionKey"],
+                                "data": bytes(rec["Data"]).decode(
+                                    "utf-8", "replace"
+                                ),
+                            }
+                        )
+                        + "\n"
+                    )
+        return {"FailedRecordCount": failed, "Records": results}
+
+
+@dataclass
+class MockClientFactory:
+    """Picklable factory for executor-side client creation (mirrors the
+    lazy per-task boto3 client of the real path)."""
+
+    store_dir: str | None = None
+    should_err: bool = False
+    fail_key: str = FAIL_KEY
+
+    def __call__(self) -> MockKinesisClient:
+        return MockKinesisClient(
+            store_dir=self.store_dir,
+            should_err=self.should_err,
+            fail_key=self.fail_key,
+        )
+
+
+def read_back(store_dir: str) -> list[dict]:
+    """All records 'delivered' to the mock, any order — the multiset
+    the reference compares against sent messages
+    (integration_test.go:151-157)."""
+    out: list[dict] = []
+    if not os.path.isdir(store_dir):
+        return out
+    for name in os.listdir(store_dir):
+        if name.endswith(".jsonl"):
+            with open(os.path.join(store_dir, name)) as f:
+                out.extend(json.loads(line) for line in f if line.strip())
+    return out
