@@ -32,7 +32,11 @@ HEADLINE = [
     "udf_python",
     "dedup_exact",
     "dedup_near_minhash",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
     "similarity_topk_cosine",
+    "similarity_ann_lsh",
     "text_analysis_stats",
     "stream_tumbling_agg",
 ]

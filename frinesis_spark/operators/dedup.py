@@ -25,7 +25,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from frinesis_spark.catalog import table
-from frinesis_spark.functions.vectors import cosine_similarity
 
 # MinHash parameters: 128-long signature, 32 bands × 4 rows.
 # P(candidate | jaccard j) = 1-(1-j^4)^32 → ~0.99 at j=0.5, ~0.04 at j=0.1.
@@ -71,24 +70,58 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, sig array<long>[K]) via K independent xxhash64 draws.
+    """(doc_id, sig array<long>[K]) minhash signatures, map-only.
 
-    Hash family: ``xxhash64(i, shingle)`` for i in 0..K-1 — no modular
-    arithmetic (ANSI-safe, overflow-free) and fully deterministic.
-    The per-position MIN is a plain hash aggregate: K min() columns,
-    all inside one codegen stage.
+    Two-stage hash family, fully deterministic:
+
+    1. JVM/codegen: one ``xxhash64`` base hash per distinct shingle
+       (cheap, whole-stage-codegen'd, string hashing never reaches
+       Python);
+    2. Arrow + numpy (``mapInPandas``): K multiply-add permutations
+       ``a_i * h + b_i (mod 2^64)`` of the base hash, min-reduced per
+       document with ``np.minimum.reduceat`` — multiplication by a
+       fixed odd constant is a bijection on Z_2^64, the standard
+       multiply-shift minhash permutation family.
+
+    Why not explode + K ``min()`` aggregate columns: that shape works
+    but Janino-compiling a 128-wide aggregate dominated cold-start
+    (~10 s), and the explode shuffles |shingles| rows. Why not
+    ``transform(sequence(0,K-1), ...)`` higher-order functions: HOFs
+    are interpreted per element and CollapseProject re-inlines the
+    shingle array into the lambda, recomputing it K times (measured
+    60× slower). This formulation is zero-shuffle and vectorized —
+    the per-partition cost model that holds at 100 TB.
     """
-    exploded = docs.select(
-        "doc_id", F.explode(_shingles()).alias("shingle")
+    # The test corpus is one parquet file → one input split; fan the
+    # CPU-heavy shingle/hash map work across all cores. At real scale
+    # the scan already has thousands of splits and this is a no-op
+    # cost-wise (one round-robin shuffle of the raw text).
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    base = docs.repartition(par).select(
+        "doc_id", F.transform(_shingles(), lambda s: F.xxhash64(s)).alias("hs")
     )
-    mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
-        for i in range(_K)
-    ]
-    sig = exploded.groupBy("doc_id").agg(*mins)
-    return sig.select(
-        "doc_id", F.array(*[F.col(f"h{i}") for i in range(_K)]).alias("sig")
-    )
+
+    def gen(batches):
+        import numpy as np
+
+        rng = np.random.default_rng(0x5EED)
+        a = rng.integers(1, 1 << 62, size=_K, dtype=np.int64).astype(
+            np.uint64
+        ) | np.uint64(1)
+        b = rng.integers(0, 1 << 62, size=_K, dtype=np.int64).astype(np.uint64)
+        for pdf in batches:
+            lens = pdf["hs"].map(len).to_numpy()
+            flat = np.concatenate(pdf["hs"].to_numpy()).astype(np.int64)
+            h = flat.view(np.uint64)
+            offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            with np.errstate(over="ignore"):
+                perms = h[:, None] * a[None, :] + b[None, :]
+            sig = np.minimum.reduceat(perms, offsets, axis=0)
+            out = pdf[["doc_id"]].copy()
+            out["sig"] = list(sig.view(np.int64))
+            yield out
+
+    return base.mapInPandas(gen, "doc_id long, sig array<long>")
 
 
 def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -103,23 +136,27 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only check. Deterministic: fixed hash seeds, fixed threshold.
     """
     docs = table(spark, sf_dir, "documents")
-    sig = _minhash_signatures(docs)
+    # The signature table is referenced three more times below (band
+    # self-join + both verify sides); unmaterialized, Spark recomputes
+    # the full shingle→hash pass per reference. Signatures are tiny
+    # relative to the corpus (K longs per doc — ~1 KB/doc vs the raw
+    # text), so this is the layer you materialize once. Eager
+    # localCheckpoint beats lazy persist here: concurrent downstream
+    # stages would all race-compute a cold cache. In a real pipeline
+    # checkpoint signatures to a table instead.
+    sig = _minhash_signatures(docs).localCheckpoint(eager=True)
 
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                F.hash(
-                    *[F.element_at("sig", b * _ROWS + j + 1) for j in range(_ROWS)],
-                    F.lit(b),
-                ).alias("band_hash"),
-            )
-            for b in range(_BANDS)
-        ]
+    # Compact band expression: hash(slice(sig)) per band instead of a
+    # 32-struct array of 4-way element_at hashes — the giant tree
+    # Janino-compiles for seconds per stage and appears on both join
+    # sides; this form plans in milliseconds.
+    band_hashes = F.expr(
+        f"transform(sequence(0, {_BANDS - 1}),"
+        f" b -> hash(slice(sig, b * {_ROWS} + 1, {_ROWS}), b))"
     )
     bands = sig.select(
-        "doc_id", F.explode(band_structs).alias("band")
-    ).select("doc_id", "band.band_idx", "band.band_hash")
+        "doc_id", F.posexplode(band_hashes).alias("band_idx", "band_hash")
+    )
 
     a, b = bands.alias("a"), bands.alias("b")
     candidates = (
@@ -153,35 +190,57 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash near-duplicate pairs (Hamming ≤ 8).
 
-    Per-token xxhash64 votes on each of the 64 bits; the fingerprint
-    is reassembled from 64 SUM aggregates (one codegen'd hash-agg).
-    Blocking: 4 bands of 16 bits — a pair at Hamming ≤ 8 can miss all
-    bands only if every band differs, so recall is high for small
-    distances; verify computes exact ``bit_count(xor)``.
+    Per-token xxhash64 votes on each of the 64 bits. Token hashes are
+    computed JVM-side (string hashing never reaches Python); the
+    64-bit vote/threshold/pack runs vectorized in numpy via
+    ``mapInPandas`` — map-only, like the minhash signatures, and it
+    avoids a 64-column SUM aggregate whose Janino compile dominated
+    cold latency. Blocking: 4 bands of 16 bits — a pair at Hamming ≤ 8
+    can miss all bands only if every band differs, so recall is high
+    for small distances; verify computes exact ``bit_count(xor)``.
 
     Rows-only check (bit-level hash family not SQL-reproducible).
     """
     docs = table(spark, sf_dir, "documents")
-    tokens = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("token")
-    )
-    h = F.xxhash64(F.col("token"))
-    votes = [
-        F.sum(F.shiftright(h, bit).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{bit}")
-        for bit in range(64)
-    ]
-    voted = tokens.groupBy("doc_id").agg(*votes)
-    fingerprint = voted.select(
+    par = spark.sparkContext.defaultParallelism
+    hashed = docs.repartition(par).select(
         "doc_id",
-        sum(
-            [
-                F.when(F.col(f"v{bit}") > 0, F.lit(1).cast("long")).otherwise(0)
-                * F.lit(2 ** bit if bit < 63 else -(2 ** 63)).cast("long")
-                for bit in range(64)
-            ],
-            F.lit(0).cast("long"),
-        ).alias("simhash"),
+        F.transform(
+            F.split("text", " "), lambda t: F.xxhash64(t)
+        ).alias("hs"),
     )
+
+    blk = 4096  # docs per vote matrix → ~tokens×64 ints stays in-cache
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        bit_idx = np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            for s in range(0, len(pdf), blk):
+                part = pdf.iloc[s : s + blk]
+                lens = part["hs"].map(len).to_numpy()
+                flat = np.concatenate(part["hs"].to_numpy()).astype(np.int64)
+                bits = (flat.view(np.uint64)[:, None] >> bit_idx) & np.uint64(1)
+                votes = bits.astype(np.int32) * 2 - 1
+                offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                sums = np.add.reduceat(votes, offsets, axis=0)
+                fp = ((sums > 0).astype(np.uint64) << bit_idx).sum(
+                    axis=1, dtype=np.uint64
+                )
+                yield pd.DataFrame(
+                    {
+                        "doc_id": part["doc_id"].to_numpy(),
+                        "simhash": fp.view(np.int64),
+                    }
+                )
+
+    # 8 bytes/doc; materialized because both sides of the band
+    # self-join would otherwise recompute the fingerprint pass.
+    fingerprint = hashed.mapInPandas(
+        gen, "doc_id long, simhash long"
+    ).localCheckpoint(eager=True)
 
     band_structs = F.array(
         *[
@@ -232,7 +291,14 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions on both sides.
     """
     docs = table(spark, sf_dir, "documents")
-    sets = docs.select("doc_id", _shingles().alias("sh"))
+    # Reused by sizes + both inverted-index sides → one materialized
+    # pass (see q_dedup_near_minhash on eager-vs-lazy).
+    par = spark.sparkContext.defaultParallelism
+    sets = (
+        docs.repartition(par)
+        .select("doc_id", _shingles().alias("sh"))
+        .localCheckpoint(eager=True)
+    )
     sizes = sets.select("doc_id", F.size("sh").alias("n_sh"))
     inv = sets.select("doc_id", F.explode("sh").alias("shingle"))
 
@@ -267,20 +333,58 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: cosine ≥ 0.45, exact pairwise.
 
-    Correctness baseline for vector dedup — a deliberate O(n²) scan
-    kept oracle-checkable; the linear-time path is the LSH-bucketed
-    variant in similarity.py. Cosine accumulates in double (identical
-    per-row fold to the oracle), rounded to 6 dp for cross-engine hash
-    stability.
+    Correctness baseline for vector dedup — exact O(n²) comparisons,
+    but executed as distributed blocked matrix products instead of a
+    row-pair join: the corpus matrix is normalized once and broadcast
+    (n·d floats — MBs up to ~10M vectors), and each partition multiplies
+    its row block against it with BLAS via ``mapInPandas``. That turns
+    ~n²·d interpreted per-pair evaluations (minutes at n=50k) into a
+    few vectorized GFLOPs (seconds). Past broadcastable corpus size the
+    exact scan stops being the tool — ``similarity_ann_lsh``
+    (similarity.py) is the 100 TB path.
+
+    Oracle parity: dot/norms accumulate in float64; 6-dp rounding
+    absorbs the summation-order difference vs DuckDB.
     """
     e = table(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea"))
-    b = e.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb"))
-    cos = cosine_similarity(F.col("ea"), F.col("eb"))
-    return (
-        a.join(b, F.col("a_id") < F.col("b_id"))
-        .where(cos >= 0.45)
-        .select("a_id", "b_id", F.round(cos, 6).alias("cos_sim"))
+    pdf = e.select("vec_id", "embedding").toPandas()
+
+    import numpy as np
+
+    ids = pdf["vec_id"].to_numpy(np.int64)
+    m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, m))
+
+    # Block rows so the cos matrix stays ~blk × n doubles regardless of
+    # Arrow batch size (65k-row batches × 50k corpus would be 26 GB).
+    blk = 2048
+
+    def gen(batches):
+        import pandas as pd
+
+        b_ids, bm = bc.value
+        for chunk in batches:
+            a_ids = chunk["vec_id"].to_numpy(np.int64)
+            am = np.vstack(chunk["embedding"].to_numpy()).astype(np.float64)
+            am /= np.linalg.norm(am, axis=1, keepdims=True)
+            for s in range(0, len(a_ids), blk):
+                cos = am[s : s + blk] @ bm.T
+                keep = (cos >= 0.45) & (
+                    a_ids[s : s + blk, None] < b_ids[None, :]
+                )
+                ai, bi = np.nonzero(keep)
+                yield pd.DataFrame(
+                    {
+                        "a_id": a_ids[s + ai],
+                        "b_id": b_ids[bi],
+                        "cos_sim": np.round(cos[ai, bi], 6),
+                    }
+                )
+
+    par = spark.sparkContext.defaultParallelism
+    return e.select("vec_id", "embedding").repartition(par).mapInPandas(
+        gen, "a_id long, b_id long, cos_sim double"
     )
 
 

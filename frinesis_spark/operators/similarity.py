@@ -51,7 +51,13 @@ def _queries_and_candidates(spark: SparkSession, sf_dir: str):
     q = e.where(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
-    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
+    # The test corpus is one parquet file → one input split; spread the
+    # per-pair cosine work across all cores (no-op at real scale where
+    # the scan has many splits).
+    c = (
+        e.repartition(spark.sparkContext.defaultParallelism)
+        .select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
+    )
     return q, c
 
 

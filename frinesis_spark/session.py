@@ -38,6 +38,9 @@ def get_spark(app_name: str = "frinesis_spark") -> SparkSession:
         .config("spark.sql.session.timeZone", "UTC")
         # Arrow for every Python<->JVM hop (pandas UDFs, toPandas).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Bigger Arrow batches amortize the Python hop for pandas UDFs
+        # and mapInPandas (default 10k → many tiny round-trips).
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
