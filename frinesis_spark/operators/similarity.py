@@ -24,7 +24,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from frinesis_spark.catalog import table
-from frinesis_spark.functions.vectors import cosine_similarity, dot
+from frinesis_spark.functions.vectors import cosine_similarity
 
 _N_QUERIES = 10  # vec_id < 10 form the query set
 _TOP_K = 5
@@ -90,22 +90,55 @@ def q_similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bucketize(df: DataFrame, emb_col: str) -> DataFrame:
-    """Attach (band_idx, bucket) rows: sign bits of md5-fixed hyperplanes."""
-    bands = []
-    for band in range(_N_BANDS):
-        bucket = F.lit(0)
-        for j in range(_PLANES_PER_BAND):
-            plane = band * _PLANES_PER_BAND + j
-            weights = F.array(*[F.lit(w) for w in _hyperplane(plane)])
-            bit = (dot(F.col(emb_col), weights) > 0).cast("int")
-            bucket = bucket + bit * F.lit(2**j)
-        bands.append(
-            F.struct(F.lit(band).alias("band_idx"), bucket.alias("bucket"))
-        )
-    return df.select(
-        "*", F.explode(F.array(*bands)).alias("band")
-    ).select(*df.columns, "band.band_idx", "band.bucket")
+def _plane_matrix():
+    """All hyperplanes as a (dim, n_planes) float64 matrix."""
+    import numpy as np
+
+    planes = _N_BANDS * _PLANES_PER_BAND
+    return np.array(
+        [_hyperplane(p) for p in range(planes)], dtype=np.float64
+    ).T
+
+
+def _bucketize(df: DataFrame, id_col: str, emb_col: str) -> DataFrame:
+    """(id, emb, band_idx, bucket) rows: sign bits of md5-fixed
+    hyperplanes.
+
+    One numpy matmul per Arrow batch computes every plane projection at
+    once (rows × dim @ dim × planes); the 16 interpreted per-row
+    ``aggregate`` dot products this replaces were the dominant cost.
+    Map-only — bucketing adds no shuffle at any scale.
+    """
+    planes = _plane_matrix()
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            emb = np.vstack(pdf[emb_col].to_numpy()).astype(np.float64)
+            bits = (emb @ planes) > 0  # rows × planes
+            out = []
+            weights = 1 << np.arange(_PLANES_PER_BAND)
+            for band in range(_N_BANDS):
+                cols = bits[:, band * _PLANES_PER_BAND : (band + 1) * _PLANES_PER_BAND]
+                buckets = (cols * weights).sum(axis=1)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            id_col: pdf[id_col].to_numpy(),
+                            emb_col: pdf[emb_col],
+                            "band_idx": band,
+                            "bucket": buckets.astype(np.int32),
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    schema = (
+        f"{id_col} long, {emb_col} array<float>, band_idx int, bucket int"
+    )
+    return df.mapInPandas(gen, schema)
 
 
 def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -118,8 +151,8 @@ def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Recall < 1 (that's the trade) → rows-only check.
     """
     q, c = _queries_and_candidates(spark, sf_dir)
-    qb = _bucketize(q, "qe")
-    cb = _bucketize(c, "ce")
+    qb = _bucketize(q, "query_id", "qe")
+    cb = _bucketize(c, "neighbor_id", "ce")
     cand = (
         qb.join(cb, ["band_idx", "bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))

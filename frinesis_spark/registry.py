@@ -27,7 +27,9 @@ def _load_modules():
         "frinesis_spark.operators.text",
         "frinesis_spark.operators.multimodal",
         "frinesis_spark.streaming.windows",
+        "frinesis_spark.streaming.stateful",
         "frinesis_spark.sinks.kinesis_query",
+        "frinesis_spark.sources.kinesis_query",
     ):
         try:
             mods.append(__import__(optional, fromlist=["QUERIES"]))

@@ -79,6 +79,44 @@ class MockKinesisClient:
                     )
         return {"FailedRecordCount": failed, "Records": results}
 
+    # -- read side (GetRecords surface, integration_test.go:112-143) ---
+    # The store_dir files double as the shard log: records land in
+    # arrival order per call-file; a shard iterator is an offset into
+    # that log. One shard per stream (the mock's put path doesn't
+    # split by partition key). Cross-file order is by filename — the
+    # mock, like the reference, guarantees delivery, not order.
+
+    def _shard_log(self, stream: str) -> list[dict]:
+        return [r for r in read_back(self.store_dir) if r["stream"] == stream]
+
+    def list_shards(self, StreamName):  # noqa: N803 (boto3 API)
+        return {"Shards": [{"ShardId": "shardId-000000000000"}]}
+
+    def get_shard_iterator(
+        self, StreamName, ShardId, ShardIteratorType, **_
+    ):  # noqa: N803
+        assert ShardIteratorType == "TRIM_HORIZON"
+        return {"ShardIterator": f"{StreamName}|{ShardId}|0"}
+
+    def get_records(self, ShardIterator, Limit=10_000):  # noqa: N803
+        stream, shard, off = ShardIterator.rsplit("|", 2)
+        log = self._shard_log(stream)
+        start = int(off)
+        chunk = log[start : start + Limit]
+        nxt = start + len(chunk)
+        return {
+            "Records": [
+                {
+                    "SequenceNumber": str(start + i),
+                    "PartitionKey": r["partition_key"],
+                    "Data": r["data"].encode("utf-8"),
+                }
+                for i, r in enumerate(chunk)
+            ],
+            "NextShardIterator": f"{stream}|{shard}|{nxt}",
+            "MillisBehindLatest": 0,
+        }
+
 
 @dataclass
 class MockClientFactory:
@@ -104,7 +142,8 @@ def read_back(store_dir: str) -> list[dict]:
     out: list[dict] = []
     if not os.path.isdir(store_dir):
         return out
-    for name in os.listdir(store_dir):
+    # Sorted so shard-iterator offsets are stable across calls.
+    for name in sorted(os.listdir(store_dir)):
         if name.endswith(".jsonl"):
             with open(os.path.join(store_dir, name)) as f:
                 out.extend(json.loads(line) for line in f if line.strip())

@@ -1,0 +1,70 @@
+"""``source_kinesis_read`` — full write→read roundtrip as a
+driver-checkable query.
+
+Pushes the events table through the batched sink (mock client, no fail
+injection) into a per-run store, then reads every stream back with the
+shard-parallel source and aggregates per topic. Because delivery is
+exactly-everything here, the read-back counts and payload-length sums
+are pure functions of the input — a plain SQL oracle verifies the
+entire egress+ingest pipeline (chunking, batching, shard drain) end to
+end. The Spark analog of the reference's TestSend round trip
+(integration_test.go:159-173).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from frinesis_spark.catalog import table
+from frinesis_spark.sinks.kinesis import KinesisBatchWriter
+from frinesis_spark.sinks.mock import MockClientFactory
+from frinesis_spark.sources.kinesis import read_kinesis
+
+
+def q_source_kinesis_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    msgs = e.select(
+        F.col("event_type").alias("topic"),
+        F.encode(F.col("props"), "utf-8").alias("data"),
+        F.expr("uuid()").alias("partition_key"),
+    )
+    store = tempfile.mkdtemp(prefix="kinesis_roundtrip_")
+    try:
+        factory = MockClientFactory(store_dir=store)
+        KinesisBatchWriter(factory).write_batch(msgs).collect()
+
+        topics = [r[0] for r in msgs.select("topic").distinct().collect()]
+        streams = [read_kinesis(spark, factory, t) for t in sorted(topics)]
+        union = streams[0]
+        for s in streams[1:]:
+            union = union.unionByName(s)
+        out = (
+            union.groupBy(F.col("stream").alias("topic"))
+            .agg(
+                F.count(F.lit(1)).alias("n_read"),
+                F.sum(F.length(F.col("data").cast("string"))).alias(
+                    "sum_payload_len"
+                ),
+            )
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)  # detach from store
+        return out
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
+QUERIES = {"source_kinesis_read": q_source_kinesis_read}
+
+ORACLE = {
+    "source_kinesis_read": """
+        SELECT event_type AS topic,
+               COUNT(*) AS n_read,
+               CAST(SUM(LENGTH(props)) AS BIGINT) AS sum_payload_len
+        FROM events
+        GROUP BY event_type
+    """,
+}

@@ -1,0 +1,121 @@
+"""Custom stateful streaming operator: capped sessionization via
+``applyInPandasWithState``.
+
+``stream_custom_sessionize`` closes a user's session on EITHER a
+30-minute event gap OR a 10-event cap — the cap makes it inexpressible
+with ``F.session_window`` (which merges purely on gap contiguity), so
+it demonstrates the engine's arbitrary-stateful-operator surface: the
+reference's hand-rolled per-key state loop (its per-topic producer
+buffers, SURVEY.md §2A A13) generalizes to Spark's per-key state store
+with Arrow-batched user logic.
+
+Scale: state is O(distinct users), a handful of scalars each; events
+shuffle once on user_id. On an unbounded stream you would add a state
+timeout (``GroupStateTimeout.ProcessingTimeTimeout``) to expire idle
+users — the replay here is bounded so no timeout fires.
+
+Determinism: the file replay delivers the whole table in one
+micro-batch and the UDF sorts each user's events by event time, so the
+emitted per-user summary equals the batch gaps-and-islands computation
+in the oracle: sessions per user = Σ over 30-min islands of
+ceil(island_size / 10).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from frinesis_spark.streaming.runner import events_stream, run_append_to_memory
+
+_GAP_S = 30 * 60.0
+_CAP = 10
+
+_OUTPUT_SCHEMA = (
+    "user_id long, n_sessions long, n_events long, max_session_len long"
+)
+_STATE_SCHEMA = (
+    "n_sessions long, n_events long, last_ts double, cur_len long, "
+    "max_len long"
+)
+
+
+def _sessionize(key, pdfs, state: GroupState):
+    import pandas as pd
+
+    if state.exists:
+        n_sessions, n_events, last_ts, cur_len, max_len = state.get
+    else:
+        n_sessions, n_events, last_ts, cur_len, max_len = 0, 0, 0.0, 0, 0
+
+    ts = pd.concat([pdf["ts"] for pdf in pdfs]).sort_values()
+    # Pin the unit before the epoch conversion — Arrow can hand pandas
+    # either ns- or µs-resolution datetimes depending on version.
+    for t in ts.astype("datetime64[ns]").astype("int64").to_numpy() / 1e9:
+        if cur_len == 0 or t - last_ts > _GAP_S or cur_len >= _CAP:
+            n_sessions += 1
+            cur_len = 0
+        cur_len += 1
+        n_events += 1
+        max_len = max(max_len, cur_len)
+        last_ts = t
+
+    state.update((n_sessions, n_events, last_ts, cur_len, max_len))
+    yield pd.DataFrame(
+        [
+            {
+                "user_id": key[0],
+                "n_sessions": n_sessions,
+                "n_events": n_events,
+                "max_session_len": max_len,
+            }
+        ]
+    )
+
+
+def q_stream_custom_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = events_stream(spark, sf_dir).select("user_id", "ts")
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        _sessionize,
+        outputStructType=_OUTPUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_append_to_memory(out, spark)
+
+
+QUERIES = {"stream_custom_sessionize": q_stream_custom_sessionize}
+
+ORACLE = {
+    # Gap-islands per user, then each island splits into ceil(n/10)
+    # capped sessions; max session length is min(island, 10).
+    "stream_custom_sessionize": f"""
+        WITH marks AS (
+            SELECT user_id, ts,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_island
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        islands AS (
+            SELECT user_id,
+                   SUM(new_island) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS island
+            FROM marks
+        ),
+        sizes AS (
+            SELECT user_id, island, COUNT(*) AS n
+            FROM islands GROUP BY user_id, island
+        )
+        SELECT user_id,
+               CAST(SUM(CEIL(n / {_CAP}.0)) AS BIGINT) AS n_sessions,
+               CAST(SUM(n) AS BIGINT) AS n_events,
+               CAST(MAX(LEAST(n, {_CAP})) AS BIGINT) AS max_session_len
+        FROM sizes
+        GROUP BY user_id
+    """,
+}
