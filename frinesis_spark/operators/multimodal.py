@@ -102,9 +102,98 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.mapInPandas(_decode_batches, schema=_DECODE_SCHEMA)
 
 
+_RESIZE_SCHEMA = (
+    "doc_id long, width int, height int, out_width int, out_height int, "
+    "thumb_bytes long"
+)
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Fake 'thumbnail resize': aspect-preserving fit into 128×128.
+
+    Real deployment: PIL ``Image.thumbnail`` on the decoded payload;
+    the integer fit math and the 1-in/1-out batch shape are exactly
+    what the real kernel uses.
+    """
+    import numpy as np
+
+    for pdf in batches:
+        w = pdf["width"].to_numpy(np.int64)
+        h = pdf["height"].to_numpy(np.int64)
+        scale_num = np.int64(128)
+        longest = np.maximum(w, h)
+        out_w = np.maximum((w * scale_num) // longest, 1)
+        out_h = np.maximum((h * scale_num) // longest, 1)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": pdf["width"],
+                "height": pdf["height"],
+                "out_width": out_w.astype("int32"),
+                "out_height": out_h.astype("int32"),
+                # fake thumbnail byte count: 3 bytes/pixel
+                "thumb_bytes": out_w * out_h * 3,
+            }
+        )
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode → resize chain: the decode stage's fake dimensions feed
+    an aspect-preserving 128×128 thumbnail fit, all map-only
+    ``mapInPandas`` stages (zero shuffle at any corpus size)."""
+    return q_multimodal_decode(spark, sf_dir).select(
+        "doc_id", "width", "height"
+    ).mapInPandas(_resize_batches, schema=_RESIZE_SCHEMA)
+
+
+_FRAME_SCHEMA = "doc_id long, frame_idx int, frame_hash string"
+_FRAME_STRIDE = 3
+_FRAME_BYTES = 64  # sized so test docs (~300 B) span multiple frames
+
+
+def _frame_sample_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Fake 'video frame sampler': one input row fans out to one row
+    per sampled frame (every 10th of n_bytes/1000+1 frames) — the
+    row-expanding batch shape a real ffmpeg keyframe sampler produces.
+    """
+    for pdf in batches:
+        ids, idxs, hashes = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            raw = bytes(payload)
+            n_frames = len(raw) // _FRAME_BYTES + 1
+            for idx in range(0, n_frames, _FRAME_STRIDE):
+                ids.append(doc_id)
+                idxs.append(idx)
+                hashes.append(
+                    hashlib.md5(raw + b"#" + str(idx).encode()).hexdigest()
+                )
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "frame_hash": pd.Series(hashes, dtype="object"),
+            }
+        )
+
+
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary 'video' → sampled frame rows via row-expanding
+    ``mapInPandas``. Scale: map-only fan-out; downstream per-frame
+    feature stages parallelize over the expanded rows."""
+    d = table(spark, sf_dir, "documents")
+    packed = d.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return packed.mapInPandas(_frame_sample_batches, schema=_FRAME_SCHEMA)
+
+
 QUERIES = {
     "multimodal_join": q_multimodal_join,
     "multimodal_decode": q_multimodal_decode,
+    "multimodal_resize": q_multimodal_resize,
+    "multimodal_frame_sample": q_multimodal_frame_sample,
 }
 
 ORACLE = {
@@ -123,5 +212,34 @@ ORACLE = {
                CAST(OCTET_LENGTH(ENCODE(text)) % 640 + 1 AS INT) AS width,
                CAST(OCTET_LENGTH(ENCODE(text)) % 480 + 1 AS INT) AS height
         FROM documents
+    """,
+    "multimodal_resize": """
+        WITH dims AS (
+            SELECT doc_id,
+                   CAST(OCTET_LENGTH(ENCODE(text)) % 640 + 1 AS BIGINT) AS w,
+                   CAST(OCTET_LENGTH(ENCODE(text)) % 480 + 1 AS BIGINT) AS h
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(w AS INT) AS width,
+               CAST(h AS INT) AS height,
+               CAST(GREATEST((w * 128) // GREATEST(w, h), 1) AS INT)
+                   AS out_width,
+               CAST(GREATEST((h * 128) // GREATEST(w, h), 1) AS INT)
+                   AS out_height,
+               CAST(GREATEST((w * 128) // GREATEST(w, h), 1)
+                    * GREATEST((h * 128) // GREATEST(w, h), 1) * 3
+                    AS BIGINT) AS thumb_bytes
+        FROM dims
+    """,
+    "multimodal_frame_sample": f"""
+        SELECT doc_id,
+               CAST(f.idx AS INT) AS frame_idx,
+               MD5(text || '#' || CAST(f.idx AS VARCHAR)) AS frame_hash
+        FROM documents,
+             UNNEST(GENERATE_SERIES(
+                 0, OCTET_LENGTH(ENCODE(text)) // {_FRAME_BYTES},
+                 {_FRAME_STRIDE}))
+                 AS f(idx)
     """,
 }
