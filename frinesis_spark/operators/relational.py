@@ -349,6 +349,72 @@ def q_set_union_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.unionByName(either).unionByName(only_buyers)
 
 
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation) per group.
+
+    ``F.percentile`` is the exact (sort-based) aggregate — same
+    interpolation DuckDB's ``QUANTILE_CONT`` uses, so values match to
+    rounding. Scale: exact percentiles need a per-group sort;
+    ``approx_percentile`` (t-digest, mergeable map-side) is the 100 TB
+    variant of this shape — same query, one function swap.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        *[
+            F.round(F.percentile("l_extendedprice", F.lit(q)), 6).alias(
+                f"p{int(q * 100)}"
+            )
+            for q in (0.25, 0.5, 0.75, 0.95)
+        ],
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (cross-tab): order counts and total price per priority,
+    one column group per order status.
+
+    ``pivot`` with an explicit value list stays a single hash
+    aggregate (no second pass to discover pivot values) — the form
+    that scales.
+    """
+    o = table(spark, sf_dir, "orders")
+    pivoted = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+    # Empty cells: Spark pivot yields NULL counts where conditional
+    # aggregation yields 0 — normalize to 0 (sums stay NULL, both
+    # engines agree there).
+    return pivoted.select(
+        "o_orderpriority",
+        *[
+            F.coalesce(F.col(f"{s}_n"), F.lit(0)).alias(f"{s}_n")
+            for s in ("O", "F", "P")
+        ],
+        *[F.col(f"{s}_total") for s in ("O", "F", "P")],
+    )
+
+
+def q_window_ntile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function variety: ntile quartiles, dense_rank,
+    percent_rank over per-priority price ordering (one window sort
+    feeds all three)."""
+    o = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).cast("long").alias("price_quartile"),
+        F.dense_rank().over(w).cast("long").alias("price_dense_rank"),
+        F.round(F.percent_rank().over(w), 6).alias("price_pct_rank"),
+    )
+
+
 QUERIES = {
     "scan_parquet": q_scan_parquet,
     "project_filter": q_project_filter,
@@ -365,14 +431,47 @@ QUERIES = {
     "agg_approx_distinct": q_agg_approx_distinct,
     "agg_rollup": q_agg_rollup,
     "agg_cube": q_agg_cube,
+    "agg_percentile": q_agg_percentile,
+    "agg_pivot": q_agg_pivot,
     "window_rank_topk": q_window_rank_topk,
     "window_running_frame": q_window_running_frame,
+    "window_ntile_ranks": q_window_ntile_ranks,
     "sort_limit": q_sort_limit,
     "set_union_except_intersect": q_set_union_except_intersect,
 }
 
 ORACLE = {
     "scan_parquet": "SELECT * FROM part",
+    "agg_percentile": """
+        SELECT l_returnflag,
+               ROUND(QUANTILE_CONT(l_extendedprice, 0.25), 6) AS p25,
+               ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 6) AS p50,
+               ROUND(QUANTILE_CONT(l_extendedprice, 0.75), 6) AS p75,
+               ROUND(QUANTILE_CONT(l_extendedprice, 0.95), 6) AS p95,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    "agg_pivot": """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS O_n,
+               CAST(COUNT(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS F_n,
+               CAST(COUNT(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS P_n,
+               ROUND(SUM(o_totalprice) FILTER (o_orderstatus = 'O'), 2) AS O_total,
+               ROUND(SUM(o_totalprice) FILTER (o_orderstatus = 'F'), 2) AS F_total,
+               ROUND(SUM(o_totalprice) FILTER (o_orderstatus = 'P'), 2) AS P_total
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    "window_ntile_ranks": """
+        SELECT o_orderkey, o_orderpriority,
+               CAST(NTILE(4) OVER w AS BIGINT) AS price_quartile,
+               CAST(DENSE_RANK() OVER w AS BIGINT) AS price_dense_rank,
+               ROUND(PERCENT_RANK() OVER w, 6) AS price_pct_rank
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice, o_orderkey)
+    """,
     "project_filter": """
         SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         FROM lineitem

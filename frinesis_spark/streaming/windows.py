@@ -143,12 +143,49 @@ def q_stream_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_append_to_memory(deduped, spark)
 
 
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming: stream-stream interval join (view→purchase
+    attribution) — purchases matched to same-user views in the
+    preceding 30 minutes.
+
+    Both sides carry watermarks and the join condition bounds event
+    time on both, so Spark can size and expire the join state — the
+    requirement for stream-stream joins on unbounded input (state is
+    O(events inside the interval), not O(stream)). Inner join in
+    append mode emits exactly the matched pairs; on a bounded replay
+    that equals the batch interval join the oracle runs.
+    """
+    ev = events_stream(spark, sf_dir)
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .select("user_id", F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", _WATERMARK)
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", _WATERMARK)
+    )
+    pairs = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select(
+        "user_id",
+        F.col("view_ts").cast("timestamp_ntz").alias("view_ts"),
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+    )
+    return run_append_to_memory(pairs, spark)
+
+
 QUERIES = {
     "stream_tumbling_agg": q_stream_tumbling_agg,
     "stream_sliding_agg": q_stream_sliding_agg,
     "stream_session_window": q_stream_session_window,
     "stream_watermark_late": q_stream_watermark_late,
     "stream_dedup_stateful": q_stream_dedup_stateful,
+    "stream_stream_join": q_stream_stream_join,
 }
 
 _TRUNC_HOUR = "DATE_TRUNC('hour', ts)"
@@ -156,6 +193,18 @@ _TRUNC_HOUR = "DATE_TRUNC('hour', ts)"
 _TRUNC_5MIN = "MAKE_TIMESTAMP((EPOCH_US(ts) // 300000000) * 300000000)"
 
 ORACLE = {
+    "stream_stream_join": """
+        SELECT v.user_id,
+               v.ts AS view_ts,
+               p.ts AS purchase_ts
+        FROM events v
+        JOIN events p
+          ON v.user_id = p.user_id
+         AND v.event_type = 'view'
+         AND p.event_type = 'purchase'
+         AND p.ts > v.ts
+         AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    """,
     "stream_tumbling_agg": f"""
         SELECT {_TRUNC_HOUR} AS window_start,
                {_TRUNC_HOUR} + INTERVAL 1 HOUR AS window_end,
