@@ -415,6 +415,130 @@ def q_window_ntile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (point-in-time) join: each purchase matched to the LATEST
+    same-user view at or before it.
+
+    Spark has no ASOF JOIN operator; the scalable idiom is union +
+    window instead of a range join: tag both sides, sort each user's
+    timeline once, and carry the last non-null view timestamp forward
+    (``last(..., ignorenulls)`` over an unbounded-preceding frame).
+    One shuffle on user_id, no candidate-pair explosion — a range join
+    would materialize every (purchase, earlier view) pair before
+    keeping the max, which is quadratic per hot key at 100 TB.
+    Within-timestamp order puts views (kind 0) before purchases
+    (kind 1), giving the ASOF ``>=`` (inclusive) semantics.
+    """
+    e = table(spark, sf_dir, "events")
+    views = e.where(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("kind"),
+        F.col("ts").alias("view_ts"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("kind"),
+        F.lit(None).cast(views.schema["view_ts"].dataType).alias("view_ts"),
+        "event_id",
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    timeline = views.unionByName(purchases).withColumn(
+        "matched_view_ts", F.last("view_ts", ignorenulls=True).over(w)
+    )
+    return timeline.where(
+        (F.col("kind") == 1) & F.col("matched_view_ts").isNotNull()
+    ).select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("matched_view_ts").alias("view_ts"),
+    )
+
+
+def q_agg_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: correlation, sample covariance/stddev,
+    and argmin/argmax (``min_by``/``max_by`` ≙ DuckDB ``arg_min``/
+    ``arg_max``) per group.
+
+    All are single-pass mergeable aggregates (co-moment accumulators),
+    so they scale exactly like SUM: partial per partition, one merge.
+    Results are doubles from non-associative accumulation — rounded to
+    absorb engine-order ulps (magnitudes here leave ≥6 stable digits).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "qty_price_covar"
+        ),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+        F.min_by("l_orderkey", "l_extendedprice").alias("cheapest_orderkey"),
+        F.max_by("l_orderkey", "l_extendedprice").alias("priciest_orderkey"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q_time_rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical time rollup: event counts and
+    exact value sums at (day, hour) grain, day grain, and grand total
+    in ONE pass via ``rollup`` (grouping sets).
+
+    Scale: grouping sets expand map-side (each row feeds its 3
+    grouping combinations into one hash aggregate with partial
+    combine) — one shuffle total, vs. 3 scans + 3 shuffles for
+    separate queries. This is the batch analog of a TimescaleDB
+    continuous-aggregate hierarchy.
+    """
+    e = table(spark, sf_dir, "events")
+    grains = e.select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "value",
+        "user_id",
+    )
+    return grains.rollup("day", "hour").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("value_sum"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.grouping_id().cast("long").alias("grain"),
+    )
+
+
+def q_window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based window frame: per user, count and exact value sum of
+    events in the trailing hour (RANGE frame over event time).
+
+    The frame is declared on microsecond epoch so both engines bound
+    it identically at full precision. Scale: one shuffle on user_id +
+    per-partition sort; the RANGE frame is evaluated with a sliding
+    two-pointer over the sorted run — no self-join, no pair blowup
+    (contrast ``join_range_theta``, which materializes pairs).
+    """
+    e = table(spark, sf_dir, "events")
+    hour_us = 3_600_000_000
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-hour_us, W.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_events_1h"),
+        F.sum(F.col("value").cast("decimal(28,6)")).over(w).cast("double").alias(
+            "value_sum_1h"
+        ),
+    )
+
+
 QUERIES = {
     "scan_parquet": q_scan_parquet,
     "project_filter": q_project_filter,
@@ -438,10 +562,54 @@ QUERIES = {
     "window_ntile_ranks": q_window_ntile_ranks,
     "sort_limit": q_sort_limit,
     "set_union_except_intersect": q_set_union_except_intersect,
+    "join_asof": q_join_asof,
+    "agg_stats_corr": q_agg_stats_corr,
+    "time_rollup_hypertable": q_time_rollup_hypertable,
+    "window_time_range": q_window_time_range,
 }
 
 ORACLE = {
     "scan_parquet": "SELECT * FROM part",
+    "join_asof": """
+        SELECT p.event_id, p.user_id,
+               p.ts AS purchase_ts,
+               v.ts AS view_ts
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+    "agg_stats_corr": """
+        SELECT l_returnflag,
+               ROUND(CORR(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+               ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+               ROUND(STDDEV_SAMP(l_extendedprice), 4) AS price_stddev,
+               ARG_MIN(l_orderkey, l_extendedprice) AS cheapest_orderkey,
+               ARG_MAX(l_orderkey, l_extendedprice) AS priciest_orderkey,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    "time_rollup_hypertable": f"""
+        SELECT DATE_TRUNC('day', ts) AS day,
+               DATE_TRUNC('hour', ts) AS hour,
+               COUNT(*) AS n_events,
+               {oracle_dsum('value')} AS value_sum,
+               COUNT(DISTINCT user_id) AS n_users,
+               CAST(GROUPING(DATE_TRUNC('day', ts), DATE_TRUNC('hour', ts))
+                    AS BIGINT) AS grain
+        FROM events
+        GROUP BY ROLLUP (DATE_TRUNC('day', ts), DATE_TRUNC('hour', ts))
+    """,
+    "window_time_range": """
+        SELECT event_id, user_id, ts,
+               COUNT(*) OVER w AS n_events_1h,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE)
+                   AS value_sum_1h
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY EPOCH_US(ts)
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
     "agg_percentile": """
         SELECT l_returnflag,
                ROUND(QUANTILE_CONT(l_extendedprice, 0.25), 6) AS p25,
