@@ -330,6 +330,66 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clustering: connected components over the near-dup pair
+    graph (exact Jaccard ≥ 0.5 pairs from ``dedup_ngram_jaccard``),
+    labeling each document with the min doc_id of its component.
+
+    This is the step a real pipeline runs AFTER pair generation —
+    near-dup is not transitive, so keeping "one doc per pair" both
+    over- and under-deletes; keeping one representative per connected
+    component is the standard policy. Iterative min-label propagation:
+    each round every node takes the min label among itself and its
+    neighbors; converges in O(graph diameter) rounds. The driver-side
+    loop only compares one aggregate per round (sum of labels — a
+    strictly decreasing convergence witness, so termination needs no
+    row-level diff); all data stays distributed. Each round is
+    checkpointed: iterative plans otherwise grow lineage
+    exponentially and re-execute prior rounds. At 100 TB this is the
+    same algorithm as large-scale CC (label propagation / hash-to-min)
+    with a durable checkpoint dir instead of a local one.
+
+    Oracle: DuckDB ``WITH RECURSIVE`` reachability (min reachable
+    label ≡ min label propagation fixpoint).
+    """
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    while True:
+        neighbor = labels.join(edges, labels.node == edges.u).select(
+            F.col("v").alias("node"), "label"
+        )
+        labels = (
+            labels.unionByName(neighbor)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "label").select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        "cluster_size",
+    )
+
+
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: cosine ≥ 0.45, exact pairwise.
 
@@ -393,6 +453,7 @@ QUERIES = {
     "dedup_near_minhash": q_dedup_near_minhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_cluster_cc": q_dedup_cluster_cc,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
 }
 
@@ -436,6 +497,41 @@ ORACLE = {
         JOIN (SELECT doc_id, LEN(sh) AS n_sh FROM sets) na ON na.doc_id = doc_a
         JOIN (SELECT doc_id, LEN(sh) AS n_sh FROM sets) nb ON nb.doc_id = doc_b
         WHERE n_common / (na.n_sh + nb.n_sh - n_common) >= 0.5
+    """,
+    "dedup_cluster_cc": f"""
+        WITH RECURSIVE
+        sets AS ({_SHINGLE_SQL}),
+        inv AS (SELECT doc_id, UNNEST(sh) AS shingle FROM sets),
+        common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+            FROM inv a JOIN inv b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        pairs AS (
+            SELECT doc_a, doc_b
+            FROM common
+            JOIN (SELECT doc_id, LEN(sh) AS n_sh FROM sets) na ON na.doc_id = doc_a
+            JOIN (SELECT doc_id, LEN(sh) AS n_sh FROM sets) nb ON nb.doc_id = doc_b
+            WHERE n_common / (na.n_sh + nb.n_sh - n_common) >= 0.5
+        ),
+        edges AS (
+            SELECT doc_a AS u, doc_b AS v FROM pairs
+            UNION
+            SELECT doc_b AS u, doc_a AS v FROM pairs
+        ),
+        walk(node, label) AS (
+            SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+            UNION
+            SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.node
+        ),
+        labels AS (
+            SELECT node AS doc_id, MIN(label) AS cluster_id
+            FROM walk GROUP BY node
+        )
+        SELECT doc_id, cluster_id,
+               COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        FROM labels
     """,
     "dedup_embedding_cosine": """
         SELECT a.vec_id AS a_id, b.vec_id AS b_id,

@@ -462,6 +462,41 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient join: lineitem⋈orders with an explicit salt,
+    then revenue per order priority.
+
+    The salting pattern for keys too hot even for AQE's skew-join
+    split: the fact side gets a deterministic salt
+    ``pmod(hash(rowkey), N)``, the dimension side is replicated N ways
+    (explode over 0..N-1), and the join key becomes (key, salt) — one
+    hot key now spreads over N reducers. Each fact row matches exactly
+    one replica, so the join multiset (and thus the aggregate) is
+    IDENTICAL to the unsalted join, which is what the oracle checks.
+    Cost: dimension shuffle volume ×N — worth it only for genuinely
+    skewed keys; N=8 here as the demonstration.
+    """
+    n_salt = 8
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    fact = li.withColumn(
+        "salt", F.pmod(F.hash("l_orderkey", "l_linenumber"), F.lit(n_salt))
+    )
+    dim = o.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    joined = fact.join(
+        dim,
+        (fact.l_orderkey == dim.o_orderkey) & (fact.salt == dim.salt),
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
 def q_agg_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates: correlation, sample covariance/stddev,
     and argmin/argmax (``min_by``/``max_by`` ≙ DuckDB ``arg_min``/
@@ -563,6 +598,7 @@ QUERIES = {
     "sort_limit": q_sort_limit,
     "set_union_except_intersect": q_set_union_except_intersect,
     "join_asof": q_join_asof,
+    "join_salted_skew": q_join_salted_skew,
     "agg_stats_corr": q_agg_stats_corr,
     "time_rollup_hypertable": q_time_rollup_hypertable,
     "window_time_range": q_window_time_range,
@@ -577,6 +613,13 @@ ORACLE = {
         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
           ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+    "join_salted_skew": f"""
+        SELECT o_orderpriority,
+               {oracle_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
     """,
     "agg_stats_corr": """
         SELECT l_returnflag,

@@ -113,9 +113,39 @@ def q_udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scalar_conditional_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional + regex scalar surface: CASE WHEN, coalesce/nullif,
+    greatest/least, and regexp extract/replace/match over `orders`.
+
+    Regex patterns kept to the POSIX-compatible subset (character
+    classes, anchors, groups) where Java and RE2-style engines agree.
+    All codegen'd, per-row, no shuffle.
+    """
+    o = table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.when(price < 50_000, F.lit("small"))
+        .when(price < 200_000, F.lit("medium"))
+        .otherwise(F.lit("large"))
+        .alias("price_band"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("NP"))
+        .alias("status_or_np"),
+        F.greatest(price, F.lit(100_000.0)).alias("price_floor100k"),
+        F.least(price, F.lit(100_000.0)).alias("price_cap100k"),
+        F.regexp_extract(F.col("o_orderpriority"), "^([0-9]+)-", 1)
+        .cast("long")
+        .alias("prio_num"),
+        F.regexp_replace(F.col("o_orderpriority"), "[^A-Z]", "")
+        .alias("prio_letters"),
+        F.col("o_orderpriority").rlike("URGENT$").alias("is_urgent_suffix"),
+    )
+
+
 QUERIES = {
     "scalar_string_date_math": q_scalar_string_date_math,
     "scalar_array_map_json": q_scalar_array_map_json,
+    "scalar_conditional_regex": q_scalar_conditional_regex,
     "udf_python": q_udf_python,
 }
 
@@ -153,6 +183,20 @@ ORACLE = {
         )
         SELECT d.row_id, n_tokens, mentions_data, first_token, k_json, k_map, n_keys
         FROM doc_side d JOIN event_side e ON d.row_id = e.row_id
+    """,
+    "scalar_conditional_regex": """
+        SELECT o_orderkey,
+               CASE WHEN o_totalprice < 50000 THEN 'small'
+                    WHEN o_totalprice < 200000 THEN 'medium'
+                    ELSE 'large' END AS price_band,
+               COALESCE(NULLIF(o_orderstatus, 'P'), 'NP') AS status_or_np,
+               GREATEST(o_totalprice, 100000.0) AS price_floor100k,
+               LEAST(o_totalprice, 100000.0) AS price_cap100k,
+               CAST(REGEXP_EXTRACT(o_orderpriority, '^([0-9]+)-', 1) AS BIGINT)
+                   AS prio_num,
+               REGEXP_REPLACE(o_orderpriority, '[^A-Z]', '', 'g') AS prio_letters,
+               REGEXP_MATCHES(o_orderpriority, 'URGENT$') AS is_urgent_suffix
+        FROM orders
     """,
     "udf_python": f"""
         SELECT l_returnflag,

@@ -30,6 +30,7 @@ def _load_modules():
         "frinesis_spark.streaming.stateful",
         "frinesis_spark.sinks.kinesis_query",
         "frinesis_spark.sources.kinesis_query",
+        "frinesis_spark.sources.files",
     ):
         try:
             mods.append(__import__(optional, fromlist=["QUERIES"]))

@@ -1,0 +1,92 @@
+"""File-format source connectors: CSV and JSON-lines read paths.
+
+The engine's tables are parquet, but a complete source surface also
+reads delimited text and JSON lines — the two interchange formats a
+pipeline actually receives. Each query here proves the full connector
+contract (writer → files on disk → schema-explicit reader → query) by
+round-tripping a table and aggregating the re-read copy; the oracle
+runs the same aggregate on the original parquet, so any parse/type
+drift in the connector fails the hash compare.
+
+Scale notes: both readers are splittable scans (CSV by line, JSON by
+line), so they parallelize like parquet minus columnar pruning —
+`ReadSchema` still prunes columns for JSON, and the explicit schema
+avoids the full inference pass (at 100 TB, schema inference is a
+whole extra read of the data). Writers shard one file per task.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from frinesis_spark.catalog import table
+from frinesis_spark.functions.numeric import dsum, oracle_dsum
+
+
+def _roundtrip_dir(fmt: str) -> str:
+    base = os.path.join(tempfile.gettempdir(), "frinesis_spark_roundtrip")
+    os.makedirs(base, exist_ok=True)
+    return os.path.join(base, fmt)
+
+
+def q_source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV connector: write `nation` as headered CSV, read it back with
+    an explicit schema, aggregate nations per region.
+
+    Quoting/escaping is exercised by the writer→reader pair; the
+    explicit schema (taken from the parquet copy) makes the reader a
+    single splittable pass with typed columns — no inference scan.
+    """
+    n = table(spark, sf_dir, "nation")
+    path = _roundtrip_dir("csv")
+    n.write.mode("overwrite").option("header", "true").csv(path)
+    back = spark.read.schema(n.schema).option("header", "true").csv(path)
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.min("n_name").alias("first_nation"),
+    )
+
+
+def q_source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines connector: write `supplier` as JSONL, read it back
+    with an explicit schema, aggregate balances per nation.
+
+    Doubles survive JSONL round-trips bit-exactly in Spark (writer
+    emits shortest-repr, reader parses to the same IEEE value); the
+    decimal-exact sum then makes the aggregate order-independent.
+    """
+    s = table(spark, sf_dir, "supplier")
+    path = _roundtrip_dir("json")
+    s.write.mode("overwrite").json(path)
+    back = spark.read.schema(s.schema).json(path)
+    return back.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        dsum("s_acctbal").alias("acctbal_sum"),
+    )
+
+
+QUERIES = {
+    "source_csv_roundtrip": q_source_csv_roundtrip,
+    "source_json_roundtrip": q_source_json_roundtrip,
+}
+
+ORACLE = {
+    "source_csv_roundtrip": """
+        SELECT n_regionkey,
+               COUNT(*) AS n_nations,
+               MIN(n_name) AS first_nation
+        FROM nation
+        GROUP BY n_regionkey
+    """,
+    "source_json_roundtrip": f"""
+        SELECT s_nationkey,
+               COUNT(*) AS n_suppliers,
+               {oracle_dsum('s_acctbal')} AS acctbal_sum
+        FROM supplier
+        GROUP BY s_nationkey
+    """,
+}
