@@ -29,8 +29,16 @@ from frinesis_spark.functions.vectors import cosine_similarity
 _N_QUERIES = 10  # vec_id < 10 form the query set
 _TOP_K = 5
 _DIM = 64
-_PLANES_PER_BAND = 8
-_N_BANDS = 2  # 2 bands × 8 hyperplanes = 16 sign bits total
+# Band geometry sets the recall/candidate-volume trade. For
+# random-hyperplane LSH, P(bit match) = 1 - θ/π ≈ 0.67 at θ=60°
+# (typical near-neighbor angle here), so per-band collision is
+# 0.67^bits and recall is 1-(1-0.67^bits)^bands: 8-bit bands gave
+# ~0.08 recall (measured 0.04 — near-useless); 4-bit × 8 bands gives
+# ~0.83 predicted (recall floor enforced in tests/test_ann.py).
+# Candidate volume rises to ~corpus/2 per query — that is the LSH
+# trade; tighten bits only with dimensionality/corpus growth.
+_PLANES_PER_BAND = 4
+_N_BANDS = 8  # 8 bands × 4 hyperplanes = 32 sign bits total
 
 
 def _hyperplane(plane: int) -> list[float]:
@@ -174,9 +182,147 @@ def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_LISTS = 16  # inverted lists (cells)
+_IVF_PROBE = 4  # cells probed per query
+_IVF_ITERS = 3  # Lloyd refinement rounds
+
+
+def _ivf_centroids(corpus: DataFrame, emb_col: str):
+    """Train IVF cell centroids: deterministic seeding + a fixed
+    number of distributed Lloyd rounds.
+
+    Seeds are the ``_IVF_LISTS`` lowest vec_ids (deterministic, no
+    RNG). Each round is one map-only pass: every partition assigns its
+    rows to the nearest centroid with a single numpy matmul and emits
+    per-cell partial (sum, count); the driver reduces the
+    ``partitions × cells`` partials — KB-sized regardless of corpus
+    size, the classic mergeable-state k-means. Centroid count and
+    round count are fixed, so cost is bounded and the result is
+    reproducible.
+    """
+    import numpy as np
+
+    seeds = (
+        corpus.orderBy("vec_id")
+        .limit(_IVF_LISTS)
+        .select(emb_col)
+        .toPandas()[emb_col]
+    )
+    cents = np.vstack(seeds.to_numpy()).astype(np.float64)
+
+    for _ in range(_IVF_ITERS):
+        c = cents  # capture current round's centroids
+
+        def partials(batches, c=c):
+            import numpy as np
+            import pandas as pd
+
+            sums = np.zeros_like(c)
+            counts = np.zeros(len(c), dtype=np.int64)
+            for pdf in batches:
+                emb = np.vstack(pdf[emb_col].to_numpy()).astype(np.float64)
+                cell = np.argmax(emb @ c.T, axis=1)  # cosine ≙ dot on unit cells
+                np.add.at(sums, cell, emb)
+                np.add.at(counts, cell, 1)
+            yield pd.DataFrame(
+                {
+                    "cell": np.arange(len(c)),
+                    "vsum": list(sums),
+                    "n": counts,
+                }
+            )
+
+        agg = corpus.mapInPandas(
+            partials, f"cell int, vsum array<double>, n long"
+        ).toPandas()
+        sums = np.zeros_like(cents)
+        counts = np.zeros(len(cents), dtype=np.int64)
+        for _, row in agg.iterrows():
+            sums[row["cell"]] += np.asarray(row["vsum"])
+            counts[row["cell"]] += row["n"]
+        nonempty = counts > 0
+        cents[nonempty] = sums[nonempty] / counts[nonempty, None]
+        # L2-normalize so dot == cosine ranking for assignment
+        cents /= np.maximum(np.linalg.norm(cents, axis=1)[:, None], 1e-12)
+    return cents
+
+
+def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via an IVF (inverted-file) index: k-means
+    cells + probe-N search, exact re-rank inside probed cells.
+
+    The scale path complementary to LSH: train ``_IVF_LISTS`` cell
+    centroids (distributed Lloyd, mergeable partials), assign each
+    corpus vector to its nearest cell (map-only), then for each query
+    probe the ``_IVF_PROBE`` nearest cells and compute exact cosine
+    only against those cells' members — candidate volume ≈
+    probe/lists of the corpus. The cell assignment shuffles nothing;
+    the probe join shuffles on cell id. Recall < 1 by design →
+    rows-only check (re-rank exactness is covered by
+    ``similarity_topk_cosine``).
+    """
+    q, c = _queries_and_candidates(spark, sf_dir)
+    cents = _ivf_centroids(
+        c.select(F.col("neighbor_id").alias("vec_id"), F.col("ce")), "ce"
+    )
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            emb = np.vstack(pdf["ce"].to_numpy()).astype(np.float64)
+            emb_n = emb / np.maximum(
+                np.linalg.norm(emb, axis=1)[:, None], 1e-12
+            )
+            cell = np.argmax(emb_n @ cents.T, axis=1)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                    "ce": pdf["ce"],
+                    "cell": cell.astype(np.int32),
+                }
+            )
+
+    cells = c.mapInPandas(assign, "neighbor_id long, ce array<float>, cell int")
+
+    def probe(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            emb = np.vstack(pdf["qe"].to_numpy()).astype(np.float64)
+            emb_n = emb / np.maximum(
+                np.linalg.norm(emb, axis=1)[:, None], 1e-12
+            )
+            order = np.argsort(-(emb_n @ cents.T), axis=1)[:, :_IVF_PROBE]
+            out = pdf.loc[pdf.index.repeat(_IVF_PROBE)].reset_index(drop=True)
+            out["cell"] = order.ravel().astype(np.int32)
+            yield out[["query_id", "qe", "cell"]]
+
+    probed = q.mapInPandas(probe, "query_id long, qe array<float>, cell int")
+
+    cos = cosine_similarity(F.col("qe"), F.col("ce"))
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        probed.join(cells, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _TOP_K)
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            "neighbor_id",
+            F.round("cos", 6).alias("cos_sim"),
+        )
+    )
+
+
 QUERIES = {
     "similarity_topk_cosine": q_similarity_topk_cosine,
     "similarity_ann_lsh": q_similarity_ann_lsh,
+    "similarity_ann_ivf": q_similarity_ann_ivf,
 }
 
 _COS_SQL = """

@@ -1,0 +1,60 @@
+"""Recall checks for the approximate similarity operators.
+
+ANN results are rows-only at the driver (recall < 1 by design), so the
+quality gate lives here: against the exact brute-force top-k, each
+approximate index must reach a minimum recall@k, and every returned
+(query, neighbor, score) must be a true cosine (the re-rank is exact —
+only the candidate set is approximate).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from frinesis_spark.operators.similarity import (
+    _TOP_K,
+    q_similarity_ann_ivf,
+    q_similarity_ann_lsh,
+    q_similarity_topk_cosine,
+)
+
+
+def _topk_sets(df):
+    out = {}
+    for row in df.collect():
+        out.setdefault(row.query_id, set()).add(row.neighbor_id)
+    return out
+
+
+@pytest.fixture(scope="module")
+def exact(spark, sf_dir):
+    return _topk_sets(q_similarity_topk_cosine(spark, sf_dir))
+
+
+@pytest.mark.parametrize(
+    "fn,min_recall",
+    [(q_similarity_ann_lsh, 0.5), (q_similarity_ann_ivf, 0.5)],
+    ids=["lsh", "ivf"],
+)
+def test_ann_recall(spark, sf_dir, exact, fn, min_recall):
+    approx = _topk_sets(fn(spark, sf_dir))
+    hits = total = 0
+    for qid, truth in exact.items():
+        got = approx.get(qid, set())
+        hits += len(truth & got)
+        total += len(truth)
+    recall = hits / total
+    assert recall >= min_recall, f"recall@{_TOP_K} = {recall:.2f}"
+
+
+def test_ivf_scores_are_exact_cosines(spark, sf_dir, exact):
+    """Every IVF hit that is also in the exact top-k must carry the
+    same (rounded) cosine the exact query computed."""
+    exact_scores = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in q_similarity_topk_cosine(spark, sf_dir).collect()
+    }
+    for r in q_similarity_ann_ivf(spark, sf_dir).collect():
+        key = (r.query_id, r.neighbor_id)
+        if key in exact_scores:
+            assert abs(r.cos_sim - exact_scores[key]) < 1e-9
