@@ -31,6 +31,8 @@ def _load_modules():
         "frinesis_spark.sinks.kinesis_query",
         "frinesis_spark.sources.kinesis_query",
         "frinesis_spark.sources.files",
+        "frinesis_spark.sinks.files",
+        "frinesis_spark.operators.sqlapi",
     ):
         try:
             mods.append(__import__(optional, fromlist=["QUERIES"]))

@@ -1,0 +1,128 @@
+"""File sink surface: partitioned parquet layout and bucketed tables.
+
+The two physical-layout tools that matter at 100 TB:
+
+- **Partitioning** (directory-level): one subdirectory per partition
+  value → partition PRUNING at read time (a filter on the partition
+  column skips whole directories before any I/O).
+- **Bucketing** (file-level): rows hash-distributed into a fixed
+  number of buckets per partition → joins/aggregations on the bucket
+  key need NO shuffle (the layout IS the shuffle, paid once at write
+  time and amortized over every subsequent query).
+
+Each query round-trips through the layout and aggregates the re-read
+copy; the oracle runs on the original parquet, so layout-induced row
+loss/duplication or type drift fails the hash compare. The bucketed
+join's no-shuffle property is asserted in tests (plan contains no
+Exchange).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from frinesis_spark.catalog import table
+from frinesis_spark.functions.numeric import dsum, oracle_dsum
+
+_N_BUCKETS = 8
+
+
+def _sink_dir(kind: str) -> str:
+    base = os.path.join(tempfile.gettempdir(), "frinesis_spark_sinks")
+    os.makedirs(base, exist_ok=True)
+    return os.path.join(base, kind)
+
+
+def q_sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write `orders` as parquet partitioned by order status, read it
+    back WITH a partition filter, aggregate.
+
+    The read applies ``o_orderstatus = 'O'`` — against the partitioned
+    layout this is partition pruning (``.explain`` shows
+    ``PartitionFilters``, non-matching directories are never opened),
+    the 100 TB reason this layout exists.
+    """
+    o = table(spark, sf_dir, "orders")
+    path = _sink_dir("orders_by_status")
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    back = spark.read.parquet(path).where(F.col("o_orderstatus") == "O")
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("total"),
+    )
+
+
+def bucketed_join_tables(spark: SparkSession, sf_dir: str) -> None:
+    """Materialize `orders` and `lineitem` as bucketed+sorted external
+    tables on the join key (idempotent)."""
+    path_o = _sink_dir("orders_bucketed")
+    path_l = _sink_dir("lineitem_bucketed")
+    spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+    spark.sql("DROP TABLE IF EXISTS lineitem_bucketed")
+    (
+        table(spark, sf_dir, "orders")
+        .write.mode("overwrite")
+        .bucketBy(_N_BUCKETS, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", path_o)
+        .saveAsTable("orders_bucketed")
+    )
+    (
+        table(spark, sf_dir, "lineitem")
+        .write.mode("overwrite")
+        .bucketBy(_N_BUCKETS, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", path_l)
+        .saveAsTable("lineitem_bucketed")
+    )
+
+
+def q_join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free big-big join via bucketing: both tables bucketed
+    and sorted on orderkey, so the sort-merge join reads co-located
+    buckets directly — zero Exchange in the plan (asserted in
+    tests/test_bucketed.py), and the bucket sort order also elides the
+    SMJ sort.
+
+    At 100 TB this converts the single most expensive shuffle of a
+    fact-fact join into a one-time write-side cost shared by every
+    downstream query on the same key.
+    """
+    bucketed_join_tables(spark, sf_dir)
+    o = spark.table("orders_bucketed")
+    li = spark.table("lineitem_bucketed")
+    joined = li.join(o, li.l_orderkey == o.o_orderkey)
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue"
+        ),
+    )
+
+
+QUERIES = {
+    "sink_partitioned_parquet": q_sink_partitioned_parquet,
+    "join_bucketed_colocated": q_join_bucketed_colocated,
+}
+
+ORACLE = {
+    "sink_partitioned_parquet": f"""
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               {oracle_dsum('o_totalprice')} AS total
+        FROM orders
+        WHERE o_orderstatus = 'O'
+        GROUP BY o_orderpriority
+    """,
+    "join_bucketed_colocated": f"""
+        SELECT o_orderstatus,
+               COUNT(*) AS n_lines,
+               {oracle_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderstatus
+    """,
+}
