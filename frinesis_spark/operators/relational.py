@@ -497,6 +497,61 @@ def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge (SCD-1 upsert): apply an updates batch to `orders` —
+    matched keys take the update's values, unmatched updates insert,
+    everything else passes through.
+
+    The engine-agnostic MERGE INTO: one full-outer shuffle join on the
+    key + column-wise ``coalesce`` favoring the update side. The
+    updates batch is derived deterministically from the table itself
+    (every 7th order re-priced +10%, every 13th key offset to a fresh
+    key as an insert) so the oracle can reproduce it. At 100 TB the
+    join is the same; a table format (Delta/Iceberg) adds file-level
+    pruning on top, it does not change the merge semantics.
+    """
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    # Re-price in exact decimal: double*1.1 lands on half-cent ties
+    # that Spark (HALF_UP on decimal) and DuckDB (binary-double
+    # nearest) round differently; decimal×decimal is exact and both
+    # engines round it half-up.
+    reprice = (
+        F.round(
+            F.col("o_totalprice").cast("decimal(18,2)")
+            * F.lit("1.1").cast("decimal(2,1)"),
+            2,
+        )
+        .cast("double")
+        .alias("o_totalprice")
+    )
+    updates = o.where(F.col("o_orderkey") % 7 == 0).select(
+        F.col("o_orderkey"),
+        F.lit("U").alias("o_orderstatus"),
+        reprice,
+    ).unionByName(
+        o.where(F.col("o_orderkey") % 13 == 0).select(
+            (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+            F.lit("N").alias("o_orderstatus"),
+            F.col("o_totalprice"),
+        )
+    )
+    t, u = o.alias("t"), updates.alias("u")
+    merged = t.join(u, F.col("t.o_orderkey") == F.col("u.o_orderkey"), "full_outer")
+    return merged.select(
+        F.coalesce(F.col("u.o_orderkey"), F.col("t.o_orderkey")).alias(
+            "o_orderkey"
+        ),
+        F.coalesce(F.col("u.o_orderstatus"), F.col("t.o_orderstatus")).alias(
+            "o_orderstatus"
+        ),
+        F.coalesce(F.col("u.o_totalprice"), F.col("t.o_totalprice")).alias(
+            "o_totalprice"
+        ),
+    )
+
+
 def q_agg_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates: correlation, sample covariance/stddev,
     and argmin/argmax (``min_by``/``max_by`` ≙ DuckDB ``arg_min``/
@@ -599,6 +654,7 @@ QUERIES = {
     "set_union_except_intersect": q_set_union_except_intersect,
     "join_asof": q_join_asof,
     "join_salted_skew": q_join_salted_skew,
+    "merge_upsert": q_merge_upsert,
     "agg_stats_corr": q_agg_stats_corr,
     "time_rollup_hypertable": q_time_rollup_hypertable,
     "window_time_range": q_window_time_range,
@@ -613,6 +669,23 @@ ORACLE = {
         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
           ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+    "merge_upsert": """
+        WITH updates AS (
+            SELECT o_orderkey, 'U' AS o_orderstatus,
+                   CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2))
+                              * CAST(1.1 AS DECIMAL(2,1)), 2) AS DOUBLE)
+                       AS o_totalprice
+            FROM orders WHERE o_orderkey % 7 = 0
+            UNION ALL
+            SELECT o_orderkey + 10000000, 'N', o_totalprice
+            FROM orders WHERE o_orderkey % 13 = 0
+        )
+        SELECT COALESCE(u.o_orderkey, t.o_orderkey) AS o_orderkey,
+               COALESCE(u.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
+               COALESCE(u.o_totalprice, t.o_totalprice) AS o_totalprice
+        FROM orders t
+        FULL OUTER JOIN updates u ON t.o_orderkey = u.o_orderkey
     """,
     "join_salted_skew": f"""
         SELECT o_orderpriority,
