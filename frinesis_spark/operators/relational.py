@@ -400,6 +400,24 @@ def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: per nation, the sorted list of supplier
+    names and a decimal-exact balance sum.
+
+    ``collect_list`` is order-nondeterministic under distributed
+    execution; ``sort_array`` afterwards restores a canonical order —
+    the pattern for reproducible array aggs. Scale: a collected list
+    is bounded by group size; fine for dimension-sized groups, an
+    anti-pattern for fact-sized ones (use windows instead there).
+    """
+    s = table(spark, sf_dir, "supplier")
+    return s.groupBy("s_nationkey").agg(
+        F.sort_array(F.collect_list("s_name")).alias("names"),
+        dsum("s_acctbal").alias("acctbal_sum"),
+        F.count(F.lit(1)).alias("n_suppliers"),
+    )
+
+
 def q_window_ntile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking-function variety: ntile quartiles, dense_rank,
     percent_rank over per-priority price ordering (one window sort
@@ -650,6 +668,7 @@ QUERIES = {
     "window_rank_topk": q_window_rank_topk,
     "window_running_frame": q_window_running_frame,
     "window_ntile_ranks": q_window_ntile_ranks,
+    "agg_collect_sorted": q_agg_collect_sorted,
     "sort_limit": q_sort_limit,
     "set_union_except_intersect": q_set_union_except_intersect,
     "join_asof": q_join_asof,
@@ -669,6 +688,14 @@ ORACLE = {
         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
           ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+    "agg_collect_sorted": f"""
+        SELECT s_nationkey,
+               LIST(s_name ORDER BY s_name) AS names,
+               {oracle_dsum('s_acctbal')} AS acctbal_sum,
+               COUNT(*) AS n_suppliers
+        FROM supplier
+        GROUP BY s_nationkey
     """,
     "merge_upsert": """
         WITH updates AS (
