@@ -28,6 +28,7 @@ def _load_modules():
         "frinesis_spark.operators.multimodal",
         "frinesis_spark.streaming.windows",
         "frinesis_spark.streaming.stateful",
+        "frinesis_spark.streaming.tws",
         "frinesis_spark.sinks.kinesis_query",
         "frinesis_spark.sources.kinesis_query",
         "frinesis_spark.sources.files",

