@@ -400,6 +400,44 @@ def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation window functions: first_value / last_value /
+    nth_value over a full-partition frame.
+
+    The frame must be explicitly unbounded-both-ways: the SQL default
+    (unbounded preceding → current row) makes ``last_value`` return
+    the current row — the classic window gotcha, pinned here so both
+    engines compute the same thing.
+    """
+    o = table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.first("o_orderkey").over(w).alias("cheapest_key"),
+        F.last("o_orderkey").over(w).alias("priciest_key"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_cheapest_key"),
+    )
+
+
+def q_agg_bool_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean and bitwise aggregates per group: every/bool_or over
+    predicates, bit_and/bit_or/bit_xor over an integer column."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.every(F.col("l_quantity") > 0).alias("all_qty_positive"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_high_discount"),
+        F.bit_and(F.col("l_linenumber")).cast("long").alias("lineno_bit_and"),
+        F.bit_or(F.col("l_linenumber")).cast("long").alias("lineno_bit_or"),
+        F.bit_xor(F.col("l_linenumber")).cast("long").alias("lineno_bit_xor"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 def q_agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation: per nation, the sorted list of supplier
     names and a decimal-exact balance sum.
@@ -669,6 +707,8 @@ QUERIES = {
     "window_running_frame": q_window_running_frame,
     "window_ntile_ranks": q_window_ntile_ranks,
     "agg_collect_sorted": q_agg_collect_sorted,
+    "window_first_last": q_window_first_last,
+    "agg_bool_bitwise": q_agg_bool_bitwise,
     "sort_limit": q_sort_limit,
     "set_union_except_intersect": q_set_union_except_intersect,
     "join_asof": q_join_asof,
@@ -688,6 +728,28 @@ ORACLE = {
         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
           ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+    "window_first_last": """
+        SELECT o_orderkey, o_orderpriority,
+               FIRST_VALUE(o_orderkey) OVER w AS cheapest_key,
+               LAST_VALUE(o_orderkey) OVER w AS priciest_key,
+               NTH_VALUE(o_orderkey, 2) OVER w AS second_cheapest_key
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND UNBOUNDED FOLLOWING)
+    """,
+    "agg_bool_bitwise": """
+        SELECT l_returnflag,
+               BOOL_AND(l_quantity > 0) AS all_qty_positive,
+               BOOL_OR(l_discount > 0.09) AS any_high_discount,
+               CAST(BIT_AND(l_linenumber) AS BIGINT) AS lineno_bit_and,
+               CAST(BIT_OR(l_linenumber) AS BIGINT) AS lineno_bit_or,
+               CAST(BIT_XOR(l_linenumber) AS BIGINT) AS lineno_bit_xor,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY l_returnflag
     """,
     "agg_collect_sorted": f"""
         SELECT s_nationkey,

@@ -158,12 +158,41 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_llm_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end LLM data-prep composite: quality filter → exact
+    dedup → fingerprint+stats projection, in one declarative plan.
+
+    The point of expressing the whole pipeline as one DataFrame: the
+    quality predicate is cheap and row-local, so Catalyst evaluates it
+    BEFORE the dedup shuffle — at 100 TB the shuffle sees only the
+    surviving fraction, which is the main cost lever of a prep
+    pipeline (filter early, shuffle late).
+    """
+    d = table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " ")).cast("long")
+    alpha_ratio = F.length(
+        F.regexp_replace(F.col("text"), "[^a-z]", "")
+    ) / F.length("text")
+    filtered = d.where((alpha_ratio >= 0.6) & (n_tokens >= 20))
+    deduped = filtered.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    return deduped.select(
+        "doc_id",
+        "n_copies",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        F.md5(F.col("text")).alias("content_fp"),
+    )
+
+
 QUERIES = {
     "text_analysis_stats": q_text_analysis_stats,
     "text_language_id": q_text_language_id,
     "text_quality_score": q_text_quality_score,
     "text_token_count": q_text_token_count,
     "text_fingerprint": q_text_fingerprint,
+    "pipeline_llm_prep": q_pipeline_llm_prep,
 }
 
 
@@ -251,5 +280,25 @@ ORACLE = {
                    STRING_SPLIT(text, ' '))), ' ')) AS bag_fp,
                SUBSTRING(MD5(text), 1, 8) AS short_fp
         FROM documents
+    """,
+    "pipeline_llm_prep": """
+        WITH filtered AS (
+            SELECT doc_id, text
+            FROM documents
+            WHERE LENGTH(REGEXP_REPLACE(text, '[^a-z]', '', 'g'))
+                  / LENGTH(text) >= 0.6
+              AND LEN(STRING_SPLIT(text, ' ')) >= 20
+        ),
+        deduped AS (
+            SELECT MIN(doc_id) AS doc_id,
+                   COUNT(*) AS n_copies,
+                   text
+            FROM filtered
+            GROUP BY text
+        )
+        SELECT doc_id, n_copies,
+               CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+               MD5(text) AS content_fp
+        FROM deduped
     """,
 }
