@@ -39,6 +39,16 @@ HEADLINE = [
     "similarity_ann_lsh",
     "text_analysis_stats",
     "stream_tumbling_agg",
+    "join_asof",
+    "merge_upsert",
+    "time_rollup_hypertable",
+    "window_time_range",
+    "dedup_cluster_cc",
+    "similarity_ann_ivf",
+    "pipeline_llm_prep",
+    "sql_tpch_q3",
+    "sink_partitioned_parquet",
+    "join_bucketed_colocated",
 ]
 
 
