@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 from dataclasses import dataclass, field
 
@@ -60,8 +61,13 @@ class MockKinesisClient:
                 delivered.append(rec)
         if self.store_dir and delivered:
             os.makedirs(self.store_dir, exist_ok=True)
+            # Monotonic time prefix: read_back sorts filenames, so the
+            # log position of already-written records never changes as
+            # later calls append — required for the streaming reader's
+            # positional offsets (uuid-only names reshuffled the log).
             path = os.path.join(
-                self.store_dir, f"call_{uuid.uuid4().hex}.jsonl"
+                self.store_dir,
+                f"call_{time.time_ns():020d}_{uuid.uuid4().hex}.jsonl",
             )
             with open(path, "w") as f:
                 for rec in delivered:
@@ -93,10 +99,18 @@ class MockKinesisClient:
         return {"Shards": [{"ShardId": "shardId-000000000000"}]}
 
     def get_shard_iterator(
-        self, StreamName, ShardId, ShardIteratorType, **_
+        self, StreamName, ShardId, ShardIteratorType, **kw
     ):  # noqa: N803
-        assert ShardIteratorType == "TRIM_HORIZON"
-        return {"ShardIterator": f"{StreamName}|{ShardId}|0"}
+        if ShardIteratorType == "TRIM_HORIZON":
+            pos = 0
+        elif ShardIteratorType == "AT_SEQUENCE_NUMBER":
+            # Mock sequence numbers ARE positions (get_records below),
+            # so positioned restarts — the streaming-offset contract —
+            # resolve directly.
+            pos = int(kw["StartingSequenceNumber"])
+        else:
+            raise AssertionError(f"unsupported {ShardIteratorType}")
+        return {"ShardIterator": f"{StreamName}|{ShardId}|{pos}"}
 
     def get_records(self, ShardIterator, Limit=10_000):  # noqa: N803
         stream, shard, off = ShardIterator.rsplit("|", 2)

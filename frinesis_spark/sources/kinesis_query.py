@@ -57,9 +57,68 @@ def q_source_kinesis_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(store, ignore_errors=True)
 
 
-QUERIES = {"source_kinesis_read": q_source_kinesis_read}
+def q_source_kinesis_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same roundtrip through the registered `kinesis_frinesis` Python
+    Data Source format (kinesis_datasource.py): ``df.write.format``
+    drives the BatchProducer per task, ``spark.read.format`` drains
+    shard-parallel — the connector-contract packaging of the pipeline,
+    verified by the identical oracle."""
+    from frinesis_spark.sources.kinesis_datasource import (
+        FORMAT_NAME,
+        KinesisDataSource,
+    )
+
+    spark.dataSource.register(KinesisDataSource)
+    e = table(spark, sf_dir, "events")
+    msgs = e.select(
+        F.col("event_type").alias("stream"),
+        F.encode(F.col("props"), "utf-8").alias("data"),
+        F.expr("uuid()").alias("partition_key"),
+    )
+    store = tempfile.mkdtemp(prefix="kinesis_ds_roundtrip_")
+    try:
+        (
+            msgs.write.format(FORMAT_NAME)
+            .option("stream", "unused-default")
+            .option("mock_store_dir", store)
+            .mode("append")
+            .save()
+        )
+        topics = [r[0] for r in msgs.select("stream").distinct().collect()]
+        streams = [
+            spark.read.format(FORMAT_NAME)
+            .option("stream", t)
+            .option("mock_store_dir", store)
+            .load()
+            for t in sorted(topics)
+        ]
+        union = streams[0]
+        for s in streams[1:]:
+            union = union.unionByName(s)
+        out = union.groupBy(F.col("stream").alias("topic")).agg(
+            F.count(F.lit(1)).alias("n_read"),
+            F.sum(F.length(F.col("data").cast("string"))).alias(
+                "sum_payload_len"
+            ),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
+QUERIES = {
+    "source_kinesis_read": q_source_kinesis_read,
+    "source_kinesis_datasource": q_source_kinesis_datasource,
+}
 
 ORACLE = {
+    "source_kinesis_datasource": """
+        SELECT event_type AS topic,
+               COUNT(*) AS n_read,
+               CAST(SUM(LENGTH(props)) AS BIGINT) AS sum_payload_len
+        FROM events
+        GROUP BY event_type
+    """,
     "source_kinesis_read": """
         SELECT event_type AS topic,
                COUNT(*) AS n_read,
