@@ -1,0 +1,79 @@
+"""Command-line entry point: ``python -m frinesis_spark``.
+
+Commands:
+
+- ``list`` — every registered query name (the engine's operator
+  surface, SURVEY.md §2).
+- ``run NAME`` — execute one query against ``--sf-dir`` and print
+  rows as JSON lines (``--limit`` caps output; 0 = all).
+- ``sql "SELECT ..."`` — run an ANSI-SQL string against the
+  registered table views.
+
+Exit code 0 on success, 2 on unknown query.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _json_default(v):
+    try:
+        return v.isoformat()  # timestamps/dates
+    except AttributeError:
+        if isinstance(v, (bytes, bytearray)):
+            return bytes(v).hex()
+        return str(v)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="frinesis_spark")
+    p.add_argument(
+        "--sf-dir",
+        default="/root/testdata/sf0.01",
+        help="directory of the parquet tables",
+    )
+    p.add_argument(
+        "--limit", type=int, default=20, help="max rows to print (0 = all)"
+    )
+    sub = p.add_subparsers(dest="cmd", required=True)
+    sub.add_parser("list")
+    runp = sub.add_parser("run")
+    runp.add_argument("name")
+    sqlp = sub.add_parser("sql")
+    sqlp.add_argument("query")
+    args = p.parse_args(argv)
+
+    from frinesis_spark import registry
+
+    queries = registry.queries()
+    if args.cmd == "list":
+        for name in sorted(queries):
+            print(name)
+        return 0
+
+    from frinesis_spark.session import get_spark
+
+    spark = get_spark("frinesis_spark_cli")
+    if args.cmd == "sql":
+        from frinesis_spark.catalog import register_views
+
+        register_views(spark, args.sf_dir)
+        df = spark.sql(args.query)
+    else:
+        fn = queries.get(args.name)
+        if fn is None:
+            print(f"unknown query {args.name!r}; see `list`", file=sys.stderr)
+            return 2
+        df = fn(spark, args.sf_dir)
+
+    rows = df.limit(args.limit).collect() if args.limit else df.collect()
+    for row in rows:
+        print(json.dumps(row.asDict(recursive=True), default=_json_default))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
