@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -217,6 +218,111 @@ class KinesisSimpleStreamReader(SimpleDataSourceStreamReader):
         return None
 
 
+class _ShardSlice(InputPartition):
+    def __init__(self, shard_id: str, start: int, end: int):
+        self.shard_id = shard_id
+        self.start = start
+        self.end = end
+
+
+class KinesisPartitionedStreamReader(DataSourceStreamReader):
+    """High-throughput streaming variant: each micro-batch plans one
+    ``InputPartition`` per shard slice [start, end) and EXECUTORS read
+    their shard directly — data never moves through the driver
+    (contrast the simple reader, which prefetches driver-side). This
+    is the reader shape that scales with shard count.
+
+    Offset planning needs the log tip per shard (``latestOffset``);
+    the mock store exposes it directly. Real Kinesis has no cheap
+    "latest sequence" control call — a production deployment caps each
+    batch with a max-records budget instead (rate limiting, A3's
+    backpressure analog), so this reader requires the mock path and
+    raises otherwise, which makes Spark fall back to the simple
+    reader.
+    """
+
+    def __init__(self, options: dict):
+        self.options = dict(options)
+        self.stream = _stream_name(self.options)
+        if (
+            not self.options.get("mock_store_dir")
+            or self.options.get("partitioned_stream", "false").lower()
+            != "true"
+        ):
+            # Spark's _streamReader catches exactly this error type and
+            # falls back to simpleStreamReader.
+            from pyspark.errors import PySparkNotImplementedError
+
+            raise PySparkNotImplementedError(
+                errorClass="NOT_IMPLEMENTED",
+                messageParameters={
+                    "feature": (
+                        "partitioned kinesis stream reader (opt in with "
+                        "partitioned_stream=true; mock store only — the "
+                        "boto3 path uses the simple reader)"
+                    )
+                },
+            )
+        self.factory = _client_factory(self.options)
+
+    def initialOffset(self) -> dict:
+        from frinesis_spark.sources.kinesis import list_shard_ids
+
+        return {s: 0 for s in list_shard_ids(self.factory(), self.stream)}
+
+    def latestOffset(self) -> dict:
+        client = self.factory()
+        from frinesis_spark.sources.kinesis import list_shard_ids
+
+        return {
+            s: len(client._shard_log(self.stream))
+            for s in list_shard_ids(client, self.stream)
+        }
+
+    def partitions(self, start: dict, end: dict):
+        return [
+            _ShardSlice(s, int(start.get(s, 0)), int(e))
+            for s, e in end.items()
+            if int(e) > int(start.get(s, 0))
+        ] or [_ShardSlice("", 0, 0)]
+
+    def read(self, partition: _ShardSlice):
+        if not partition.shard_id:
+            return
+        client = self.factory()
+        it = client.get_shard_iterator(
+            StreamName=self.stream,
+            ShardId=partition.shard_id,
+            ShardIteratorType=(
+                "TRIM_HORIZON"
+                if partition.start == 0
+                else "AT_SEQUENCE_NUMBER"
+            ),
+            StartingSequenceNumber=str(partition.start),
+        )["ShardIterator"]
+        while it:
+            resp = client.get_records(ShardIterator=it, Limit=10_000)
+            for rec in resp.get("Records", []):
+                if int(rec["SequenceNumber"]) >= partition.end:
+                    return
+                yield (
+                    self.stream,
+                    partition.shard_id,
+                    rec.get("SequenceNumber"),
+                    rec.get("PartitionKey"),
+                    bytes(rec.get("Data") or b""),
+                )
+            it = resp.get("NextShardIterator")
+            if not resp.get("Records") and not resp.get("MillisBehindLatest"):
+                return
+
+    def commit(self, end: dict) -> None:
+        return None
+
+    def stop(self) -> None:
+        return None
+
+
 class KinesisDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -230,6 +336,11 @@ class KinesisDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> KinesisDataSourceWriter:
         return KinesisDataSourceWriter(self.options)
+
+    def streamReader(self, schema) -> KinesisPartitionedStreamReader:
+        # Raises NotImplementedError on the boto3 path → Spark falls
+        # back to simpleStreamReader below.
+        return KinesisPartitionedStreamReader(self.options)
 
     def simpleStreamReader(self, schema) -> KinesisSimpleStreamReader:
         return KinesisSimpleStreamReader(self.options)

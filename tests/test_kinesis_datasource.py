@@ -75,6 +75,36 @@ def test_write_routes_per_row_stream(registered, tmp_path):
         assert n == expect, topic
 
 
+def test_partitioned_stream_reader_incremental(registered, tmp_path):
+    """The executor-side (partitioned) stream reader delivers each
+    record exactly once across micro-batches."""
+    spark = registered
+    store = str(tmp_path / "pstore")
+    _write(spark, store, [f"x{i}" for i in range(6)], stream="s2")
+    q = (
+        spark.readStream.format(FORMAT_NAME)
+        .option("stream", "s2")
+        .option("mock_store_dir", store)
+        .option("partitioned_stream", "true")
+        .load()
+        .writeStream.format("memory")
+        .queryName("kds_part_sink")
+        .option("checkpointLocation", str(tmp_path / "pckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM kds_part_sink").count() == 6
+        _write(spark, store, ["y0", "y1"], stream="s2")
+        q.processAllAvailable()
+        rows = spark.sql("SELECT data FROM kds_part_sink").collect()
+        assert sorted(bytes(r.data).decode() for r in rows) == sorted(
+            [f"x{i}" for i in range(6)] + ["y0", "y1"]
+        )
+    finally:
+        q.stop()
+
+
 def test_stream_reader_incremental(registered, tmp_path):
     spark = registered
     store = str(tmp_path / "store")
