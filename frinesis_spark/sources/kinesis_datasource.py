@@ -33,6 +33,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -218,6 +219,29 @@ class KinesisSimpleStreamReader(SimpleDataSourceStreamReader):
         return None
 
 
+class KinesisDataSourceStreamWriter(DataSourceStreamWriter):
+    """``writeStream.format('kinesis_frinesis')`` — the reference's
+    actual deployment shape (unbounded stream → Kinesis egress,
+    sink.go:66-77) under the connector contract: every micro-batch's
+    tasks run the same BatchProducer path as the batch writer
+    (chunking/backoff/retry/shed/drain, A3–A11), commit/abort are
+    per-epoch no-ops because delivery is at-least-once by design
+    (requeue-at-back, batchproducer.go:360, :425-426 — replays after a
+    failed epoch re-send, exactly the reference's semantics)."""
+
+    def __init__(self, options: dict):
+        self._batch = KinesisDataSourceWriter(options)
+
+    def write(self, iterator):
+        return self._batch.write(iterator)
+
+    def commit(self, messages, batchId) -> None:
+        return None
+
+    def abort(self, messages, batchId) -> None:
+        return None
+
+
 class _ShardSlice(InputPartition):
     def __init__(self, shard_id: str, start: int, end: int):
         self.shard_id = shard_id
@@ -336,6 +360,9 @@ class KinesisDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> KinesisDataSourceWriter:
         return KinesisDataSourceWriter(self.options)
+
+    def streamWriter(self, schema, overwrite: bool) -> KinesisDataSourceStreamWriter:
+        return KinesisDataSourceStreamWriter(self.options)
 
     def streamReader(self, schema) -> KinesisPartitionedStreamReader:
         # Raises NotImplementedError on the boto3 path → Spark falls

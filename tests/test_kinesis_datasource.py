@@ -105,6 +105,45 @@ def test_partitioned_stream_reader_incremental(registered, tmp_path):
         q.stop()
 
 
+def test_stream_writer_end_to_end(registered, tmp_path, sf_dir):
+    """readStream(events) → writeStream.format(kinesis) — the
+    reference's deployment shape; delivery multiset checked via the
+    store."""
+    spark = registered
+    store = str(tmp_path / "wstore")
+    from pyspark.sql import functions as F
+
+    from frinesis_spark.sinks.mock import read_back
+    from frinesis_spark.streaming.windows import events_stream
+
+    msgs = events_stream(spark, sf_dir).select(
+        F.col("event_type").alias("stream"),
+        F.encode(F.col("props"), "utf-8").alias("data"),
+        F.expr("uuid()").alias("partition_key"),
+    )
+    q = (
+        msgs.writeStream.format(FORMAT_NAME)
+        .option("stream", "unused-default")
+        .option("mock_store_dir", store)
+        .option("checkpointLocation", str(tmp_path / "wckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    delivered = read_back(store)
+    import duckdb
+
+    n_events = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/events.parquet')"
+    ).fetchone()[0]
+    assert len(delivered) == n_events
+    assert {d["stream"] for d in delivered} == {
+        "view", "click", "purchase", "signup", "error"
+    }
+
+
 def test_stream_reader_incremental(registered, tmp_path):
     spark = registered
     store = str(tmp_path / "store")
