@@ -262,6 +262,10 @@ def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``similarity_topk_cosine``).
     """
     q, c = _queries_and_candidates(spark, sf_dir)
+    # The corpus feeds every Lloyd round plus the final assignment —
+    # materialize once instead of re-scanning per pass (at real scale:
+    # a persisted staging table).
+    c = c.localCheckpoint(eager=True)
     cents = _ivf_centroids(
         c.select(F.col("neighbor_id").alias("vec_id"), F.col("ce")), "ce"
     )
