@@ -346,7 +346,16 @@ class KinesisBatchWriter:
         partition_key_col: str | None = "partition_key",
     ):
         self.client_factory = client_factory
-        self.config = config or KinesisSinkConfig()
+        # Spark-writer default: BLOCKING buffer policy. The reference's
+        # non-blocking default works because a concurrent goroutine
+        # drains the buffer (batchproducer.go:199-201 vs :244-261); a
+        # synchronous foreachBatch task has no concurrent drainer, so
+        # the equivalent composition is add() draining inline when full
+        # — otherwise any task with >buffer_size rows dies on
+        # BufferFullError (seen at sf0.1: 100k events, 10k buffer).
+        self.config = config or KinesisSinkConfig(
+            add_blocks_when_buffer_full=True
+        )
         self.topic_col = topic_col
         self.data_col = data_col
         self.partition_key_col = partition_key_col

@@ -36,7 +36,12 @@ def q_sink_kinesis_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     writer = KinesisBatchWriter(
         MockClientFactory(store_dir=None),
-        KinesisSinkConfig(max_attempts_per_record=_MAX_ATTEMPTS),
+        KinesisSinkConfig(
+            max_attempts_per_record=_MAX_ATTEMPTS,
+            # synchronous writer → blocking buffer (drain inline); see
+            # KinesisBatchWriter.__init__
+            add_blocks_when_buffer_full=True,
+        ),
     )
     stats = writer.write_batch(msgs)
     return stats.select("topic", "n_sent", "n_dropped", "n_retries")

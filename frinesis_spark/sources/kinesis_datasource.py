@@ -120,6 +120,9 @@ class KinesisDataSourceWriter(DataSourceWriter):
 
         client = self.factory()
         cfg = KinesisSinkConfig.from_env()
+        # Synchronous writer task → blocking buffer policy (drain
+        # inline when full); see KinesisBatchWriter.__init__.
+        cfg.add_blocks_when_buffer_full = True
         producers: dict[str, BatchProducer] = {}
         n = 0
         for row in iterator:
