@@ -438,6 +438,25 @@ def q_agg_bool_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram via ``width_bucket``: order totals binned into 10
+    equal-width buckets per order status.
+
+    Binning is a pure projection (codegen'd), so the histogram is one
+    hash aggregate — the single-pass shape that scales; contrast
+    sorting into quantiles, which needs a per-group sort.
+    """
+    o = table(spark, sf_dir, "orders")
+    bucket = F.width_bucket(
+        F.col("o_totalprice"), F.lit(0.0), F.lit(600_000.0), F.lit(10)
+    ).cast("long")
+    return o.groupBy("o_orderstatus", bucket.alias("price_bucket")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.min("o_totalprice"), 2).alias("bucket_min"),
+        F.round(F.max("o_totalprice"), 2).alias("bucket_max"),
+    )
+
+
 def q_agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation: per nation, the sorted list of supplier
     names and a decimal-exact balance sum.
@@ -707,6 +726,7 @@ QUERIES = {
     "window_running_frame": q_window_running_frame,
     "window_ntile_ranks": q_window_ntile_ranks,
     "agg_collect_sorted": q_agg_collect_sorted,
+    "agg_histogram": q_agg_histogram,
     "window_first_last": q_window_first_last,
     "agg_bool_bitwise": q_agg_bool_bitwise,
     "sort_limit": q_sort_limit,
@@ -728,6 +748,25 @@ ORACLE = {
         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
           ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+    # DuckDB has no WIDTH_BUCKET; spell out Spark's formula
+    # (floor(n*(x-lo)/(hi-lo))+1, clamped) with identical float ops.
+    "agg_histogram": """
+        WITH binned AS (
+            SELECT o_orderstatus, o_totalprice,
+                   CASE WHEN o_totalprice < 0.0 THEN 0
+                        WHEN o_totalprice >= 600000.0 THEN 11
+                        ELSE CAST(FLOOR(10 * (o_totalprice - 0.0)
+                                        / (600000.0 - 0.0)) AS BIGINT) + 1
+                   END AS price_bucket
+            FROM orders
+        )
+        SELECT o_orderstatus, price_bucket,
+               COUNT(*) AS n_orders,
+               ROUND(MIN(o_totalprice), 2) AS bucket_min,
+               ROUND(MAX(o_totalprice), 2) AS bucket_max
+        FROM binned
+        GROUP BY o_orderstatus, price_bucket
     """,
     "window_first_last": """
         SELECT o_orderkey, o_orderpriority,
