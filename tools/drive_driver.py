@@ -1,5 +1,10 @@
-"""Simulate the driver's verify flow against /root/repo/__spark_entry__.py."""
-import hashlib, sys, traceback
+"""Simulate the driver's verify flow against /root/repo/__spark_entry__.py.
+
+Set SPARK_GRAFT_SF_DIR to compare at a different scale factor
+(default sf0.01, the driver's correctness scale; sf0.1 is the
+once-per-round scale-insurance pass, ~30 min).
+"""
+import hashlib, os, sys, traceback
 sys.path.insert(0, "/root/repo")
 import duckdb
 import __spark_entry__ as entrymod
@@ -19,7 +24,7 @@ print(f"entry(): {len(rows)} rows, schema={[f.name for f in df.schema.fields]}")
 assert len(rows) > 0
 
 # 2. t2: queries vs oracle at sf0.01
-SF = "/root/testdata/sf0.01"
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
