@@ -438,6 +438,24 @@ def q_agg_bool_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String aggregation: per-region concatenated nation list.
+
+    ``listagg`` has no deterministic order under distributed
+    aggregation, so the canonical form is array_join(sort_array(
+    collect_list)) — same reproducibility pattern as
+    ``agg_collect_sorted``, producing exactly DuckDB's
+    ``STRING_AGG(... ORDER BY ...)``.
+    """
+    n = table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(
+            F.sort_array(F.collect_list("n_name")), ","
+        ).alias("nations_csv"),
+        F.count(F.lit(1)).alias("n_nations"),
+    )
+
+
 def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Histogram via ``width_bucket``: order totals binned into 10
     equal-width buckets per order status.
@@ -727,6 +745,7 @@ QUERIES = {
     "window_ntile_ranks": q_window_ntile_ranks,
     "agg_collect_sorted": q_agg_collect_sorted,
     "agg_histogram": q_agg_histogram,
+    "agg_string_concat": q_agg_string_concat,
     "window_first_last": q_window_first_last,
     "agg_bool_bitwise": q_agg_bool_bitwise,
     "sort_limit": q_sort_limit,
@@ -748,6 +767,13 @@ ORACLE = {
         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
           ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+    "agg_string_concat": """
+        SELECT n_regionkey,
+               STRING_AGG(n_name, ',' ORDER BY n_name) AS nations_csv,
+               COUNT(*) AS n_nations
+        FROM nation
+        GROUP BY n_regionkey
     """,
     # DuckDB has no WIDTH_BUCKET; spell out Spark's formula
     # (floor(n*(x-lo)/(hi-lo))+1, clamped) with identical float ops.
