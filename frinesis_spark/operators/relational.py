@@ -438,6 +438,37 @@ def q_agg_bool_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remaining ranking functions: gapped ``rank`` and ``cume_dist``
+    (dense_rank/percent_rank/ntile live in ``window_ntile_ranks``).
+    Ordering on o_totalprice alone makes ties real, exercising rank
+    gaps; cume_dist is tie-stable so no tie-break key is needed for
+    determinism."""
+    o = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.rank().over(w).cast("long").alias("price_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("price_cume_dist"),
+    )
+
+
+def q_join_cross_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deliberate cross join of two DIMENSION tables (region × nation
+    grid, 125 rows) — the one shape where a cartesian product is the
+    right plan. Kept dimension-only by design: the engine's fact-side
+    rule is that every cross is either broadcastable-small or a bug
+    (see the topk scorer's pruned cross)."""
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation")
+    return (
+        r.select(F.col("r_regionkey"), F.col("r_name"))
+        .crossJoin(n.select(F.col("n_nationkey"), F.col("n_name")))
+        .withColumn("same_key", F.col("r_regionkey") == F.col("n_nationkey") % 5)
+    )
+
+
 def q_agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String aggregation: per-region concatenated nation list.
 
@@ -746,6 +777,8 @@ QUERIES = {
     "agg_collect_sorted": q_agg_collect_sorted,
     "agg_histogram": q_agg_histogram,
     "agg_string_concat": q_agg_string_concat,
+    "window_rank_cume": q_window_rank_cume,
+    "join_cross_dims": q_join_cross_dims,
     "window_first_last": q_window_first_last,
     "agg_bool_bitwise": q_agg_bool_bitwise,
     "sort_limit": q_sort_limit,
@@ -767,6 +800,18 @@ ORACLE = {
         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
           ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+    "window_rank_cume": """
+        SELECT o_orderkey, o_orderstatus,
+               CAST(RANK() OVER w AS BIGINT) AS price_rank,
+               ROUND(CUME_DIST() OVER w, 6) AS price_cume_dist
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice)
+    """,
+    "join_cross_dims": """
+        SELECT r_regionkey, r_name, n_nationkey, n_name,
+               r_regionkey = n_nationkey % 5 AS same_key
+        FROM region CROSS JOIN nation
     """,
     "agg_string_concat": """
         SELECT n_regionkey,
