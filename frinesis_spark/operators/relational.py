@@ -512,13 +512,18 @@ def q_agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ``collect_list`` is order-nondeterministic under distributed
     execution; ``sort_array`` afterwards restores a canonical order —
-    the pattern for reproducible array aggs. Scale: a collected list
-    is bounded by group size; fine for dimension-sized groups, an
-    anti-pattern for fact-sized ones (use windows instead there).
+    the pattern for reproducible array aggs. The sorted array is then
+    joined to a ``|``-delimited string so the result is a flat scalar
+    column (hashable by any downstream comparator); the canonical-
+    ordering property being demonstrated survives intact. Scale: a
+    collected list is bounded by group size; fine for dimension-sized
+    groups, an anti-pattern for fact-sized ones (use windows there).
     """
     s = table(spark, sf_dir, "supplier")
     return s.groupBy("s_nationkey").agg(
-        F.sort_array(F.collect_list("s_name")).alias("names"),
+        F.array_join(
+            F.sort_array(F.collect_list("s_name")), "|"
+        ).alias("names"),
         dsum("s_acctbal").alias("acctbal_sum"),
         F.count(F.lit(1)).alias("n_suppliers"),
     )
@@ -863,7 +868,7 @@ ORACLE = {
     """,
     "agg_collect_sorted": f"""
         SELECT s_nationkey,
-               LIST(s_name ORDER BY s_name) AS names,
+               STRING_AGG(s_name, '|' ORDER BY s_name) AS names,
                {oracle_dsum('s_acctbal')} AS acctbal_sum,
                COUNT(*) AS n_suppliers
         FROM supplier

@@ -20,10 +20,14 @@ def _load_modules():
         return _MODULES
     from frinesis_spark.operators import relational, scalar
 
-    mods = [relational, scalar]
+    # Registration order IS the driver's correctness-run order, and the
+    # driver's budget can truncate the tail (round 1 stopped mid-`text`,
+    # leaving 23 queries unverified). Order by (never-yet-verified,
+    # cheap) first so a truncated run still covers everything at least
+    # once across rounds; the expensive iterative dedup/similarity block
+    # goes last.
+    mods = []
     for optional in (
-        "frinesis_spark.operators.dedup",
-        "frinesis_spark.operators.similarity",
         "frinesis_spark.operators.text",
         "frinesis_spark.operators.multimodal",
         "frinesis_spark.streaming.windows",
@@ -34,6 +38,15 @@ def _load_modules():
         "frinesis_spark.sources.files",
         "frinesis_spark.sinks.files",
         "frinesis_spark.operators.sqlapi",
+    ):
+        try:
+            mods.append(__import__(optional, fromlist=["QUERIES"]))
+        except ImportError:
+            pass
+    mods.extend([relational, scalar])
+    for optional in (
+        "frinesis_spark.operators.dedup",
+        "frinesis_spark.operators.similarity",
     ):
         try:
             mods.append(__import__(optional, fromlist=["QUERIES"]))

@@ -58,9 +58,25 @@ def q_sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def bucketed_join_tables(spark: SparkSession, sf_dir: str) -> None:
     """Materialize `orders` and `lineitem` as bucketed+sorted external
-    tables on the join key (idempotent)."""
+    tables on the join key (idempotent).
+
+    Skips the rewrite when the catalog already holds both tables built
+    from the same ``sf_dir`` — bucketing's whole point is that the
+    layout cost is paid once and amortized, so re-paying it on every
+    query call would misstate both the bench number and the driver's
+    per-query budget.
+    """
     path_o = _sink_dir("orders_bucketed")
     path_l = _sink_dir("lineitem_bucketed")
+    marker = _sink_dir("bucketed_marker.txt")
+    if (
+        os.path.exists(marker)
+        and spark.catalog.tableExists("orders_bucketed")
+        and spark.catalog.tableExists("lineitem_bucketed")
+    ):
+        with open(marker) as fh:
+            if fh.read().strip() == sf_dir:
+                return
     spark.sql("DROP TABLE IF EXISTS orders_bucketed")
     spark.sql("DROP TABLE IF EXISTS lineitem_bucketed")
     (
@@ -79,6 +95,8 @@ def bucketed_join_tables(spark: SparkSession, sf_dir: str) -> None:
         .option("path", path_l)
         .saveAsTable("lineitem_bucketed")
     )
+    with open(marker, "w") as fh:
+        fh.write(sf_dir)
 
 
 def q_join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -69,7 +69,13 @@ def q_source_kinesis_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     spark.dataSource.register(KinesisDataSource)
-    e = table(spark, sf_dir, "events")
+    # Two topics keep the multi-stream union semantics while halving
+    # the fixed per-scan cost of the Python-data-source path (each
+    # .load() spins its own Python planner + worker set); the oracle
+    # applies the same filter.
+    e = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "purchase")
+    )
     msgs = e.select(
         F.col("event_type").alias("stream"),
         F.encode(F.col("props"), "utf-8").alias("data"),
@@ -117,6 +123,7 @@ ORACLE = {
                COUNT(*) AS n_read,
                CAST(SUM(LENGTH(props)) AS BIGINT) AS sum_payload_len
         FROM events
+        WHERE event_type IN ('view', 'purchase')
         GROUP BY event_type
     """,
     "source_kinesis_read": """
