@@ -29,16 +29,25 @@ from frinesis_spark.functions.vectors import cosine_similarity
 _N_QUERIES = 10  # vec_id < 10 form the query set
 _TOP_K = 5
 _DIM = 64
-# Band geometry sets the recall/candidate-volume trade. For
-# random-hyperplane LSH, P(bit match) = 1 - θ/π ≈ 0.67 at θ=60°
-# (typical near-neighbor angle here), so per-band collision is
-# 0.67^bits and recall is 1-(1-0.67^bits)^bands: 8-bit bands gave
-# ~0.08 recall (measured 0.04 — near-useless); 4-bit × 8 bands gives
-# ~0.83 predicted (recall floor enforced in tests/test_ann.py).
-# Candidate volume rises to ~corpus/2 per query — that is the LSH
-# trade; tighten bits only with dimensionality/corpus growth.
-_PLANES_PER_BAND = 4
-_N_BANDS = 8  # 8 bands × 4 hyperplanes = 32 sign bits total
+# Band geometry sets the recall/candidate-volume trade. The test
+# corpus is HARD for sign-bit LSH: true top-5 neighbors sit at cosine
+# 0.33–0.45 (bit-match probability p ≈ 0.62, barely above the 0.5
+# background), so plain banding is a bad frontier — 4-bit × 8 bands
+# (round 1) needed ~50% of the corpus as candidates for recall 0.7.
+# Multi-probe fixes this: wide 14-bit bands make the exact-bucket
+# collision rare for RANDOM pairs (2^-14 per band), and the query side
+# additionally probes the buckets reachable by flipping its
+# smallest-margin sign bits — the bits a true neighbor most likely
+# disagrees on (Lv et al., "Multi-Probe LSH", VLDB'07). Measured on
+# the sf0.1 corpus: recall 0.80 @ candidate fraction ~0.15, vs
+# 0.74 @ 0.42 for the round-1 geometry — ~3× less work per recall
+# point. IVF (below) is still the headline ANN path on this data
+# (recall 0.90 @ 0.06); LSH remains the no-training alternative.
+_PLANES_PER_BAND = 14
+_N_BANDS = 32
+_N_PROBES = 64  # probe buckets per (query, band), incl. the exact one
+_FLIP_POOL = 12  # flips drawn from the 12 smallest-margin bits
+_MAX_FLIP = 5
 
 
 def _hyperplane(plane: int) -> list[float]:
@@ -109,13 +118,15 @@ def _plane_matrix():
 
 
 def _bucketize(df: DataFrame, id_col: str, emb_col: str) -> DataFrame:
-    """(id, emb, band_idx, bucket) rows: sign bits of md5-fixed
-    hyperplanes.
+    """(id, band_idx, bucket) rows: sign bits of md5-fixed hyperplanes.
 
     One numpy matmul per Arrow batch computes every plane projection at
-    once (rows × dim @ dim × planes); the 16 interpreted per-row
-    ``aggregate`` dot products this replaces were the dominant cost.
-    Map-only — bucketing adds no shuffle at any scale.
+    once (rows × dim @ dim × planes). Map-only — bucketing adds no
+    shuffle at any scale — and deliberately does NOT carry the
+    embedding: the downstream band join shuffles only (id, band,
+    bucket) ints, not ``bands ×`` copies of the vector column (a 32×
+    embedding-duplication at 100 TB); embeddings are joined back by id
+    after the candidate pairs are deduped.
     """
     planes = _plane_matrix()
 
@@ -135,7 +146,6 @@ def _bucketize(df: DataFrame, id_col: str, emb_col: str) -> DataFrame:
                     pd.DataFrame(
                         {
                             id_col: pdf[id_col].to_numpy(),
-                            emb_col: pdf[emb_col],
                             "band_idx": band,
                             "bucket": buckets.astype(np.int32),
                         }
@@ -143,29 +153,103 @@ def _bucketize(df: DataFrame, id_col: str, emb_col: str) -> DataFrame:
                 )
             yield pd.concat(out, ignore_index=True)
 
-    schema = (
-        f"{id_col} long, {emb_col} array<float>, band_idx int, bucket int"
+    return df.mapInPandas(gen, f"{id_col} long, band_idx int, bucket int")
+
+
+def _multiprobe(df: DataFrame, id_col: str, emb_col: str) -> DataFrame:
+    """Query-side multi-probe bucketize: per (query, band), the exact
+    bucket plus the ``_N_PROBES - 1`` buckets reachable by flipping up
+    to ``_MAX_FLIP`` of the ``_FLIP_POOL`` smallest-|projection| sign
+    bits, ordered by summed squared margin (the flip-probability proxy
+    of Lv et al.). A marginal sign bit is exactly the one a true
+    neighbor most likely lands on the other side of, so probing those
+    buckets buys recall without widening the random-collision rate —
+    the query side fans out, the (huge) corpus side stays at one
+    bucket per band.
+    """
+    import itertools
+
+    planes = _plane_matrix()
+    flip_combos = [
+        comb
+        for r in range(1, _MAX_FLIP + 1)
+        for comb in itertools.combinations(range(_FLIP_POOL), r)
+    ]
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        weights = 1 << np.arange(_PLANES_PER_BAND)
+        for pdf in batches:
+            emb = np.vstack(pdf[emb_col].to_numpy()).astype(np.float64)
+            proj = emb @ planes
+            rows_id, rows_band, rows_bucket = [], [], []
+            for i in range(len(pdf)):
+                for band in range(_N_BANDS):
+                    s = slice(
+                        band * _PLANES_PER_BAND, (band + 1) * _PLANES_PER_BAND
+                    )
+                    p = proj[i, s]
+                    bits = p > 0
+                    margins = np.abs(p)
+                    pool = np.argsort(margins)[:_FLIP_POOL]
+                    sq = margins[pool] ** 2
+                    scored = sorted(
+                        flip_combos, key=lambda c: sq[list(c)].sum()
+                    )[: _N_PROBES - 1]
+                    buckets = [(bits * weights).sum()]
+                    for comb in scored:
+                        b = bits.copy()
+                        b[pool[list(comb)]] ^= True
+                        buckets.append((b * weights).sum())
+                    rows_id.extend([pdf[id_col].iloc[i]] * len(buckets))
+                    rows_band.extend([band] * len(buckets))
+                    rows_bucket.extend(buckets)
+            yield pd.DataFrame(
+                {
+                    id_col: np.asarray(rows_id, dtype=np.int64),
+                    "band_idx": np.asarray(rows_band, dtype=np.int32),
+                    "bucket": np.asarray(rows_bucket, dtype=np.int32),
+                }
+            )
+
+    return df.mapInPandas(gen, f"{id_col} long, band_idx int, bucket int")
+
+
+def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deduped (query_id, neighbor_id) LSH candidate pairs — the
+    quantity the recall/efficiency tests measure directly."""
+    q, c = _queries_and_candidates(spark, sf_dir)
+    qb = _multiprobe(q, "query_id", "qe")
+    cb = _bucketize(c, "neighbor_id", "ce")
+    return (
+        F.broadcast(qb)
+        .join(cb, ["band_idx", "bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
     )
-    return df.mapInPandas(gen, schema)
 
 
 def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 via random-hyperplane LSH + exact re-rank.
+    """Approximate top-5 via multi-probe random-hyperplane LSH + exact
+    re-rank.
 
-    Candidates = corpus rows sharing ≥1 of 2 sign-bit bands with the
-    query. At 100 TB the corpus-side bucketing is a map-only pass and
-    the join shuffles on (band_idx, bucket) — candidate volume is
-    ~corpus/2^8 per band per query instead of the full corpus.
-    Recall < 1 (that's the trade) → rows-only check.
+    Candidates = corpus rows whose exact band bucket matches any of the
+    query's probed buckets. At 100 TB: corpus bucketing is map-only,
+    the band join shuffles (id, band, bucket) ints (the query side is
+    tiny and broadcast), candidates are deduped, and only then are the
+    two embedding columns joined back by id for the exact cosine
+    re-rank — candidate volume ~15% of corpus per query at recall 0.8
+    (measured; see band-geometry note above). Recall < 1 by design →
+    rows-only check.
     """
     q, c = _queries_and_candidates(spark, sf_dir)
-    qb = _bucketize(q, "query_id", "qe")
-    cb = _bucketize(c, "neighbor_id", "ce")
+    pairs = lsh_candidate_pairs(spark, sf_dir)
     cand = (
-        qb.join(cb, ["band_idx", "bucket"])
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "qe", "neighbor_id", "ce")
-        .distinct()
+        pairs.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
     )
     cos = cosine_similarity(F.col("qe"), F.col("ce"))
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
@@ -182,9 +266,16 @@ def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IVF_LISTS = 16  # inverted lists (cells)
+# The headline ANN path on this corpus: lists=64 / probe=4 measures
+# recall 0.90 (sf0.1) / 0.74 (sf0.01) at ~6% candidate fraction —
+# every other geometry tried (incl. all multi-probe LSH points) pays
+# ≥2× the candidates for the same recall, because IVF cells follow the
+# data's actual cluster structure instead of random hyperplanes. At
+# real scale grow lists ~√corpus (the standard IVF sizing) and probe
+# stays a small constant.
+_IVF_LISTS = 64  # inverted lists (cells)
 _IVF_PROBE = 4  # cells probed per query
-_IVF_ITERS = 3  # Lloyd refinement rounds
+_IVF_ITERS = 3  # Lloyd refinement rounds (fixed → bounded, reproducible)
 
 
 def _ivf_centroids(corpus: DataFrame, emb_col: str):
@@ -247,20 +338,9 @@ def _ivf_centroids(corpus: DataFrame, emb_col: str):
     return cents
 
 
-def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 via an IVF (inverted-file) index: k-means
-    cells + probe-N search, exact re-rank inside probed cells.
-
-    The scale path complementary to LSH: train ``_IVF_LISTS`` cell
-    centroids (distributed Lloyd, mergeable partials), assign each
-    corpus vector to its nearest cell (map-only), then for each query
-    probe the ``_IVF_PROBE`` nearest cells and compute exact cosine
-    only against those cells' members — candidate volume ≈
-    probe/lists of the corpus. The cell assignment shuffles nothing;
-    the probe join shuffles on cell id. Recall < 1 by design →
-    rows-only check (re-rank exactness is covered by
-    ``similarity_topk_cosine``).
-    """
+def _ivf_cells_and_probes(spark: SparkSession, sf_dir: str):
+    """Shared IVF machinery: (corpus rows tagged with their cell,
+    query rows repeated per probed cell)."""
     q, c = _queries_and_candidates(spark, sf_dir)
     # The corpus feeds every Lloyd round plus the final assignment —
     # materialize once instead of re-scanning per pass (at real scale:
@@ -305,7 +385,36 @@ def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield out[["query_id", "qe", "cell"]]
 
     probed = q.mapInPandas(probe, "query_id long, qe array<float>, cell int")
+    return cells, probed
 
+
+def ivf_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deduped (query_id, neighbor_id) IVF candidate pairs — what the
+    recall/efficiency tests measure (each corpus row lives in exactly
+    one cell, so the probe join emits each pair at most once)."""
+    cells, probed = _ivf_cells_and_probes(spark, sf_dir)
+    return (
+        probed.join(cells, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+
+
+def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via an IVF (inverted-file) index: k-means
+    cells + probe-N search, exact re-rank inside probed cells.
+
+    The headline ANN path (see the lists/probe sizing note above):
+    train ``_IVF_LISTS`` cell centroids (distributed Lloyd, mergeable
+    partials), assign each corpus vector to its nearest cell
+    (map-only), then for each query probe the ``_IVF_PROBE`` nearest
+    cells and compute exact cosine only against those cells' members —
+    candidate volume ≈ probe/lists of the corpus (~6% measured). The
+    cell assignment shuffles nothing; the probe join shuffles on cell
+    id. Recall < 1 by design → rows-only check (re-rank exactness is
+    covered by ``similarity_topk_cosine``).
+    """
+    cells, probed = _ivf_cells_and_probes(spark, sf_dir)
     cos = cosine_similarity(F.col("qe"), F.col("ce"))
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (

@@ -12,7 +12,10 @@ from __future__ import annotations
 import pytest
 
 from frinesis_spark.operators.similarity import (
+    _N_QUERIES,
     _TOP_K,
+    ivf_candidate_pairs,
+    lsh_candidate_pairs,
     q_similarity_ann_ivf,
     q_similarity_ann_lsh,
     q_similarity_topk_cosine,
@@ -33,7 +36,7 @@ def exact(spark, sf_dir):
 
 @pytest.mark.parametrize(
     "fn,min_recall",
-    [(q_similarity_ann_lsh, 0.5), (q_similarity_ann_ivf, 0.5)],
+    [(q_similarity_ann_lsh, 0.5), (q_similarity_ann_ivf, 0.7)],
     ids=["lsh", "ivf"],
 )
 def test_ann_recall(spark, sf_dir, exact, fn, min_recall):
@@ -45,6 +48,26 @@ def test_ann_recall(spark, sf_dir, exact, fn, min_recall):
         total += len(truth)
     recall = hits / total
     assert recall >= min_recall, f"recall@{_TOP_K} = {recall:.2f}"
+
+
+@pytest.mark.parametrize(
+    "pairs_fn,max_fraction",
+    [(lsh_candidate_pairs, 0.25), (ivf_candidate_pairs, 0.10)],
+    ids=["lsh", "ivf"],
+)
+def test_ann_candidate_fraction(spark, sf_dir, pairs_fn, max_fraction):
+    """The sub-linearity claim, measured: candidate pairs examined per
+    query must be a small fraction of the corpus (all-pairs would be
+    fraction 1.0). IVF is the headline path (<10%); multi-probe LSH
+    trades a looser bound for needing no training pass."""
+    corpus_n = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    )
+    n_pairs = pairs_fn(spark, sf_dir).count()
+    fraction = n_pairs / (corpus_n * _N_QUERIES)
+    assert fraction <= max_fraction, (
+        f"candidate fraction {fraction:.3f} > {max_fraction}"
+    )
 
 
 def test_ivf_scores_are_exact_cosines(spark, sf_dir, exact):
