@@ -390,61 +390,115 @@ def q_dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Pairwise blocks for the exact cosine scan. Every unordered block
+# pair (bi ≤ bj) becomes one independent task; each row is replicated
+# to the _COS_BLOCKS pairs it participates in, so shuffle volume is
+# _COS_BLOCKS × corpus and per-task memory is 2·(n/_COS_BLOCKS)
+# vectors. At real scale grow _COS_BLOCKS ∝ n / rows-that-fit-in-one-
+# task (the task count grows as B², keeping per-task work ~constant);
+# the corpus itself is never collected anywhere.
+_COS_BLOCKS = 8
+
+
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: cosine ≥ 0.45, exact pairwise.
 
     Correctness baseline for vector dedup — exact O(n²) comparisons,
-    but executed as distributed blocked matrix products instead of a
-    row-pair join: the corpus matrix is normalized once and broadcast
-    (n·d floats — MBs up to ~10M vectors), and each partition multiplies
-    its row block against it with BLAS via ``mapInPandas``. That turns
-    ~n²·d interpreted per-pair evaluations (minutes at n=50k) into a
-    few vectorized GFLOPs (seconds). Past broadcastable corpus size the
-    exact scan stops being the tool — ``similarity_ann_lsh``
-    (similarity.py) is the 100 TB path.
+    executed as a *distributed block-pair matrix product*: rows are
+    hashed into ``_COS_BLOCKS`` blocks, each of the B·(B+1)/2 block
+    pairs is one ``applyInPandas`` group, and inside a group the two
+    blocks' sub-matrices are multiplied with BLAS. No driver-side
+    materialization and no broadcast of the corpus — the only shuffle
+    is the B-fold row replication onto block-pair keys, and per-task
+    memory is bounded by two blocks regardless of corpus size (B is
+    the scale knob; see ``_COS_BLOCKS``). Each unordered vector pair
+    lands in exactly one group, so the result is exact and
+    duplicate-free. O(n²) compute is inherent to the exact scan —
+    ``similarity_ann_ivf`` / ``similarity_ann_lsh`` (similarity.py)
+    are the sub-linear 100 TB paths.
 
     Oracle parity: dot/norms accumulate in float64; 6-dp rounding
     absorbs the summation-order difference vs DuckDB.
     """
     e = table(spark, sf_dir, "embeddings")
-    pdf = e.select("vec_id", "embedding").toPandas()
+    B = _COS_BLOCKS
+    blocked = e.select(
+        "vec_id",
+        "embedding",
+        F.pmod(F.xxhash64("vec_id"), F.lit(B)).cast("int").alias("blk"),
+    )
+    # Each row joins every block pair {min(blk,o), max(blk,o)}; the
+    # diagonal pair (blk, blk) appears once after array_distinct.
+    pair_list = F.array_distinct(
+        F.expr(
+            f"transform(sequence(0, {B - 1}),"
+            " o -> struct(least(blk, o) AS bi, greatest(blk, o) AS bj))"
+        )
+    )
+    expanded = blocked.select(
+        "vec_id", "embedding", "blk", F.explode(pair_list).alias("p")
+    ).select("vec_id", "embedding", "blk", "p.bi", "p.bj")
 
-    import numpy as np
+    # Sub-block the matmul so the cos matrix stays ~chunk × |block|
+    # doubles even when a block holds millions of rows.
+    chunk = 2048
 
-    ids = pdf["vec_id"].to_numpy(np.int64)
-    m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
-    m /= np.linalg.norm(m, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, m))
-
-    # Block rows so the cos matrix stays ~blk × n doubles regardless of
-    # Arrow batch size (65k-row batches × 50k corpus would be 26 GB).
-    blk = 2048
-
-    def gen(batches):
+    def block_pairs(key, pdf):
+        import numpy as np
         import pandas as pd
 
-        b_ids, bm = bc.value
-        for chunk in batches:
-            a_ids = chunk["vec_id"].to_numpy(np.int64)
-            am = np.vstack(chunk["embedding"].to_numpy()).astype(np.float64)
-            am /= np.linalg.norm(am, axis=1, keepdims=True)
-            for s in range(0, len(a_ids), blk):
-                cos = am[s : s + blk] @ bm.T
-                keep = (cos >= 0.45) & (
-                    a_ids[s : s + blk, None] < b_ids[None, :]
-                )
-                ai, bi = np.nonzero(keep)
-                yield pd.DataFrame(
+        bi, bj = key
+        ids = pdf["vec_id"].to_numpy(np.int64)
+        m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        if bi == bj:
+            a_idx = b_idx = np.arange(len(ids))
+        else:
+            blk = pdf["blk"].to_numpy()
+            a_idx = np.nonzero(blk == bi)[0]
+            b_idx = np.nonzero(blk == bj)[0]
+        a_ids, b_ids = ids[a_idx], ids[b_idx]
+        am, bm = m[a_idx], m[b_idx]
+        out = []
+        for s in range(0, len(a_ids), chunk):
+            cos = am[s : s + chunk] @ bm.T
+            hot = cos >= 0.45
+            # One matmul serves both pair orientations: emit with the
+            # smaller vec_id first, whichever side it came from.
+            lt = a_ids[s : s + chunk, None] < b_ids[None, :]
+            ai, bix = np.nonzero(hot & lt)
+            out.append(
+                pd.DataFrame(
                     {
                         "a_id": a_ids[s + ai],
-                        "b_id": b_ids[bi],
-                        "cos_sim": np.round(cos[ai, bi], 6),
+                        "b_id": b_ids[bix],
+                        "cos_sim": np.round(cos[ai, bix], 6),
                     }
                 )
+            )
+            if bi != bj:
+                ai, bix = np.nonzero(hot & ~lt)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "a_id": b_ids[bix],
+                            "b_id": a_ids[s + ai],
+                            "cos_sim": np.round(cos[ai, bix], 6),
+                        }
+                    )
+                )
+        if not out:
+            return pd.DataFrame(
+                {
+                    "a_id": pd.Series(dtype="int64"),
+                    "b_id": pd.Series(dtype="int64"),
+                    "cos_sim": pd.Series(dtype="float64"),
+                }
+            )
+        return pd.concat(out, ignore_index=True)
 
-    par = spark.sparkContext.defaultParallelism
-    return e.select("vec_id", "embedding").repartition(par).mapInPandas(
-        gen, "a_id long, b_id long, cos_sim double"
+    return expanded.groupBy("bi", "bj").applyInPandas(
+        block_pairs, "a_id long, b_id long, cos_sim double"
     )
 
 
