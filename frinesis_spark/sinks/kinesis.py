@@ -62,8 +62,14 @@ class KinesisSinkConfig:
     # A9 shedding knobs (hardcoded in the reference, batchproducer.go:354-357).
     shed_after_consecutive_errors: int = 5
     shed_buffer_ratio: float = 0.95
-    # A7 backoff (batchproducer.go:334-344).
+    # A7 backoff (batchproducer.go:334-344). Capped: uncapped doubling
+    # reaches 25.6s at 10 consecutive errors and would blow straight
+    # through any drain deadline.
     backoff_initial_s: float = 0.05
+    backoff_max_s: float = 2.0
+    # A15: periodic stats emission during drains (StatInterval,
+    # batchproducer.go:235-239, :458-470).
+    stat_interval_s: float = 1.0
 
     def validate(self) -> None:
         if not 1 <= self.batch_size <= MAX_KINESIS_BATCH_SIZE:
@@ -188,6 +194,8 @@ class BatchProducer:
         self._buffer: list[tuple[bytes, str, int]] = []
         self.consecutive_errors = 0
         self.stats = ProducerStats()
+        # A15 ticker: last periodic stats emission (clock units).
+        self._last_stat_emit = self.clock()
 
     # -- A3: buffered ingest with backpressure policy ------------------
     def add(self, data: bytes, partition_key: str | None = None) -> None:
@@ -218,7 +226,9 @@ class BatchProducer:
         while self._buffer:
             if deadline is not None and self.clock() >= deadline:
                 break
-            progressed = self._send_batch(MAX_KINESIS_BATCH_SIZE)
+            progressed = self._send_batch(
+                MAX_KINESIS_BATCH_SIZE, deadline=deadline
+            )
             if not progressed and not self._buffer:
                 break
         if send_stats:
@@ -226,23 +236,35 @@ class BatchProducer:
         return self.stats.records_sent - sent_before, len(self._buffer)
 
     # -- A4/A6/A7/A8/A9: one batched PutRecords round-trip --------------
-    def _send_batch(self, batch_size: int) -> int:
+    def _send_batch(self, batch_size: int, deadline: float | None = None) -> int:
         """Send ≤batch_size records; returns how many left the buffer
-        for good (sent or dropped)."""
+        for good (sent or dropped). ``deadline`` (clock units) bounds
+        the backoff sleep so a drain deadline stays a real deadline."""
         if not self._buffer:
             return 0
 
         # A7: exponential backoff while in an error run
-        # (batchproducer.go:334-344): 50ms doubling per consecutive error.
+        # (batchproducer.go:334-344): 50ms doubling per consecutive
+        # error, capped at backoff_max_s, and clamped to the remaining
+        # flush deadline — a deep error run must not sleep past it.
         if self.consecutive_errors > 0:
-            delay = self.config.backoff_initial_s * (
-                2 ** (self.consecutive_errors - 1)
+            delay = min(
+                self.config.backoff_initial_s
+                * (2 ** (self.consecutive_errors - 1)),
+                self.config.backoff_max_s,
             )
+            if deadline is not None:
+                delay = min(delay, max(0.0, deadline - self.clock()))
             self.stats.events.append(
                 f"backoff {delay * 1000:.0f}ms after "
                 f"{self.consecutive_errors} consecutive errors"
             )
-            self.sleep(delay)
+            if delay > 0:
+                self.sleep(delay)
+
+        # A15: tick on every drain iteration (success or error run), so
+        # slow AND failing drains both surface periodic snapshots.
+        self._tick_stats()
 
         take = min(batch_size, len(self._buffer), MAX_KINESIS_BATCH_SIZE)
         batch = self._buffer[:take]
@@ -283,6 +305,21 @@ class BatchProducer:
             self.stats.records_sent += len(batch)
             return len(batch)
 
+        # API contract guard: PutRecords must answer one result per
+        # request record. zip() would silently truncate on a short
+        # Records array — records that already left the buffer would be
+        # neither sent, dropped, nor requeued (silent loss). Treat a
+        # malformed response as a whole-call failure and requeue.
+        if len(records) != len(batch):
+            self.stats.kinesis_errors += 1
+            self.consecutive_errors += 1
+            self.stats.events.append(
+                f"malformed put_records response: {len(records)} results "
+                f"for {len(batch)} records; requeued batch"
+            )
+            self._requeue(batch)
+            return 0
+
         # A6/A8: partial failure — split success/failed, requeue failed
         # with attempt accounting, drop at max attempts
         # (batchproducer.go:370-381, :438-456).
@@ -311,6 +348,16 @@ class BatchProducer:
         # Requeue at the back — explicitly ordering-unsafe, like the
         # reference (batchproducer.go:360, :425-426, :434-437).
         self._buffer.extend(records)
+
+    def _tick_stats(self) -> None:
+        """A15 periodic ticker: emit a stats snapshot once per
+        ``stat_interval_s`` while batches are moving, so a monitoring
+        consumer sees progress DURING a long drain, not only at its end
+        (StatInterval loop, batchproducer.go:235-239, :458-470)."""
+        now = self.clock()
+        if now - self._last_stat_emit >= self.config.stat_interval_s:
+            self._last_stat_emit = now
+            self._emit_stats()
 
     def _emit_stats(self) -> None:
         self.stats.buffer_size = len(self._buffer)

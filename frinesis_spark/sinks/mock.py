@@ -18,6 +18,7 @@ tests (integration_test.go:112-143).
 
 from __future__ import annotations
 
+import base64
 import json
 import os
 import time
@@ -76,9 +77,13 @@ class MockKinesisClient:
                             {
                                 "stream": StreamName,
                                 "partition_key": rec["PartitionKey"],
-                                "data": bytes(rec["Data"]).decode(
-                                    "utf-8", "replace"
-                                ),
+                                # base64, not utf-8-replace: the source
+                                # schema advertises `data binary`, so
+                                # the store must roundtrip arbitrary
+                                # bytes, not just text payloads.
+                                "data_b64": base64.b64encode(
+                                    bytes(rec["Data"])
+                                ).decode("ascii"),
                             }
                         )
                         + "\n"
@@ -108,6 +113,11 @@ class MockKinesisClient:
             # so positioned restarts — the streaming-offset contract —
             # resolve directly.
             pos = int(kw["StartingSequenceNumber"])
+        elif ShardIteratorType == "AFTER_SEQUENCE_NUMBER":
+            # Real Kinesis resume semantics: sequence numbers are
+            # opaque, so a restart says "after the last one I read" —
+            # the streaming readers store that, never seq+1 arithmetic.
+            pos = int(kw["StartingSequenceNumber"]) + 1
         else:
             raise AssertionError(f"unsupported {ShardIteratorType}")
         return {"ShardIterator": f"{StreamName}|{ShardId}|{pos}"}
@@ -123,7 +133,7 @@ class MockKinesisClient:
                 {
                     "SequenceNumber": str(start + i),
                     "PartitionKey": r["partition_key"],
-                    "Data": r["data"].encode("utf-8"),
+                    "Data": r["data"],
                 }
                 for i, r in enumerate(chunk)
             ],
@@ -152,7 +162,8 @@ class MockClientFactory:
 def read_back(store_dir: str) -> list[dict]:
     """All records 'delivered' to the mock, any order — the multiset
     the reference compares against sent messages
-    (integration_test.go:151-157)."""
+    (integration_test.go:151-157). ``data`` is returned as the exact
+    ``bytes`` that were sent (base64 store roundtrip)."""
     out: list[dict] = []
     if not os.path.isdir(store_dir):
         return out
@@ -160,5 +171,10 @@ def read_back(store_dir: str) -> list[dict]:
     for name in sorted(os.listdir(store_dir)):
         if name.endswith(".jsonl"):
             with open(os.path.join(store_dir, name)) as f:
-                out.extend(json.loads(line) for line in f if line.strip())
+                for line in f:
+                    if not line.strip():
+                        continue
+                    rec = json.loads(line)
+                    rec["data"] = base64.b64decode(rec.pop("data_b64"))
+                    out.append(rec)
     return out

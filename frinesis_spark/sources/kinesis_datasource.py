@@ -151,8 +151,17 @@ class KinesisDataSourceWriter(DataSourceWriter):
 
 
 class KinesisSimpleStreamReader(SimpleDataSourceStreamReader):
-    """Micro-batch incremental reads; offset = {shard_id: next position
-    (sequence number) to read}."""
+    """Micro-batch incremental reads; offset = {shard_id: last-read
+    sequence number, or "" before any read}.
+
+    Kinesis sequence numbers are **opaque and non-contiguous**, so the
+    offset stores the last sequence number actually read and resumes
+    with ``AFTER_SEQUENCE_NUMBER`` — never seq+1 arithmetic (which only
+    holds for log-offset mocks and is an ``InvalidArgumentException``
+    against the real API). Shards are re-listed at every ``read`` so a
+    resharded stream's new shards enter the offset map (from
+    TRIM_HORIZON) on the next micro-batch.
+    """
 
     def __init__(self, options: dict):
         self.options = dict(options)
@@ -162,10 +171,17 @@ class KinesisSimpleStreamReader(SimpleDataSourceStreamReader):
     def initialOffset(self) -> dict:
         from frinesis_spark.sources.kinesis import list_shard_ids
 
-        return {s: 0 for s in list_shard_ids(self.factory(), self.stream)}
+        return {s: "" for s in list_shard_ids(self.factory(), self.stream)}
 
-    def _read_shard_from(self, client, shard_id: str, pos: int):
-        if pos == 0:
+    def _read_shard_from(
+        self, client, shard_id: str, pos: str, stop_seq: str | None = None
+    ):
+        """Drain one shard from ``pos`` ("" → TRIM_HORIZON, else the
+        last-read sequence number → AFTER_SEQUENCE_NUMBER). Returns
+        (rows, last-read seq). With ``stop_seq``, stops after emitting
+        that record (inclusive replay bound for ``readBetweenOffsets``
+        — no ordering assumption on the opaque sequence numbers)."""
+        if not pos:
             it = client.get_shard_iterator(
                 StreamName=self.stream,
                 ShardId=shard_id,
@@ -175,47 +191,57 @@ class KinesisSimpleStreamReader(SimpleDataSourceStreamReader):
             it = client.get_shard_iterator(
                 StreamName=self.stream,
                 ShardId=shard_id,
-                ShardIteratorType="AT_SEQUENCE_NUMBER",
+                ShardIteratorType="AFTER_SEQUENCE_NUMBER",
                 StartingSequenceNumber=str(pos),
             )["ShardIterator"]
-        rows, nxt = [], pos
+        rows, last = [], pos
         while it:
             resp = client.get_records(ShardIterator=it, Limit=10_000)
             for rec in resp.get("Records", []):
+                last = str(rec["SequenceNumber"])
                 rows.append(
                     (
                         self.stream,
                         shard_id,
-                        rec.get("SequenceNumber"),
+                        last,
                         rec.get("PartitionKey"),
                         bytes(rec.get("Data") or b""),
                     )
                 )
-                nxt = int(rec["SequenceNumber"]) + 1
+                if stop_seq is not None and last == stop_seq:
+                    return rows, last
             it = resp.get("NextShardIterator")
             if not resp.get("Records") and not resp.get("MillisBehindLatest"):
                 break
-        return rows, nxt
+        return rows, last
 
     def read(self, start: dict):
+        from frinesis_spark.sources.kinesis import list_shard_ids
+
         client = self.factory()
+        positions = dict(start)
+        # Resharding pickup: new shards start from TRIM_HORIZON.
+        for shard_id in list_shard_ids(client, self.stream):
+            positions.setdefault(shard_id, "")
         rows: list = []
         end: dict = {}
-        for shard_id, pos in start.items():
-            shard_rows, nxt = self._read_shard_from(client, shard_id, int(pos))
+        for shard_id, pos in positions.items():
+            shard_rows, last = self._read_shard_from(client, shard_id, pos)
             rows.extend(shard_rows)
-            end[shard_id] = nxt
+            end[shard_id] = last
         return iter(rows), end
 
     def readBetweenOffsets(self, start: dict, end: dict):
         client = self.factory()
         rows: list = []
-        for shard_id, pos in start.items():
-            stop = int(end.get(shard_id, pos))
-            shard_rows, _ = self._read_shard_from(client, shard_id, int(pos))
-            rows.extend(
-                r for r in shard_rows if int(r[2]) < stop
+        for shard_id, stop in end.items():
+            pos = start.get(shard_id, "")
+            if not stop or stop == pos:
+                continue  # shard had no data in this batch
+            shard_rows, _ = self._read_shard_from(
+                client, shard_id, pos, stop_seq=str(stop)
             )
+            rows.extend(shard_rows)
         return iter(rows)
 
     def commit(self, end: dict) -> None:

@@ -172,3 +172,68 @@ def test_stream_reader_incremental(registered, tmp_path):
         assert got == sorted([f"a{i}" for i in range(5)] + [f"b{i}" for i in range(3)])
     finally:
         q.stop()
+
+
+def test_binary_payload_roundtrip(registered, tmp_path):
+    """`data binary` means arbitrary bytes: non-UTF-8 payloads must
+    survive the store roundtrip exactly (base64 JSONL store — a
+    utf-8/replace store corrupts them silently)."""
+    spark = registered
+    store = str(tmp_path / "bstore")
+    payloads = [bytes([0xFF, 0x00, 0x9C, i]) for i in range(8)]
+    df = spark.createDataFrame(
+        [(p, f"pk{i}") for i, p in enumerate(payloads)],
+        "data binary, partition_key string",
+    )
+    (
+        df.write.format(FORMAT_NAME)
+        .option("stream", "bin")
+        .option("mock_store_dir", store)
+        .mode("append")
+        .save()
+    )
+    back = (
+        spark.read.format(FORMAT_NAME)
+        .option("stream", "bin")
+        .option("mock_store_dir", store)
+        .load()
+    )
+    assert sorted(bytes(r.data) for r in back.collect()) == sorted(payloads)
+
+
+def test_stream_reader_restart_resumes_after_last_seq(registered, tmp_path):
+    """Checkpoint restart: the offset stores the last-READ sequence
+    number (opaque-string contract, resumed AFTER_SEQUENCE_NUMBER) —
+    a restarted query delivers only records appended after it."""
+    spark = registered
+    store = str(tmp_path / "rstore")
+    ckpt = str(tmp_path / "rckpt")
+    out = str(tmp_path / "rout")
+    _write(spark, store, [f"a{i}" for i in range(4)], stream="s3")
+
+    def run_until_available():
+        # File sink: the memory sink can't recover from a checkpoint.
+        q = (
+            spark.readStream.format(FORMAT_NAME)
+            .option("stream", "s3")
+            .option("mock_store_dir", store)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_until_available()
+    assert spark.read.parquet(out).count() == 4
+
+    _write(spark, store, ["b0", "b1"], stream="s3")
+    run_until_available()
+    rows = spark.read.parquet(out).select("data").collect()
+    got = sorted(bytes(r.data).decode() for r in rows)
+    # exactly-once across the restart: no horizon re-read, no dupes
+    assert got == sorted([f"a{i}" for i in range(4)] + ["b0", "b1"])

@@ -1,0 +1,139 @@
+"""Real-endpoint Kinesis integration tests — the reference's own
+gating pattern (README.md:30-40): skipped unless ``KINESIS_ENDPOINT``
+points at a live Kinesis API (localstack / kinesalite), then run the
+reference's delivery scenarios against it
+(integration_test.go:159-198):
+
+- **TestSend**   — producer → flush → shard read-back, order-
+  insensitive multiset equality (:151-157);
+- **TestRestart** — deliveries interleaved with producer restarts
+  (A12) all arrive exactly once.
+
+Unlike the mock-backed unit tests, these exercise the real boto3 wire
+shape (``Records``/``FailedRecordCount`` casing, binary ``Data``
+encoding, stream lifecycle control-plane calls) — the layer the mock
+is silent on. Read-back goes through the engine's own shard-drain
+loop (sources/kinesis.py), so both directions of the wire are covered.
+
+Run (reference README):
+    docker-compose up -d     # localstack
+    export KINESIS_ENDPOINT=localhost:4566
+    python -m pytest tests/test_kinesis_integration.py -v
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+import pytest
+
+try:
+    import boto3  # noqa: F401
+
+    _HAVE_BOTO3 = True
+except ImportError:
+    _HAVE_BOTO3 = False
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("KINESIS_ENDPOINT") or not _HAVE_BOTO3,
+    reason=(
+        "real-endpoint integration tests: set KINESIS_ENDPOINT "
+        "(localstack/kinesalite) and install boto3 — the reference's "
+        "own gating (README.md:30-40)"
+    ),
+)
+
+_ACTIVE_WAIT_S = 60
+
+
+@pytest.fixture()
+def kin():
+    from frinesis_spark.sinks.kinesis import make_boto3_client_factory
+
+    env = dict(os.environ)
+    env.setdefault("AWS_REGION_NAME", "us-east-1")
+    return make_boto3_client_factory(env)()
+
+
+@pytest.fixture()
+def stream(kin, request):
+    """Create a 1-shard stream, wait ACTIVE, delete on teardown —
+    integration_test.go:71-109."""
+    name = f"{request.node.name}.topic.{uuid.uuid4().hex[:6]}".replace(
+        "/", "."
+    )
+    kin.create_stream(StreamName=name, ShardCount=1)
+    deadline = time.monotonic() + _ACTIVE_WAIT_S
+    while True:
+        desc = kin.describe_stream(StreamName=name)["StreamDescription"]
+        if desc["StreamStatus"] == "ACTIVE":
+            break
+        if time.monotonic() > deadline:
+            pytest.fail(f"stream {name} not ACTIVE after {_ACTIVE_WAIT_S}s")
+        time.sleep(1)
+    yield name
+    kin.delete_stream(StreamName=name)
+
+
+def _read_back(kin, stream_name: str, expected: int, timeout_s: float = 30):
+    """Drain the stream through the engine's own shard read loop until
+    ``expected`` records arrive (integration_test.go:112-143)."""
+    from frinesis_spark.sources.kinesis import _drain_shard, list_shard_ids
+
+    got: list[str] = []
+    deadline = time.monotonic() + timeout_s
+    while len(got) < expected and time.monotonic() < deadline:
+        got = [
+            row[4].decode()
+            for shard in list_shard_ids(kin, stream_name)
+            for row in _drain_shard(kin, stream_name, shard, 10_000)
+        ]
+        if len(got) < expected:
+            time.sleep(1)
+    return got
+
+
+def _multiset(items):
+    out: dict[str, int] = {}
+    for x in items:
+        out[x] = out.get(x, 0) + 1
+    return out
+
+
+def test_send(kin, stream):
+    """TestSend (integration_test.go:159-173): everything added before
+    Close arrives, order-insensitively."""
+    from frinesis_spark.sinks.kinesis import BatchProducer
+
+    expected = ["time", "to", "test out", "our", "kinesis stream!"]
+    prod = BatchProducer(kin, stream)
+    for m in expected:
+        prod.add(m.encode())
+    sent, remaining = prod.flush(timeout_s=30)  # Close (A11)
+    assert remaining == 0, f"{remaining} records undelivered at close"
+
+    received = _read_back(kin, stream, len(expected))
+    assert _multiset(received) == _multiset(expected)
+
+
+def test_restart(kin, stream):
+    """TestRestart (integration_test.go:176-198): sends interleaved
+    with restarts (A12 — a fresh producer over the same stream) all
+    arrive exactly once."""
+    from frinesis_spark.sinks.kinesis import BatchProducer
+
+    expected = ["testing", "a restart", "between", "message sends"]
+
+    prod = BatchProducer(kin, stream)
+    prod.add(expected[0].encode())
+    assert prod.flush(timeout_s=30)[1] == 0  # Close
+
+    prod = BatchProducer(kin, stream)  # Restart
+    for m in expected[1:]:
+        prod.add(m.encode())
+    assert prod.flush(timeout_s=30)[1] == 0  # Close
+
+    received = _read_back(kin, stream, len(expected))
+    assert _multiset(received) == _multiset(expected)

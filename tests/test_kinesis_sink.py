@@ -221,11 +221,11 @@ def test_writer_end_to_end_multiset(spark, tmp_path):
     assert all(r["n_remaining"] == 0 for r in stats.values())
     # order-insensitive multiset compare (integration_test.go:151-157)
     delivered = read_back(store)
-    assert sorted(d["data"] for d in delivered) == sorted(
+    assert sorted(d["data"].decode() for d in delivered) == sorted(
         f"payload_{i}" for i in range(1000)
     )
     # per-topic stream routing (A1): payload i went to stream i%3
-    assert {(d["stream"], d["data"]) for d in delivered} == {
+    assert {(d["stream"], d["data"].decode()) for d in delivered} == {
         (f"topic_{i % 3}", f"payload_{i}") for i in range(1000)
     }
 
@@ -281,3 +281,102 @@ def test_streaming_restart_from_checkpoint(spark, tmp_path):
     ).write.parquet(src + "/b1")
     run_once()
     assert len(read_back(store)) == 80
+
+
+def test_stats_ticker_emits_during_slow_drain():
+    """A15 periodic emission (StatInterval, batchproducer.go:235-239,
+    :458-470): a long drain surfaces >= 2 snapshots WHILE running, not
+    just the end-of-flush one — ported from the stats-timing scenarios
+    of batchproducer_test.go:385-571."""
+    snapshots = []
+    clock = FakeClock()
+    client = MockKinesisClient(sleep_for_s=0.7, advance_clock=clock.advance)
+    cfg = KinesisSinkConfig(buffer_size=5000, stat_interval_s=1.0)
+    prod = BatchProducer(
+        client,
+        "t",
+        cfg,
+        stat_receiver=lambda s: snapshots.append(s.records_sent),
+        clock=clock,
+        sleep=clock.advance,
+    )
+    for i in range(3000):  # 6 put calls x 0.7s = 4.2s of drain
+        prod.add(b"x")
+    sent, remaining = prod.flush()  # no end-of-flush emission (send_stats off)
+    assert (sent, remaining) == (3000, 0)
+    # ticks at t>=1.0, >=2.1, >=3.5 → at least 2 mid-drain snapshots,
+    # with strictly growing progress visible to the consumer
+    assert len(snapshots) >= 2
+    assert snapshots == sorted(snapshots)
+    assert snapshots[-1] < 3000 or len(snapshots) > 1
+
+
+def test_backoff_is_capped():
+    """Uncapped 0.05*2^(n-1) reaches 25.6s at n=10; the cap bounds any
+    single backoff sleep at backoff_max_s."""
+    prod, client, clock = make_producer(buffer_size=100, backoff_max_s=2.0)
+    client.should_err = True
+    prod.add(b"x")
+    for _ in range(12):
+        prod._send_batch(500)
+    t0 = clock()
+    prod._send_batch(500)  # 13th failure: uncapped would be ~204s
+    assert clock() - t0 == pytest.approx(2.0)
+
+
+def test_backoff_clamped_to_flush_deadline():
+    """A deep error run must not sleep past the drain deadline: flush()
+    with timeout_s returns within ~the budget even while every call
+    fails (the deadline is real, not advisory)."""
+    prod, client, clock = make_producer(buffer_size=100, backoff_max_s=60.0)
+    client.should_err = True
+    prod.consecutive_errors = 10  # next uncapped delay: 25.6s
+    for i in range(5):
+        prod.add(b"x")
+    t0 = clock()
+    sent, remaining = prod.flush(timeout_s=3.0)
+    assert sent == 0 and remaining == 5
+    # slept at most to the deadline + one final (unslept) attempt
+    assert clock() - t0 <= 3.0 + 1e-6
+
+
+def test_malformed_response_requeues_batch():
+    """PutRecords answering fewer results than request records is a
+    broken client contract: the batch must be requeued (counted as a
+    call failure), never zip-truncated into silent loss."""
+
+    class ShortResponseClient:
+        def __init__(self):
+            self.calls = 0
+
+        def put_records(self, Records, StreamName):  # noqa: N803
+            self.calls += 1
+            if self.calls == 1:
+                return {
+                    "FailedRecordCount": 1,
+                    "Records": [
+                        {"ErrorCode": "InternalFailure", "ErrorMessage": "x"}
+                    ],  # 1 result for len(Records) records
+                }
+            return {
+                "FailedRecordCount": 0,
+                "Records": [
+                    {"SequenceNumber": "1", "ShardId": "shard-0"}
+                    for _ in Records
+                ],
+            }
+
+    clock = FakeClock()
+    client = ShortResponseClient()
+    prod = BatchProducer(
+        client, "t", KinesisSinkConfig(), clock=clock, sleep=clock.advance
+    )
+    for i in range(5):
+        prod.add(f"m{i}".encode())
+    assert prod._send_batch(500) == 0  # malformed → whole-call failure
+    assert prod.stats.kinesis_errors == 1
+    assert prod.consecutive_errors == 1
+    assert len(prod._buffer) == 5  # all requeued, nothing lost
+    assert any("malformed" in e for e in prod.stats.events)
+    sent, remaining = prod.flush()
+    assert (sent, remaining) == (5, 0)  # healthy retry delivers all
