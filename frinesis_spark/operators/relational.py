@@ -384,7 +384,14 @@ def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("o_orderstatus", ["O", "F", "P"])
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            # Decimal-exact money sum (module rule): a plain double
+            # fold is order-dependent and can land on a 2dp rounding
+            # boundary, flaking hash parity at larger SFs.
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(28,6)")), 2
+            )
+            .cast("double")
+            .alias("total"),
         )
     )
     # Empty cells: Spark pivot yields NULL counts where conditional
@@ -945,9 +952,12 @@ ORACLE = {
                CAST(COUNT(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS O_n,
                CAST(COUNT(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS F_n,
                CAST(COUNT(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS P_n,
-               ROUND(SUM(o_totalprice) FILTER (o_orderstatus = 'O'), 2) AS O_total,
-               ROUND(SUM(o_totalprice) FILTER (o_orderstatus = 'F'), 2) AS F_total,
-               ROUND(SUM(o_totalprice) FILTER (o_orderstatus = 'P'), 2) AS P_total
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+                          FILTER (o_orderstatus = 'O'), 2) AS DOUBLE) AS O_total,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+                          FILTER (o_orderstatus = 'F'), 2) AS DOUBLE) AS F_total,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+                          FILTER (o_orderstatus = 'P'), 2) AS DOUBLE) AS P_total
         FROM orders
         GROUP BY o_orderpriority
     """,
