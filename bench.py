@@ -105,17 +105,48 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+
+    # Regression anchor: compare against the newest BENCH_r{N}.json
+    # (same sf only) and flag >1.5x per-query slowdowns. Ratios ride
+    # along in the JSON so every round's bench is self-auditing.
+    prev = _load_prev_bench(Path(__file__).resolve().parent, sf)
+    if prev:
+        vs_prev = {
+            name: round(t / prev[name], 2)
+            for name, t in timings.items()
+            if prev.get(name)
+        }
+        out["vs_prev"] = vs_prev
+        out["regressions"] = {
+            name: r for name, r in vs_prev.items() if r > 1.5
+        }
+    print(json.dumps(out))
+
+
+def _load_prev_bench(repo: Path, sf: float) -> dict[str, float] | None:
+    """Per-query times from the newest BENCH_r{N}.json at the same sf."""
+    best: tuple[int, dict] | None = None
+    for p in repo.glob("BENCH_r*.json"):
+        m = re.match(r"BENCH_r(\d+)\.json", p.name)
+        if not m:
+            continue
+        try:
+            parsed = json.loads(p.read_text()).get("parsed") or {}
+        except (OSError, json.JSONDecodeError):
+            continue
+        if parsed.get("sf") != sf or not parsed.get("queries"):
+            continue
+        n = int(m.group(1))
+        if best is None or n > best[0]:
+            best = (n, parsed["queries"])
+    return best[1] if best else None
 
 
 if __name__ == "__main__":

@@ -103,6 +103,16 @@ try:
     HAVE_TWS_DEPS = True
 except ImportError:  # pragma: no cover - environment-dependent
     HAVE_TWS_DEPS = False
+    import sys
+
+    # Loud, grep-able marker so every round's driver log shows WHY this
+    # query has no correctness row (probed each round; auto-registers
+    # the moment the container's protobuf install is fixed).
+    sys.stderr.write(
+        "GATED OFF: stream_tws_user_profile — google.protobuf "
+        "unimportable in this environment; transformWithStateInPandas "
+        "worker protocol needs it (frinesis_spark/streaming/tws.py)\n"
+    )
 
 QUERIES = (
     {"stream_tws_user_profile": q_stream_tws_user_profile}
