@@ -26,27 +26,60 @@ TABLES = (
 )
 
 
+_TS_UNIT_CACHE: dict[str, str] = {}
+
+
+def events_ts_unit(path: str) -> str:
+    """Physical parquet type of ``events.ts``, probed from the footer.
+
+    Returns ``"ns"`` (TIMESTAMP(NANOS) — Spark's vectorized reader
+    rejects it, so we must read nanos-as-long), or ``"ts"`` for any
+    native timestamp precision Spark loads directly. The fixture has
+    drifted between rounds (ns in r1, µs since r2), so this is probed,
+    never assumed. Footer-only read: O(KB) regardless of file size.
+    """
+    cached = _TS_UNIT_CACHE.get(path)
+    if cached is not None:
+        return cached
+    import pyarrow.parquet as pq
+
+    probe = path
+    if os.path.isdir(path):
+        names = sorted(n for n in os.listdir(path) if n.endswith(".parquet"))
+        probe = os.path.join(path, names[0])
+    t = pq.read_schema(probe).field("ts").type
+    unit = getattr(t, "unit", None)
+    out = "ns" if unit == "ns" else "ts"
+    _TS_UNIT_CACHE[path] = out
+    return out
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table of the schema as a DataFrame (lazy parquet scan).
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). We read it as
-    raw nanos (``spark.sql.legacy.parquet.nanosAsLong``) and convert to
-    timestamp_ntz via integer division — lossless here because the
-    generator emits µs-precision values (verified: no sub-µs component),
-    and integer ``div`` avoids the double-rounding a ``/1000`` would hit
-    on ~1.7e18 nanos epochs.
+    ``events.ts`` is normalized to TIMESTAMP_NTZ whatever the fixture
+    writes: parquet TIMESTAMP(NANOS) is read as raw nanos
+    (``spark.sql.legacy.parquet.nanosAsLong`` — the vectorized reader
+    rejects ns timestamps) and converted with integer ``div`` (lossless:
+    the generator emits µs-precision values); native µs timestamps pass
+    straight through with a no-op-or-tz-strip cast. The branch is driven
+    by a footer probe (:func:`events_ts_unit`), not a hard-coded
+    assumption — the fixture changed ns→µs between rounds once already.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         from pyspark.sql import functions as F
 
-        return df.withColumn(
-            "ts", F.expr("CAST(timestamp_micros(ts div 1000) AS timestamp_ntz)")
-        )
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if events_ts_unit(path) == "ns":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(path)
+            return df.withColumn(
+                "ts", F.expr("CAST(timestamp_micros(ts div 1000) AS timestamp_ntz)")
+            )
+        df = spark.read.parquet(path)
+        return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

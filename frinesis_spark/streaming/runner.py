@@ -41,18 +41,29 @@ def events_stream(
 ) -> DataFrame:
     """Unbounded DataFrame replaying the events table.
 
-    ``ts`` arrives as raw nanos (see catalog.table) and becomes
-    TimestampType (session-UTC) — watermarks require TIMESTAMP, not
-    TIMESTAMP_NTZ. Cast outputs back to timestamp_ntz for oracle parity.
+    Watermarks require TIMESTAMP, not TIMESTAMP_NTZ, so ``ts`` is
+    normalized to TimestampType (sessions pin UTC, so the ntz→timestamp
+    cast is value-preserving). The fixture's physical type is probed per
+    file footer (catalog.events_ts_unit): raw nanos-as-long get the
+    legacy ``div 1000`` conversion; native timestamps just cast.
+    Downstream queries cast outputs back to timestamp_ntz for oracle
+    parity.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from ..catalog import events_ts_unit
+
     stage = _stage_dir(sf_dir, "events")
-    schema = spark.read.parquet(os.path.join(stage, "events.parquet")).schema
+    path = os.path.join(stage, "events.parquet")
+    is_nanos = events_ts_unit(path) == "ns"
+    if is_nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     sdf = reader.parquet(stage)
-    return sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if is_nanos:
+        return sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return sdf.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def run_append_to_memory(stream_df: DataFrame, spark: SparkSession) -> DataFrame:
