@@ -41,6 +41,7 @@ def events_ts_unit(path: str) -> str:
     cached = _TS_UNIT_CACHE.get(path)
     if cached is not None:
         return cached
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     probe = path
@@ -49,7 +50,16 @@ def events_ts_unit(path: str) -> str:
         probe = os.path.join(path, names[0])
     t = pq.read_schema(probe).field("ts").type
     unit = getattr(t, "unit", None)
-    out = "ns" if unit == "ns" else "ts"
+    if unit == "ns" or t == pa.int64():
+        out = "ns"  # nanos: legacy long read + div-1000 conversion
+    elif unit in ("s", "ms", "us"):
+        out = "ts"  # Spark loads these natively
+    else:
+        raise RuntimeError(
+            f"fixture schema changed: events.ts is now {t} (expected a "
+            f"parquet timestamp or int64 nanos) — update catalog.py / "
+            f"FIXTURES.md for the new type"
+        )
     _TS_UNIT_CACHE[path] = out
     return out
 

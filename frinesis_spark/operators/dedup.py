@@ -353,11 +353,18 @@ def q_dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     label ≡ min label propagation fixpoint).
     """
     pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    # Hash-partition edges on the join key ONCE before checkpointing:
+    # every propagation round joins on (node == u), and labels leave
+    # their groupBy hash-partitioned on node, so with edges already
+    # partitioned on u the per-round join needs no Exchange on either
+    # side — the edge set (the big side at scale) shuffles exactly once
+    # for the whole algorithm instead of once per round.
     edges = (
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .unionByName(
             pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
         )
+        .repartition(F.col("u"))
         .localCheckpoint(eager=True)
     )
     labels = (

@@ -169,48 +169,73 @@ def _multiprobe(df: DataFrame, id_col: str, emb_col: str) -> DataFrame:
     """
     import itertools
 
+    import numpy as np
+
     planes = _plane_matrix()
-    flip_combos = [
+    # The flip-combo table is a constant of the geometry — hoist it once
+    # as a (n_combos, pool) 0/1 matrix so per-batch scoring is a single
+    # matmul instead of a per-(row, band) Python loop over 1,585 tuples.
+    # Row order preserves the original enumeration (size-1 combos first,
+    # lexicographic within size): with a stable argsort on the scores,
+    # equal-score ties resolve exactly as the old ``sorted`` did.
+    combo_mat = np.zeros(
+        (
+            sum(
+                len(list(itertools.combinations(range(_FLIP_POOL), r)))
+                for r in range(1, _MAX_FLIP + 1)
+            ),
+            _FLIP_POOL,
+        ),
+        dtype=np.float64,
+    )
+    for ci, comb in enumerate(
         comb
         for r in range(1, _MAX_FLIP + 1)
         for comb in itertools.combinations(range(_FLIP_POOL), r)
-    ]
+    ):
+        combo_mat[ci, list(comb)] = 1.0
 
     def gen(batches):
-        import numpy as np
         import pandas as pd
 
-        weights = 1 << np.arange(_PLANES_PER_BAND)
+        weights = (1 << np.arange(_PLANES_PER_BAND)).astype(np.int64)
+        n_extra = _N_PROBES - 1
         for pdf in batches:
             emb = np.vstack(pdf[emb_col].to_numpy()).astype(np.float64)
-            proj = emb @ planes
-            rows_id, rows_band, rows_bucket = [], [], []
-            for i in range(len(pdf)):
-                for band in range(_N_BANDS):
-                    s = slice(
-                        band * _PLANES_PER_BAND, (band + 1) * _PLANES_PER_BAND
-                    )
-                    p = proj[i, s]
-                    bits = p > 0
-                    margins = np.abs(p)
-                    pool = np.argsort(margins)[:_FLIP_POOL]
-                    sq = margins[pool] ** 2
-                    scored = sorted(
-                        flip_combos, key=lambda c: sq[list(c)].sum()
-                    )[: _N_PROBES - 1]
-                    buckets = [(bits * weights).sum()]
-                    for comb in scored:
-                        b = bits.copy()
-                        b[pool[list(comb)]] ^= True
-                        buckets.append((b * weights).sum())
-                    rows_id.extend([pdf[id_col].iloc[i]] * len(buckets))
-                    rows_band.extend([band] * len(buckets))
-                    rows_bucket.extend(buckets)
+            n = len(pdf)
+            # (rows, bands, planes-per-band) — all bands at once.
+            proj = (emb @ planes).reshape(n, _N_BANDS, _PLANES_PER_BAND)
+            bits = proj > 0
+            margins = np.abs(proj)
+            # Per (row, band): indices of the _FLIP_POOL smallest margins.
+            pool = np.argsort(margins, axis=-1)[..., :_FLIP_POOL]
+            sq = np.take_along_axis(margins, pool, axis=-1) ** 2
+            # Score every combo for every (row, band) in one matmul,
+            # then keep the n_extra lowest (stable → old tie order).
+            scores = sq @ combo_mat.T  # (rows, bands, n_combos)
+            sel = np.argsort(scores, axis=-1, kind="stable")[..., :n_extra]
+            # Flipping distinct planes == XOR with the sum of their
+            # weights; gather each selected combo's mask via the same
+            # matmul on the pooled plane weights.
+            pool_w = np.take_along_axis(
+                np.broadcast_to(weights, margins.shape), pool, axis=-1
+            ).astype(np.float64)
+            masks_all = (pool_w @ combo_mat.T).astype(np.int64)
+            masks = np.take_along_axis(masks_all, sel, axis=-1)
+            base = (bits @ weights).astype(np.int64)  # (rows, bands)
+            buckets = np.concatenate(
+                [base[..., None], base[..., None] ^ masks], axis=-1
+            )  # (rows, bands, _N_PROBES) — exact bucket first, then probes
             yield pd.DataFrame(
                 {
-                    id_col: np.asarray(rows_id, dtype=np.int64),
-                    "band_idx": np.asarray(rows_band, dtype=np.int32),
-                    "bucket": np.asarray(rows_bucket, dtype=np.int32),
+                    id_col: np.repeat(
+                        pdf[id_col].to_numpy(), _N_BANDS * _N_PROBES
+                    ).astype(np.int64),
+                    "band_idx": np.tile(
+                        np.repeat(np.arange(_N_BANDS, dtype=np.int32), _N_PROBES),
+                        n,
+                    ),
+                    "bucket": buckets.reshape(-1).astype(np.int32),
                 }
             )
 
