@@ -66,28 +66,58 @@ def events_stream(
     return sdf.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
-def run_append_to_memory(stream_df: DataFrame, spark: SparkSession) -> DataFrame:
-    """Run an append-mode streaming DataFrame to completion against a
-    memory sink; return the result as a (batch) DataFrame.
+def run_append_to_files(stream_df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Run an append-mode streaming DataFrame to completion through a
+    parquet file sink; return a lazy batch scan of the result.
+
+    Executor-to-executor path: the streamed rows land in parquet and
+    come back as a distributed scan, so result size is bounded by disk,
+    not driver memory — the memory-sink + ``collect()`` round-trip this
+    replaces put every output row through the driver, a bottleneck the
+    moment a streaming query emits more than a few MB. (The reference's
+    pipeline is likewise sink-terminated, never driver-materialized —
+    sink.go:66-140.)
 
     ``processAllAvailable`` is called twice: the second call lets the
     no-data micro-batch (which advances the watermark past the final
     data batch and flushes expired state) land deterministically.
+
+    The output directory outlives this call by design (the returned
+    DataFrame reads it lazily); it lives under the system temp dir with
+    a per-query unique name.
     """
-    name = "mem_" + uuid.uuid4().hex[:12]
-    ckpt = tempfile.mkdtemp(prefix="fs_ckpt_")
-    query = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .start()
+    outdir = os.path.join(
+        tempfile.gettempdir(), "fs_out_" + uuid.uuid4().hex[:12]
     )
+    ckpt = tempfile.mkdtemp(prefix="fs_ckpt_")
+    spark = stream_df.sparkSession
+    # Streaming gets no AQE coalescing: shuffle.partitions fixes the
+    # state-store partition count for the query's lifetime, and a
+    # default-200 session runs every micro-batch as 200 near-empty
+    # tasks. Clamp to the actual parallelism for this query (fresh
+    # checkpoint each call, so the partition count isn't pinned by
+    # prior state) and restore the session conf after. At cluster
+    # scale the same knob is sized to executor count, not left at the
+    # batch default.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    clamp = min(int(prev_parts), spark.sparkContext.defaultParallelism * 2)
+    spark.conf.set("spark.sql.shuffle.partitions", str(clamp))
     try:
-        query.processAllAvailable()
-        query.processAllAvailable()
-        rows = spark.table(name).collect()
+        query = (
+            stream_df.writeStream.format("parquet")
+            .option("path", outdir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+            query.processAllAvailable()
+        finally:
+            query.stop()
     finally:
-        query.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(ckpt, ignore_errors=True)
-    return spark.createDataFrame(rows, stream_df.schema)
+    # Explicit schema: a query with zero output rows writes no files,
+    # and schema inference on an empty directory would fail.
+    return spark.read.schema(stream_df.schema).parquet(outdir)

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from frinesis_spark.streaming.runner import events_stream, run_append_to_memory
+from frinesis_spark.streaming.runner import events_stream, run_append_to_files
 
 _GAP_S = 30 * 60.0
 _CAP = 10
@@ -82,7 +82,7 @@ def q_stream_custom_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return run_append_to_memory(out, spark)
+    return run_append_to_files(out, spark)
 
 
 QUERIES = {"stream_custom_sessionize": q_stream_custom_sessionize}

@@ -26,7 +26,7 @@ from pyspark.sql.streaming.stateful_processor import (
     StatefulProcessorHandle,
 )
 
-from frinesis_spark.streaming.runner import events_stream, run_append_to_memory
+from frinesis_spark.streaming.runner import events_stream, run_append_to_files
 
 _OUTPUT_SCHEMA = (
     "user_id long, n_events long, n_types long, max_value double"
@@ -88,7 +88,7 @@ def q_stream_tws_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="Append",
         timeMode="None",
     )
-    return run_append_to_memory(out, spark)
+    return run_append_to_files(out, spark)
 
 
 # transformWithStateInPandas drives its Python worker over a

@@ -10,9 +10,10 @@ BASELINE.json mandate, built on Spark's native event-time machinery:
   tests/test_streaming.py replays the same pipelines through a real
   ``readStream`` source and asserts equal results.
 - ``stream_watermark_late`` and ``stream_dedup_stateful`` run the REAL
-  streaming engine inside the query (file-source replay → memory
-  sink): watermark-gated append output and stateful dropDuplicates
-  are behaviors batch execution cannot emulate.
+  streaming engine inside the query (file-source replay → parquet file
+  sink → lazy scan, no driver materialization): watermark-gated append
+  output and stateful dropDuplicates are behaviors batch execution
+  cannot emulate.
 
 Scale: windowed aggregation shuffles on (window, key) — bounded state
 per key; watermarks bound state size on unbounded streams, which is
@@ -27,7 +28,7 @@ from pyspark.sql import functions as F
 
 from frinesis_spark.catalog import table
 from frinesis_spark.functions.numeric import dsum, oracle_dsum
-from frinesis_spark.streaming.runner import events_stream, run_append_to_memory
+from frinesis_spark.streaming.runner import events_stream, run_append_to_files
 
 _WATERMARK = "10 minutes"
 _SESSION_GAP = "30 minutes"
@@ -99,7 +100,7 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL streaming: tumbling agg gated by a 10-minute watermark,
-    replayed through a file stream source into a memory sink.
+    replayed through a file stream source into a parquet file sink.
 
     Append mode only emits windows the watermark has passed, so the
     result is the batch aggregation MINUS windows newer than
@@ -123,7 +124,7 @@ def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    return run_append_to_memory(agg, spark)
+    return run_append_to_files(agg, spark)
 
 
 def q_stream_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -140,7 +141,7 @@ def q_stream_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["event_id"])
         .select("event_id")
     )
-    return run_append_to_memory(deduped, spark)
+    return run_append_to_files(deduped, spark)
 
 
 def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -176,7 +177,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("view_ts").cast("timestamp_ntz").alias("view_ts"),
         F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
     )
-    return run_append_to_memory(pairs, spark)
+    return run_append_to_files(pairs, spark)
 
 
 QUERIES = {
