@@ -765,6 +765,102 @@ def q_window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a lookback tolerance: each purchase matched to
+    the latest same-user view at-or-before it, but only if that view is
+    within the trailing 30 minutes (the kdb/pandas ``merge_asof
+    (tolerance=...)`` shape — attribution windows, sensor alignment).
+
+    Same union+window idiom as ``q_join_asof`` (one shuffle on
+    user_id, no pair explosion); the tolerance is a post-window filter
+    on the carried timestamp, so it adds zero shuffle or join cost.
+    The oracle's correlated range join is the quadratic plan this
+    idiom replaces.
+    """
+    e = table(spark, sf_dir, "events")
+    views = e.where(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("kind"),
+        F.col("ts").alias("view_ts"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("kind"),
+        F.lit(None).cast(views.schema["view_ts"].dataType).alias("view_ts"),
+        "event_id",
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    timeline = views.unionByName(purchases).withColumn(
+        "matched_view_ts", F.last("view_ts", ignorenulls=True).over(w)
+    )
+    return timeline.where(
+        (F.col("kind") == 1)
+        & F.col("matched_view_ts").isNotNull()
+        & (
+            F.col("matched_view_ts")
+            >= F.col("ts") - F.expr("INTERVAL 30 MINUTES")
+        )
+    ).select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("matched_view_ts").alias("view_ts"),
+    )
+
+
+def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation deltas: per user, the gap to the previous event and
+    the type of the next event (lag/lead over the per-user timeline).
+
+    The inter-event-gap shape every sessionization / funnel query
+    starts from. One shuffle on user_id + per-partition sort; lag and
+    lead share the same window, so Catalyst evaluates both in a single
+    Window node (one sort, verified in the plan).
+    """
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_us = F.unix_micros(F.lag(F.col("ts")).over(w).cast("timestamp"))
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        ((us - prev_us) / F.lit(1_000_000)).alias("gap_seconds"),
+        F.lead("event_type").over(w).alias("next_event_type"),
+    )
+
+
+def q_agg_filtered_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation: per order priority, total count plus
+    counts/sums restricted by predicates (SQL ``FILTER (WHERE ...)``).
+
+    All conditions evaluate map-side inside one hash aggregate — one
+    scan, one shuffle, however many conditional metrics. The
+    anti-pattern this replaces is one query (scan + shuffle) per
+    condition.
+    """
+    o = table(spark, sf_dir, "orders")
+    high = F.col("o_totalprice") > 150000
+    openst = F.col("o_orderstatus") == "O"
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count_if(high).alias("n_high_value"),
+        F.count_if(high & openst).alias("n_high_open"),
+        dsum(F.when(openst, F.col("o_totalprice")).otherwise(F.lit(0.0))).alias(
+            "open_total"
+        ),
+        F.max(F.when(high, F.col("o_orderdate"))).alias("last_high_date"),
+    )
+
+
 QUERIES = {
     "scan_parquet": q_scan_parquet,
     "project_filter": q_project_filter,
@@ -801,10 +897,48 @@ QUERIES = {
     "agg_stats_corr": q_agg_stats_corr,
     "time_rollup_hypertable": q_time_rollup_hypertable,
     "window_time_range": q_window_time_range,
+    "join_asof_tolerance": q_join_asof_tolerance,
+    "window_lag_lead": q_window_lag_lead,
+    "agg_filtered_conditional": q_agg_filtered_conditional,
 }
 
 ORACLE = {
     "scan_parquet": "SELECT * FROM part",
+    "join_asof_tolerance": """
+        SELECT p.event_id, p.user_id,
+               p.ts AS purchase_ts,
+               MAX(v.ts) AS view_ts
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON v.user_id = p.user_id
+         AND v.ts <= p.ts
+         AND v.ts >= p.ts - INTERVAL 30 MINUTE
+        GROUP BY p.event_id, p.user_id, p.ts
+    """,
+    "window_lag_lead": """
+        SELECT event_id, user_id, ts, event_type,
+               CAST(EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) AS DOUBLE)
+                   / 1000000 AS gap_seconds,
+               LEAD(event_type) OVER w AS next_event_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "agg_filtered_conditional": f"""
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               COUNT(*) FILTER (WHERE o_totalprice > 150000)
+                   AS n_high_value,
+               COUNT(*) FILTER (WHERE o_totalprice > 150000
+                                  AND o_orderstatus = 'O') AS n_high_open,
+               {oracle_dsum(
+                   "CASE WHEN o_orderstatus = 'O' THEN o_totalprice"
+                   " ELSE 0.0 END"
+               )} AS open_total,
+               MAX(o_orderdate) FILTER (WHERE o_totalprice > 150000)
+                   AS last_high_date
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
     "join_asof": """
         SELECT p.event_id, p.user_id,
                p.ts AS purchase_ts,

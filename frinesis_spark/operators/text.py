@@ -186,7 +186,30 @@ def q_pipeline_llm_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_explode_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term frequency via the generator/lateral path: explode
+    each document's whitespace tokens, hash-aggregate counts, top 50.
+
+    Explode is the Spark surface for SQL LATERAL / UNNEST; the plan is
+    Generate → partial hash agg (map-side combine on the exploded
+    tokens, so the shuffle carries one row per distinct token per
+    partition, not one per token occurrence) → final agg → top-k sort.
+    That partial-combine property is what makes corpus-wide term
+    counting feasible at 100 TB — shuffle volume is bounded by
+    vocabulary × partitions, not token count.
+    """
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(50)
+    )
+
+
 QUERIES = {
+    "explode_token_freq": q_explode_token_freq,
     "text_analysis_stats": q_text_analysis_stats,
     "text_language_id": q_text_language_id,
     "text_quality_score": q_text_quality_score,
@@ -219,6 +242,14 @@ _PRED_SQL = (
 _STOP_LIST = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
 
 ORACLE = {
+    "explode_token_freq": """
+        SELECT token, COUNT(*) AS n
+        FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token
+              FROM documents)
+        GROUP BY token
+        ORDER BY n DESC, token
+        LIMIT 50
+    """,
     "text_analysis_stats": f"""
         SELECT lang,
                COUNT(*) AS n_docs,

@@ -69,9 +69,33 @@ def q_source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC connector: write `part` as ORC, read it back, aggregate
+    retail price per brand.
+
+    ORC is the second columnar format a complete engine must speak
+    (Hive-ecosystem interchange). The reader is a vectorized columnar
+    scan with predicate pushdown and column pruning exactly like
+    parquet — `.explain` on the read-back shows `PushedFilters` /
+    `ReadSchema` against the ORC relation. Types survive bit-exactly
+    (columnar doubles, no text parse), so the oracle aggregate on the
+    original parquet must hash-match.
+    """
+    p = table(spark, sf_dir, "part")
+    path = _roundtrip_dir("orc")
+    p.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        dsum("p_retailprice").alias("retail_sum"),
+        F.countDistinct("p_type").alias("n_types"),
+    )
+
+
 QUERIES = {
     "source_csv_roundtrip": q_source_csv_roundtrip,
     "source_json_roundtrip": q_source_json_roundtrip,
+    "source_orc_roundtrip": q_source_orc_roundtrip,
 }
 
 ORACLE = {
@@ -88,5 +112,13 @@ ORACLE = {
                {oracle_dsum('s_acctbal')} AS acctbal_sum
         FROM supplier
         GROUP BY s_nationkey
+    """,
+    "source_orc_roundtrip": f"""
+        SELECT p_brand,
+               COUNT(*) AS n_parts,
+               {oracle_dsum('p_retailprice')} AS retail_sum,
+               COUNT(DISTINCT p_type) AS n_types
+        FROM part
+        GROUP BY p_brand
     """,
 }

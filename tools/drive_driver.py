@@ -49,8 +49,12 @@ def canon(pdf):
 
 qs, osql = entrymod.queries(), entrymod.oracle_sql()
 print(f"queries: {len(qs)}, oracles: {len(osql)}")
+only = set(sys.argv[1:])  # optional: verify just these query names
+if only:
+    missing = only - qs.keys()
+    assert not missing, f"unknown query names: {missing}"
 fails = []
-for name in sorted(qs):
+for name in sorted(only or qs):
     try:
         spdf = qs[name](spark, SF).toPandas()
         if name in osql:
