@@ -861,6 +861,43 @@ def q_agg_filtered_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_time_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timeseries downsampling to 15-minute OHLC bars per user: open /
+    high / low / close of `value` plus count and exact sum — the
+    resample shape every metrics/finance pipeline runs.
+
+    open/close use ``min_by``/``max_by`` with a (ts, event_id) struct
+    key — lexicographic struct comparison gives a deterministic
+    first/last even on timestamp ties, without a separate window pass.
+    One hash aggregate, one shuffle on (bar, user); at 100 TB the map-
+    side partial keeps shuffle volume at one row per (bar, user) per
+    partition.
+    """
+    e = table(spark, sf_dir, "events")
+    tie = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        e.groupBy(F.window("ts", "15 minutes"), "user_id")
+        .agg(
+            F.min_by("value", tie).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", tie).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("value_sum"),
+        )
+        .select(
+            F.col("window.start").alias("bar_start"),
+            "user_id",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
 QUERIES = {
     "scan_parquet": q_scan_parquet,
     "project_filter": q_project_filter,
@@ -900,6 +937,7 @@ QUERIES = {
     "join_asof_tolerance": q_join_asof_tolerance,
     "window_lag_lead": q_window_lag_lead,
     "agg_filtered_conditional": q_agg_filtered_conditional,
+    "time_ohlc_bars": q_time_ohlc_bars,
 }
 
 ORACLE = {
@@ -922,6 +960,29 @@ ORACLE = {
                LEAD(event_type) OVER w AS next_event_type
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "time_ohlc_bars": f"""
+        WITH b AS (
+            SELECT user_id, value, ts, event_id,
+                   MAKE_TIMESTAMP((EPOCH_US(ts) // 900000000)
+                                  * 900000000) AS bar_start,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id, EPOCH_US(ts) // 900000000
+                       ORDER BY ts, event_id) AS rn_first,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id, EPOCH_US(ts) // 900000000
+                       ORDER BY ts DESC, event_id DESC) AS rn_last
+            FROM events
+        )
+        SELECT bar_start, user_id,
+               MAX(CASE WHEN rn_first = 1 THEN value END) AS open,
+               MAX(value) AS high,
+               MIN(value) AS low,
+               MAX(CASE WHEN rn_last = 1 THEN value END) AS close,
+               COUNT(*) AS n_events,
+               {oracle_dsum('value')} AS value_sum
+        FROM b
+        GROUP BY bar_start, user_id
     """,
     "agg_filtered_conditional": f"""
         SELECT o_orderpriority,

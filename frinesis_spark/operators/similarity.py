@@ -457,10 +457,51 @@ def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization of the embedding column,
+    with reconstruction-error stats — the storage/serving compression
+    step of an embedding pipeline (4× smaller than float32, 8× smaller
+    than float64).
+
+    Entirely Catalyst higher-order functions (transform / zip_with /
+    array_max), zero shuffle, zero Python: per row, scale =
+    max|x| / 127, q_i = floor(x_i / scale * 127 + 0.5) (explicit
+    floor(+0.5) instead of round() — both engines evaluate the same
+    IEEE ops, no rounding-mode ambiguity), error = max_i |x_i − q_i ·
+    scale / 127|. Elements are cast float→double up front (exact), so
+    every arithmetic step is bit-identical in Spark and DuckDB and the
+    doubles hash-match without tolerance.
+
+    At 100 TB this is a map-only pass that Parquet-encodes int8 arrays
+    — the plan is scan → project, nothing else.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    emb = F.transform("embedding", lambda x: x.cast("double"))
+    d = e.select("vec_id", emb.alias("emb"))
+    scale = F.array_max(F.transform("emb", lambda x: F.abs(x))) / F.lit(127.0)
+    d = d.withColumn("scale", scale)
+    q = F.transform(
+        "emb",
+        lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("int"),
+    )
+    d = d.withColumn("q", q)
+    deq = F.zip_with(
+        "emb", "q", lambda x, v: F.abs(x - v.cast("double") * F.col("scale"))
+    )
+    return d.select(
+        "vec_id",
+        F.col("scale").alias("q_scale"),
+        F.array_min("q").alias("q_min"),
+        F.array_max("q").alias("q_max"),
+        F.array_max(deq).alias("max_abs_err"),
+    )
+
+
 QUERIES = {
     "similarity_topk_cosine": q_similarity_topk_cosine,
     "similarity_ann_lsh": q_similarity_ann_lsh,
     "similarity_ann_ivf": q_similarity_ann_ivf,
+    "embedding_quantize_int8": q_embedding_quantize_int8,
 }
 
 _COS_SQL = """
@@ -488,4 +529,26 @@ ORACLE = {
     # similarity_ann_lsh: intentionally no oracle — approximate recall
     # by design; exactness of the re-rank formula is covered by
     # similarity_topk_cosine.
+    "embedding_quantize_int8": """
+        WITH d AS (
+            SELECT vec_id,
+                   CAST(embedding AS DOUBLE[]) AS emb,
+                   LIST_MAX(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]),
+                                           x -> ABS(x))) / 127.0 AS q_scale
+            FROM embeddings
+        ),
+        q AS (
+            SELECT vec_id, emb, q_scale,
+                   LIST_TRANSFORM(emb,
+                       x -> CAST(FLOOR(x / q_scale + 0.5) AS INT)) AS qv
+            FROM d
+        )
+        SELECT vec_id, q_scale,
+               LIST_MIN(qv) AS q_min,
+               LIST_MAX(qv) AS q_max,
+               LIST_MAX(LIST_TRANSFORM(LIST_ZIP(emb, qv),
+                   p -> ABS(p[1] - CAST(p[2] AS DOUBLE) * q_scale)))
+                   AS max_abs_err
+        FROM q
+    """,
 }
