@@ -49,6 +49,9 @@ HEADLINE = [
     "sql_tpch_q3",
     "sink_partitioned_parquet",
     "join_bucketed_colocated",
+    "explode_token_freq",
+    "time_ohlc_bars",
+    "embedding_quantize_int8",
 ]
 
 

@@ -180,7 +180,78 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_append_to_files(pairs, spark)
 
 
+def q_stream_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming: ``foreachBatch`` keyed upsert — maintain a
+    latest-row-per-user table across micro-batches (the production
+    merge-into-sink idiom; here versioned parquet stands in for a
+    MERGE-capable table format).
+
+    Each micro-batch is first reduced to its latest row per key (so
+    the merge input is bounded by distinct keys, not batch size), then
+    merged against the previous version with a deterministic
+    (ts, event_id) recency order, and written to a NEW versioned
+    directory — read-your-own-target overwrite hazards can't occur and
+    every version is an atomic snapshot (poor-man's Delta). On a
+    bounded replay the final version equals the batch
+    latest-row-per-key query, which is exactly the oracle.
+    """
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window as W
+
+    ev = events_stream(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    base = os.path.join(tempfile.gettempdir(), "fs_upsert_" + uuid.uuid4().hex[:12])
+    os.makedirs(base, exist_ok=True)
+    recency = W.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    state = {"path": None}
+
+    def upsert(batch_df, batch_id):
+        latest = (
+            batch_df.withColumn("rn", F.row_number().over(recency))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+        if state["path"] is not None:
+            cur = batch_df.sparkSession.read.parquet(state["path"])
+            latest = (
+                cur.unionByName(latest)
+                .withColumn("rn", F.row_number().over(recency))
+                .where(F.col("rn") == 1)
+                .drop("rn")
+            )
+        tgt = os.path.join(base, f"v{batch_id}")
+        latest.write.mode("overwrite").parquet(tgt)
+        state["path"] = tgt
+
+    ckpt = tempfile.mkdtemp(prefix="fs_ckpt_")
+    query = (
+        ev.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        query.processAllAvailable()
+    finally:
+        query.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.read.parquet(state["path"]).select(
+        "user_id",
+        F.col("ts").cast("timestamp_ntz").alias("last_ts"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
 QUERIES = {
+    "stream_foreach_batch_upsert": q_stream_foreach_batch_upsert,
     "stream_tumbling_agg": q_stream_tumbling_agg,
     "stream_sliding_agg": q_stream_sliding_agg,
     "stream_session_window": q_stream_session_window,
@@ -194,6 +265,15 @@ _TRUNC_HOUR = "DATE_TRUNC('hour', ts)"
 _TRUNC_5MIN = "MAKE_TIMESTAMP((EPOCH_US(ts) // 300000000) * 300000000)"
 
 ORACLE = {
+    "stream_foreach_batch_upsert": """
+        SELECT user_id,
+               ts AS last_ts,
+               event_type AS last_event_type,
+               value AS last_value
+        FROM events
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
     "stream_stream_join": """
         SELECT v.user_id,
                v.ts AS view_ts,
