@@ -509,6 +509,56 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EDIT_MAX = 25  # max edit distance for a fuzzy-dup pair
+_PREFIX = 8  # blocking prefix length
+_LEN_BUCKET = 10  # blocking length-bucket width
+
+
+def q_dedup_fuzzy_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy dedup by bounded edit distance: pairs of documents in the
+    same blocking bucket with Levenshtein distance ≤ 25.
+
+    Blocking keys = (first 8 chars, length ÷ 10): genuine fuzzy dups
+    (typo/edit variants) share both with overwhelming probability,
+    while the bucket join keeps candidate volume near-linear — the
+    standard blocked-pairwise shape of record linkage. Verification is
+    JVM ``levenshtein`` with an explicit threshold: Spark's 3-arg form
+    abandons the DP early once the bound is exceeded, so per-pair cost
+    is O(len·k), not O(len²). One shuffle on the block key; exact
+    pairwise work only within blocks. The operator's contract is
+    "pairs within the declared blocking" (mirrored exactly by the
+    oracle), so the hash check is exact even though blocking, like all
+    dedup blocking, trades recall for sub-quadratic cost.
+    """
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.substring("text", 1, _PREFIX).alias("pfx"),
+        F.expr(f"CAST(length(text) DIV {_LEN_BUCKET} AS INT)").alias("lb"),
+    )
+    a = d.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("text").alias("text_a"),
+        "pfx",
+        "lb",
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("text").alias("text_b"),
+        "pfx",
+        "lb",
+    )
+    dist = F.levenshtein("text_a", "text_b", _EDIT_MAX)
+    return (
+        a.join(b, ["pfx", "lb"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b", dist.cast("long").alias("edit_dist")
+        )
+        .where((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= _EDIT_MAX))
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_near_minhash": q_dedup_near_minhash,
@@ -516,6 +566,7 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_cluster_cc": q_dedup_cluster_cc,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "dedup_fuzzy_editdist": q_dedup_fuzzy_editdist,
 }
 
 _SHINGLE_SQL = """
@@ -593,6 +644,19 @@ ORACLE = {
         SELECT doc_id, cluster_id,
                COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
         FROM labels
+    """,
+    "dedup_fuzzy_editdist": f"""
+        WITH d AS (
+            SELECT doc_id, text,
+                   SUBSTRING(text, 1, {_PREFIX}) AS pfx,
+                   CAST(LENGTH(text) // {_LEN_BUCKET} AS INT) AS lb
+            FROM documents
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(LEVENSHTEIN(a.text, b.text) AS BIGINT) AS edit_dist
+        FROM d a JOIN d b
+          ON a.pfx = b.pfx AND a.lb = b.lb AND a.doc_id < b.doc_id
+        WHERE LEVENSHTEIN(a.text, b.text) <= {_EDIT_MAX}
     """,
     "dedup_embedding_cosine": """
         SELECT a.vec_id AS a_id, b.vec_id AS b_id,

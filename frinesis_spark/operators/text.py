@@ -12,6 +12,7 @@ codegen even at 100 TB.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from frinesis_spark.catalog import table
@@ -208,8 +209,42 @@ def q_explode_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language character-trigram profile: the top-10 most frequent
+    trigrams per language — the feature table an n-gram language
+    identifier trains on (Cavnar-Trenkle rank profiles).
+
+    Trigram extraction is a pure Catalyst HOF pipeline: ``sequence``
+    over start offsets → ``transform`` to substrings → ``explode`` —
+    no Python, no UDF. The aggregate partial-combines map-side, so the
+    shuffle carries (lang, trigram) partial counts (bounded by the
+    trigram vocabulary, ~alphabet³), not one row per trigram
+    occurrence; top-k per group is a ranking window over the tiny
+    aggregated table.
+    """
+    d = table(spark, sf_dir, "documents").where(F.length("text") >= 3)
+    counted = (
+        d.select(
+            "lang",
+            F.explode(
+                F.expr("transform(sequence(1, length(text) - 2),"
+                       " i -> substring(text, i, 3))")
+            ).alias("tri"),
+        )
+        .groupBy("lang", "tri")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.partitionBy("lang").orderBy(F.col("n").desc(), "tri")
+    return (
+        counted.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 10)
+        .select("lang", "rank", "tri", "n")
+    )
+
+
 QUERIES = {
     "explode_token_freq": q_explode_token_freq,
+    "text_ngram_profile": q_text_ngram_profile,
     "text_analysis_stats": q_text_analysis_stats,
     "text_language_id": q_text_language_id,
     "text_quality_score": q_text_quality_score,
@@ -242,6 +277,26 @@ _PRED_SQL = (
 _STOP_LIST = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
 
 ORACLE = {
+    "text_ngram_profile": """
+        WITH tris AS (
+            SELECT lang,
+                   UNNEST(LIST_TRANSFORM(RANGE(1, LENGTH(text) - 1),
+                                         i -> SUBSTRING(text, i, 3))) AS tri
+            FROM documents
+            WHERE LENGTH(text) >= 3
+        ),
+        counted AS (
+            SELECT lang, tri, COUNT(*) AS n
+            FROM tris GROUP BY lang, tri
+        )
+        SELECT lang, rank, tri, n FROM (
+            SELECT lang, tri, n,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY lang ORDER BY n DESC, tri) AS BIGINT)
+                       AS rank
+            FROM counted
+        ) WHERE rank <= 10
+    """,
     "explode_token_freq": """
         SELECT token, COUNT(*) AS n
         FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token
