@@ -898,6 +898,71 @@ def q_time_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis: how many users progress view → click →
+    purchase, each step strictly after the previous one.
+
+    One pass, one shuffle: filter to funnel event types (map-side, 40%
+    of the stream never shuffles), collect each user's (ts, type)
+    pairs, and run the greedy stage machine as an ``aggregate`` HOF
+    over the sorted array — greedy earliest-progression is provably
+    the same as the per-stage MIN-chain the oracle computes, and the
+    strict ``ts > last_ts`` guard keeps same-timestamp step collisions
+    out in both engines. Per-user state is the events of one user
+    (bounded; pre-filtered to the funnel types) — the standard
+    product-analytics funnel shape without N self-joins.
+    """
+    e = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    steps = F.array_sort(F.collect_list(F.struct("ts", "event_type")))
+
+    def advance(acc, x):
+        def to(stage):
+            return F.struct(
+                F.lit(stage).alias("stage"), x.ts.alias("last_ts")
+            )
+
+        return (
+            F.when((acc.stage == 0) & (x.event_type == "view"), to(1))
+            .when(
+                (acc.stage == 1)
+                & (x.event_type == "click")
+                & (x.ts > acc.last_ts),
+                to(2),
+            )
+            .when(
+                (acc.stage == 2)
+                & (x.event_type == "purchase")
+                & (x.ts > acc.last_ts),
+                to(3),
+            )
+            .otherwise(acc)
+        )
+
+    per_user = (
+        e.groupBy("user_id")
+        .agg(steps.alias("steps"))
+        .select(
+            "user_id",
+            F.aggregate(
+                "steps",
+                F.struct(
+                    F.lit(0).alias("stage"),
+                    F.lit(None).cast("timestamp_ntz").alias("last_ts"),
+                ),
+                advance,
+            ).stage.alias("stage"),
+        )
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count_if(F.col("stage") >= 1).alias("reached_view"),
+        F.count_if(F.col("stage") >= 2).alias("reached_click"),
+        F.count_if(F.col("stage") >= 3).alias("reached_purchase"),
+    )
+
+
 QUERIES = {
     "scan_parquet": q_scan_parquet,
     "project_filter": q_project_filter,
@@ -938,6 +1003,7 @@ QUERIES = {
     "window_lag_lead": q_window_lag_lead,
     "agg_filtered_conditional": q_agg_filtered_conditional,
     "time_ohlc_bars": q_time_ohlc_bars,
+    "funnel_conversion": q_funnel_conversion,
 }
 
 ORACLE = {
@@ -960,6 +1026,32 @@ ORACLE = {
                LEAD(event_type) OVER w AS next_event_type
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "funnel_conversion": """
+        WITH funnel AS (
+            SELECT user_id, ts, event_type FROM events
+            WHERE event_type IN ('view', 'click', 'purchase')
+        ),
+        s1 AS (
+            SELECT user_id, MIN(ts) AS t1 FROM funnel
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        s2 AS (
+            SELECT e.user_id, MIN(e.ts) AS t2
+            FROM funnel e JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = 'click' AND e.ts > s1.t1
+            GROUP BY e.user_id
+        ),
+        s3 AS (
+            SELECT e.user_id, MIN(e.ts) AS t3
+            FROM funnel e JOIN s2 ON e.user_id = s2.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+            GROUP BY e.user_id
+        )
+        SELECT (SELECT COUNT(DISTINCT user_id) FROM funnel) AS n_users,
+               (SELECT COUNT(*) FROM s1) AS reached_view,
+               (SELECT COUNT(*) FROM s2) AS reached_click,
+               (SELECT COUNT(*) FROM s3) AS reached_purchase
     """,
     "time_ohlc_bars": f"""
         WITH b AS (
