@@ -688,6 +688,29 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS regression aggregates: slope / intercept / R² of
+    extended price on quantity per return flag — the in-database
+    linear-fit shape (trend per segment without exporting to a stats
+    stack).
+
+    ``regr_*`` are single-pass mergeable aggregates (sum/sum-of-
+    squares/cross-product partials), so they partial-combine map-side
+    like any sum — one shuffle regardless of group size. Results are
+    rounded to 6 decimals on both engines: the partials' merge order
+    differs between Spark and DuckDB, so raw doubles can differ in the
+    last ulps (same policy as ``agg_stats_corr``).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.regr_count(y, x).alias("n_pairs"),
+    )
+
+
 def q_agg_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates: correlation, sample covariance/stddev,
     and argmin/argmax (``min_by``/``max_by`` ≙ DuckDB ``arg_min``/
@@ -1004,6 +1027,7 @@ QUERIES = {
     "agg_filtered_conditional": q_agg_filtered_conditional,
     "time_ohlc_bars": q_time_ohlc_bars,
     "funnel_conversion": q_funnel_conversion,
+    "agg_regression": q_agg_regression,
 }
 
 ORACLE = {
@@ -1026,6 +1050,17 @@ ORACLE = {
                LEAD(event_type) OVER w AS next_event_type
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "agg_regression": """
+        SELECT l_returnflag,
+               ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 6) AS slope,
+               ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 4)
+                   AS intercept,
+               ROUND(REGR_R2(l_extendedprice, l_quantity), 6) AS r2,
+               CAST(REGR_COUNT(l_extendedprice, l_quantity) AS BIGINT)
+                   AS n_pairs
+        FROM lineitem
+        GROUP BY l_returnflag
     """,
     "funnel_conversion": """
         WITH funnel AS (
