@@ -242,9 +242,37 @@ def q_text_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible stratified sampling: keep 10% of English documents
+    and 30% of every other language, selected by a content-independent
+    md5 hash of the key — the train/validation split primitive of a
+    training-data pipeline.
+
+    Hash-bucket sampling (``md5(key) mod 100 < rate``) beats
+    ``sample()``/RAND for pipelines: the decision is a pure function
+    of the key, so it is identical across engines, runs, partitionings
+    and retries — no seed plumbing, no resample drift when the corpus
+    is re-sharded. Map-only (filter pushes to the scan); the oracle
+    computes the same buckets from the same md5 hex, so row-level
+    equality is exact.
+    """
+    d = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    rate = F.when(F.col("lang") == "en", F.lit(10)).otherwise(F.lit(30))
+    return (
+        d.select("doc_id", "lang", "source", bucket.alias("sample_bucket"))
+        .where(F.col("sample_bucket") < rate)
+    )
+
+
 QUERIES = {
     "explode_token_freq": q_explode_token_freq,
     "text_ngram_profile": q_text_ngram_profile,
+    "sample_stratified_hash": q_sample_stratified_hash,
     "text_analysis_stats": q_text_analysis_stats,
     "text_language_id": q_text_language_id,
     "text_quality_score": q_text_quality_score,
@@ -277,6 +305,18 @@ _PRED_SQL = (
 _STOP_LIST = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
 
 ORACLE = {
+    "sample_stratified_hash": """
+        WITH b AS (
+            SELECT doc_id, lang, source,
+                   CAST(CONCAT('0x', SUBSTRING(
+                       MD5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                       % 100 AS sample_bucket
+            FROM documents
+        )
+        SELECT doc_id, lang, source, sample_bucket
+        FROM b
+        WHERE sample_bucket < CASE WHEN lang = 'en' THEN 10 ELSE 30 END
+    """,
     "text_ngram_profile": """
         WITH tris AS (
             SELECT lang,
