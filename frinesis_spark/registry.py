@@ -57,12 +57,13 @@ def _load_modules():
 
 
 # The driver checks ~50 queries per round in registration order, so the
-# order is a verification budget. Three tiers (maintained per round
+# order is a verification budget. Four tiers (maintained per round
 # against the latest VERDICT/CORRECTNESS artifacts):
 #   0. changed since the last verdict — rewritten operators and
 #      everything the r2 events-ts bug ERR'd (fresh rows needed most);
-#   1. last verified in r1, code unchanged (stale-but-valid evidence);
-#   2. green in CORRECTNESS_r02 (freshest evidence, cheapest to skip).
+#   1. never driver-verified at all (new this round);
+#   2. last verified in r1, code unchanged (stale-but-valid evidence);
+#   3. green in CORRECTNESS_r02 (freshest evidence, cheapest to skip).
 _CHANGED_SINCE_VERDICT = (
     "dedup_embedding_cosine",
     "similarity_ann_lsh",
@@ -128,6 +129,31 @@ _VERIFIED_R2 = frozenset(
 )
 
 
+# Queries with an r1 row (hash/rows evidence) whose code is unchanged
+# since — from CORRECTNESS_r01.json. Anything in neither r1 nor r2
+# lists has never had a driver row and outranks these.
+_VERIFIED_R1 = frozenset(
+    {
+        "agg_bool_bitwise",
+        "agg_stats_corr",
+        "dedup_cluster_cc",
+        "dedup_exact",
+        "dedup_near_minhash",
+        "dedup_ngram_jaccard",
+        "dedup_simhash",
+        "join_salted_skew",
+        "merge_upsert",
+        "scalar_conditional_regex",
+        "scalar_string_date_math",
+        "set_union_except_intersect",
+        "similarity_topk_cosine",
+        "sort_limit",
+        "udf_python",
+        "window_first_last",
+    }
+)
+
+
 def _reorder(names: list[str]) -> list[str]:
     pos = {n: i for i, n in enumerate(_CHANGED_SINCE_VERDICT)}
 
@@ -135,9 +161,11 @@ def _reorder(names: list[str]) -> list[str]:
         i, n = item
         if n in pos:
             return (0, pos[n])
+        if n not in _VERIFIED_R2 and n not in _VERIFIED_R1:
+            return (1, i)  # never verified
         if n not in _VERIFIED_R2:
-            return (1, i)
-        return (2, i)
+            return (2, i)  # r1 evidence only
+        return (3, i)
 
     return [n for _, n in sorted(enumerate(names), key=key)]
 
