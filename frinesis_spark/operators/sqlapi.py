@@ -35,6 +35,66 @@ _Q3 = f"""
 """
 
 
+# TPC-H Q5 shape (local supplier volume): customer and supplier must
+# share a nation, six-table join chain up to region, revenue per
+# nation in a picked region+year. Dates shifted to the synthetic data's
+# 1995-2001 span.
+_Q5 = f"""
+    SELECT n_name,
+           {oracle_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+                 AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+"""
+
+# TPC-H Q6 (forecast revenue change): single-table scan-heavy filter +
+# one global sum — the pushdown showcase (every predicate reaches the
+# parquet scan).
+_Q6 = f"""
+    SELECT {oracle_dsum('l_extendedprice * l_discount')} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+"""
+
+# TPC-H Q10 shape (returned-item reporting) restricted to carried
+# columns: top-20 customers by lost revenue on returned lineitems.
+_Q10 = f"""
+    SELECT c_custkey, c_name,
+           {oracle_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           c_acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+"""
+
+
+def _sql_query(sql: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(sql)
+
+    return run
+
+
 def q_sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 via the SQL-string entry point.
 
@@ -42,14 +102,28 @@ def q_sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer⋈orders side broadcasts (dim filter first), the
     lineitem⋈orders join shuffles on orderkey, and the top-10 is a
     TakeOrdered — no global sort materialization.
+
+    Q5 adds the six-table chain with a cross-dimension equality
+    (c_nationkey = s_nationkey — the join-reorder stressor), Q6 the
+    pure pushdown scan, Q10 the top-k over a four-table agg.
     """
     register_views(spark, sf_dir)
     return spark.sql(_Q3)
 
 
-QUERIES = {"sql_tpch_q3": q_sql_tpch_q3}
+QUERIES = {
+    "sql_tpch_q3": q_sql_tpch_q3,
+    "sql_tpch_q5": _sql_query(_Q5),
+    "sql_tpch_q6": _sql_query(_Q6),
+    "sql_tpch_q10": _sql_query(_Q10),
+}
 
 # The oracle is the same ANSI text (CAST syntax identical in DuckDB);
-# matching results prove parser+planner agreement on a multi-join
-# aggregate, not just expression parity.
-ORACLE = {"sql_tpch_q3": _Q3}
+# matching results prove parser+planner agreement on multi-join
+# aggregates, not just expression parity.
+ORACLE = {
+    "sql_tpch_q3": _Q3,
+    "sql_tpch_q5": _Q5,
+    "sql_tpch_q6": _Q6,
+    "sql_tpch_q10": _Q10,
+}
