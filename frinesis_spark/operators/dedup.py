@@ -38,6 +38,25 @@ _JACCARD_THRESHOLD = 0.5
 _SIM_BANDS = 4
 _HAMMING_MAX = 8
 
+# Stop-shingle document-frequency cap: a shingle appearing in more than
+# _MAX_DF documents is boilerplate (license headers, templated prose)
+# and is dropped from the inverted index BEFORE the self-join. This is
+# the 100 TB hot-bucket bound: without it one ubiquitous shingle
+# creates a DF² pair bucket (quadratic in corpus size); with it the
+# candidate count is ≤ _MAX_DF × |index entries| — linear. An absolute
+# cap (not a corpus fraction) is deliberate: a fraction keeps buckets
+# quadratic in n, and a shingle shared by >256 documents carries no
+# near-dup signal regardless of corpus size. The fixture's max DF is 7,
+# so the cap is semantically inert at test scale (oracle mirrors it
+# anyway — the cap is part of the declared operator contract, like
+# fuzzy_editdist's blocking).
+_MAX_DF = 256
+
+# Largest stop-shingle set inlined as an array literal for the
+# map-only filter path in _minhash_signatures; beyond this the
+# distributed anti-join takes over.
+_STOP_LIT_CAP = 4096
+
 
 def _shingles(text_col: str = "text") -> F.Column:
     """Distinct 3-word shingles of a text column (codegen'd)."""
@@ -47,6 +66,31 @@ def _shingles(text_col: str = "text") -> F.Column:
             f" i -> concat_ws(' ', slice(split({text_col}, ' '), i, {_SHINGLE})))"
         )
     )
+
+
+def _shingle_index(docs: DataFrame, max_df: int = _MAX_DF) -> DataFrame:
+    """DF-capped inverted index ``(doc_id, shingle)``, shared by
+    ngram_jaccard and the minhash shingler.
+
+    explode → per-shingle DF count → anti-join the stop set. The stop
+    set is tiny (≤ |entries| / max_df shingles) but unbounded in
+    adversarial corpora, so it stays a distributed anti-join rather
+    than a broadcast list. Two shuffles over the shingle entries — the
+    price of the hot-bucket bound; both are on the shingle key, so AQE
+    coalesces them at small scale.
+    """
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    inv = (
+        docs.repartition(par)
+        .select("doc_id", F.explode(_shingles()).alias("shingle"))
+    )
+    stop = (
+        inv.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > max_df)
+        .select("shingle")
+    )
+    return inv.join(stop, "shingle", "left_anti")
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -69,7 +113,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_signatures(docs: DataFrame) -> DataFrame:
+def _minhash_signatures(docs: DataFrame, max_df: int = _MAX_DF) -> DataFrame:
     """(doc_id, sig array<long>[K]) minhash signatures, map-only.
 
     Two-stage hash family, fully deterministic:
@@ -85,21 +129,65 @@ def _minhash_signatures(docs: DataFrame) -> DataFrame:
 
     Why not explode + K ``min()`` aggregate columns: that shape works
     but Janino-compiling a 128-wide aggregate dominated cold-start
-    (~10 s), and the explode shuffles |shingles| rows. Why not
-    ``transform(sequence(0,K-1), ...)`` higher-order functions: HOFs
-    are interpreted per element and CollapseProject re-inlines the
-    shingle array into the lambda, recomputing it K times (measured
-    60× slower). This formulation is zero-shuffle and vectorized —
-    the per-partition cost model that holds at 100 TB.
+    (~10 s). Why not ``transform(sequence(0,K-1), ...)`` higher-order
+    functions: HOFs are interpreted per element and CollapseProject
+    re-inlines the shingle array into the lambda, recomputing it K
+    times (measured 60× slower). The numpy stage itself stays
+    vectorized and shuffle-free — the per-partition cost model that
+    holds at 100 TB.
+
+    Stop-shingle DF cap (the ngram-jaccard hot-bucket bound, reused
+    here per its docstring): shingles whose document frequency exceeds
+    ``_MAX_DF`` are dropped BEFORE signatures, so a boilerplate shingle
+    can neither dominate a signature nor (downstream) a band bucket.
+    The cap runs on the 8-byte shingle *hashes*, not strings — the DF
+    count is one int-keyed partial-agg shuffle over the checkpointed
+    hash arrays (strings never shuffle). Three stop-set regimes:
+
+    - empty (this fixture: max DF 7): signatures stay exactly the r3
+      map-only pipeline — the cap costs one small count job;
+    - small (≤ ``_STOP_LIT_CAP``): map-only ``array_except`` against an
+      array literal — still zero shuffles on the corpus;
+    - pathological (bigger): explode → anti-join → regroup, the
+      always-correct distributed shape (one doc_id shuffle).
+
+    Documents whose every shingle is boilerplate drop out (nothing
+    discriminative to dedup on); min over a set is order-insensitive,
+    so surviving signatures are identical across the three paths.
     """
-    # The test corpus is one parquet file → one input split; fan the
-    # CPU-heavy shingle/hash map work across all cores. At real scale
-    # the scan already has thousands of splits and this is a no-op
-    # cost-wise (one round-robin shuffle of the raw text).
     par = docs.sparkSession.sparkContext.defaultParallelism
-    base = docs.repartition(par).select(
-        "doc_id", F.transform(_shingles(), lambda s: F.xxhash64(s)).alias("hs")
+    # Checkpointed: the stop-set job and the signature pass both read
+    # the hashed-shingle arrays — one shingle/hash pass total, K longs
+    # per doc (tiny next to the raw text).
+    base = (
+        docs.repartition(par)
+        .select(
+            "doc_id",
+            F.transform(_shingles(), lambda s: F.xxhash64(s)).alias("hs"),
+        )
+        .localCheckpoint(eager=True)
     )
+    stop = (
+        base.select(F.explode("hs").alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > max_df)
+        .select("h")
+    )
+    stop_hashes = [r.h for r in stop.limit(_STOP_LIT_CAP + 1).collect()]
+    if not stop_hashes:
+        pass  # cap inert — base unchanged
+    elif len(stop_hashes) <= _STOP_LIT_CAP:
+        base = base.select(
+            "doc_id", F.array_except("hs", F.lit(stop_hashes)).alias("hs")
+        ).where(F.size("hs") > 0)
+    else:
+        base = (
+            base.select("doc_id", F.explode("hs").alias("h"))
+            .join(stop, "h", "left_anti")
+            .groupBy("doc_id")
+            .agg(F.collect_list("h").alias("hs"))
+        )
 
     def gen(batches):
         import numpy as np
@@ -280,27 +368,24 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs via an inverted-index join.
 
-    explode(shingles) → self-join on the shingle (the inverted index)
-    → count common shingles per pair → |A∩B| / (|A|+|B|-|A∩B|).
-    Shuffles on the shingle key, so only pairs sharing ≥1 shingle are
-    ever materialized — never the n² cross product. At 100 TB, drop
-    stop-shingles (document frequency cap) before the join to bound
-    the hottest buckets.
+    explode(shingles) → DF-capped inverted index (:func:`_shingle_index`
+    drops shingles with document frequency > 256 — the hot-bucket
+    bound) → self-join on the shingle → count common shingles per pair
+    → |A∩B| / (|A|+|B|-|A∩B|) over the surviving shingles. Shuffles on
+    the shingle key, so only pairs sharing ≥1 non-stop shingle are ever
+    materialized — never the n² cross product, and no bucket larger
+    than the cap.
 
-    DuckDB-oracle-checkable: shingling is expressible with list
-    functions on both sides.
+    DuckDB-oracle-checkable: shingling AND the DF cap are expressible
+    with list functions + an anti-join on both sides (the cap is part
+    of the declared contract; on this fixture max DF = 7, so it is
+    inert and results equal the uncapped computation).
     """
     docs = table(spark, sf_dir, "documents")
     # Reused by sizes + both inverted-index sides → one materialized
     # pass (see q_dedup_near_minhash on eager-vs-lazy).
-    par = spark.sparkContext.defaultParallelism
-    sets = (
-        docs.repartition(par)
-        .select("doc_id", _shingles().alias("sh"))
-        .localCheckpoint(eager=True)
-    )
-    sizes = sets.select("doc_id", F.size("sh").alias("n_sh"))
-    inv = sets.select("doc_id", F.explode("sh").alias("shingle"))
+    inv = _shingle_index(docs).localCheckpoint(eager=True)
+    sizes = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     a, b = inv.alias("a"), inv.alias("b")
     common = (
@@ -330,7 +415,9 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_cluster_cc(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+) -> DataFrame:
     """Dedup clustering: connected components over the near-dup pair
     graph (exact Jaccard ≥ 0.5 pairs from ``dedup_ngram_jaccard``),
     labeling each document with the min doc_id of its component.
@@ -344,14 +431,26 @@ def q_dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     loop only compares one aggregate per round (sum of labels — a
     strictly decreasing convergence witness, so termination needs no
     row-level diff); all data stays distributed. Each round is
-    checkpointed: iterative plans otherwise grow lineage
-    exponentially and re-execute prior rounds. At 100 TB this is the
-    same algorithm as large-scale CC (label propagation / hash-to-min)
-    with a durable checkpoint dir instead of a local one.
+    checkpointed: iterative plans otherwise grow lineage exponentially
+    and re-execute prior rounds.
+
+    ``checkpoint_dir``: when given, rounds use reliable
+    ``df.checkpoint`` into that location (HDFS/S3 at scale —
+    fault-tolerant: a lost executor replays from the checkpoint, not
+    from round 0); when None (the driver's single-JVM default), cheaper
+    executor-local ``localCheckpoint``.
 
     Oracle: DuckDB ``WITH RECURSIVE`` reachability (min reachable
     label ≡ min label propagation fixpoint).
     """
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def ckpt(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     # Hash-partition edges on the join key ONCE before checkpointing:
     # every propagation round joins on (node == u), and labels leave
@@ -365,24 +464,22 @@ def q_dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
             pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
         )
         .repartition(F.col("u"))
-        .localCheckpoint(eager=True)
     )
-    labels = (
+    edges = ckpt(edges)
+    labels = ckpt(
         edges.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
     )
     prev_sum = labels.agg(F.sum("label")).first()[0]
     while True:
         neighbor = labels.join(edges, labels.node == edges.u).select(
             F.col("v").alias("node"), "label"
         )
-        labels = (
+        labels = ckpt(
             labels.unionByName(neighbor)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
         )
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
@@ -578,6 +675,22 @@ _SHINGLE_SQL = """
         FROM documents
 """
 
+# Shared CTE chain mirroring _shingle_index: explode, drop shingles
+# with DF > _MAX_DF, recount set sizes over the survivors.
+_INV_SQL = f"""
+        sets AS ({_SHINGLE_SQL}),
+        inv0 AS (SELECT doc_id, UNNEST(sh) AS shingle FROM sets),
+        stop AS (
+            SELECT shingle FROM inv0
+            GROUP BY shingle HAVING COUNT(*) > {_MAX_DF}
+        ),
+        inv AS (
+            SELECT * FROM inv0
+            WHERE shingle NOT IN (SELECT shingle FROM stop)
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM inv GROUP BY doc_id)
+"""
+
 ORACLE = {
     "dedup_exact": """
         SELECT MIN(doc_id) AS doc_id,
@@ -592,10 +705,7 @@ ORACLE = {
     # dedup_ngram_jaccard, which verifies the same planted near-dup
     # pairs with exact Jaccard.
     "dedup_ngram_jaccard": f"""
-        WITH sets AS ({_SHINGLE_SQL}),
-        inv AS (
-            SELECT doc_id, UNNEST(sh) AS shingle FROM sets
-        ),
+        WITH {_INV_SQL},
         common AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
             FROM inv a JOIN inv b
@@ -606,14 +716,13 @@ ORACLE = {
                ROUND(n_common / (na.n_sh + nb.n_sh - n_common), 6) AS jaccard,
                CAST(n_common AS BIGINT) AS n_common
         FROM common
-        JOIN (SELECT doc_id, LEN(sh) AS n_sh FROM sets) na ON na.doc_id = doc_a
-        JOIN (SELECT doc_id, LEN(sh) AS n_sh FROM sets) nb ON nb.doc_id = doc_b
+        JOIN sizes na ON na.doc_id = doc_a
+        JOIN sizes nb ON nb.doc_id = doc_b
         WHERE n_common / (na.n_sh + nb.n_sh - n_common) >= 0.5
     """,
     "dedup_cluster_cc": f"""
         WITH RECURSIVE
-        sets AS ({_SHINGLE_SQL}),
-        inv AS (SELECT doc_id, UNNEST(sh) AS shingle FROM sets),
+        {_INV_SQL},
         common AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
             FROM inv a JOIN inv b
@@ -623,8 +732,8 @@ ORACLE = {
         pairs AS (
             SELECT doc_a, doc_b
             FROM common
-            JOIN (SELECT doc_id, LEN(sh) AS n_sh FROM sets) na ON na.doc_id = doc_a
-            JOIN (SELECT doc_id, LEN(sh) AS n_sh FROM sets) nb ON nb.doc_id = doc_b
+            JOIN sizes na ON na.doc_id = doc_a
+            JOIN sizes nb ON nb.doc_id = doc_b
             WHERE n_common / (na.n_sh + nb.n_sh - n_common) >= 0.5
         ),
         edges AS (

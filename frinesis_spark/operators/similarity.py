@@ -480,9 +480,14 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = e.select("vec_id", emb.alias("emb"))
     scale = F.array_max(F.transform("emb", lambda x: F.abs(x))) / F.lit(127.0)
     d = d.withColumn("scale", scale)
+    # scale = 0 ⇔ all-zero vector: x/0 would yield NaN (Spark) vs a
+    # CAST error (DuckDB) — short-circuit to the all-zero quantization
+    # identically on both sides (ADVICE r3).
     q = F.transform(
         "emb",
-        lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("int"),
+        lambda x: F.when(F.col("scale") == 0, F.lit(0))
+        .otherwise(F.floor(x / F.col("scale") + F.lit(0.5)))
+        .cast("int"),
     )
     d = d.withColumn("q", q)
     deq = F.zip_with(
@@ -540,7 +545,9 @@ ORACLE = {
         q AS (
             SELECT vec_id, emb, q_scale,
                    LIST_TRANSFORM(emb,
-                       x -> CAST(FLOOR(x / q_scale + 0.5) AS INT)) AS qv
+                       x -> CAST(CASE WHEN q_scale = 0 THEN 0
+                                      ELSE FLOOR(x / q_scale + 0.5)
+                                 END AS INT)) AS qv
             FROM d
         )
         SELECT vec_id, q_scale,

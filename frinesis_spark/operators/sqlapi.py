@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from frinesis_spark.catalog import register_views
-from frinesis_spark.functions.numeric import oracle_dsum
+from frinesis_spark.functions.numeric import oracle_davg, oracle_dsum
 
 # TPC-H Q3 shape (shipping-priority revenue) restricted to the columns
 # the synthetic schema carries. Decimal-cast sum keeps the aggregate
@@ -87,6 +87,102 @@ _Q10 = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Correlated-subquery shapes (TPC-H Q4/Q17/Q21/Q22 analogues). These
+# exercise Catalyst's subquery DECORRELATION — RewriteCorrelatedScalarSubquery
+# and RewritePredicateSubquery turn each correlated EXISTS / NOT EXISTS /
+# scalar aggregate into a join (left semi / left anti / left outer + agg)
+# the engine can then plan like any other join: at 100 TB the EXISTS
+# probes become one shuffle on the correlation key, never a per-row
+# re-execution of the inner query. The fixture schema lacks
+# l_commitdate/l_receiptdate, so the "late delivery" predicate of the
+# originals is replaced by l_returnflag = 'R' (same correlation
+# structure, same decorrelation paths).
+
+# Q4 analogue (order-priority checking): correlated EXISTS → left semi
+# join on l_orderkey after decorrelation.
+_Q4 = """
+    SELECT o_orderpriority,
+           COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-04-01'
+      AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+          )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+# Q17 analogue (small-quantity-order revenue): correlated SCALAR
+# aggregate subquery → left outer join against a pre-aggregated
+# per-partkey average after decorrelation. The inner average uses the
+# exact-decimal-sum discipline (functions/numeric.py) so the threshold
+# compare is bit-identical across engines; threshold 0.5 (vs TPC-H's
+# 0.2) keeps the qualifying set non-trivial on the synthetic quantity
+# distribution.
+_Q17 = f"""
+    SELECT {oracle_dsum('l_extendedprice')} / 7.0 AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND l_quantity < (
+            SELECT 0.5 * ({oracle_davg('l2.l_quantity')})
+            FROM lineitem l2
+            WHERE l2.l_partkey = p_partkey
+          )
+"""
+
+# Q21 analogue (suppliers who kept orders waiting): EXISTS + NOT EXISTS
+# on the same correlation key — after decorrelation one left-semi and
+# one left-anti join of lineitem against itself on l_orderkey. The
+# at-fault marker is "sole supplier with a returned item on a
+# multi-supplier finalized order".
+_Q21 = """
+    SELECT s_name,
+           COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders     ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey
+          )
+      AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_returnflag = 'R'
+          )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 10
+"""
+
+# Q22 analogue (global-sales opportunity): uncorrelated scalar subquery
+# (one-row broadcast after rewrite) + correlated NOT EXISTS (left anti
+# join on o_custkey). "No urgent orders" replaces the original's
+# "no orders at all" because every synthetic customer has orders.
+_Q22 = f"""
+    SELECT c_nationkey,
+           COUNT(*) AS numcust,
+           {oracle_dsum('c_acctbal')} AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT {oracle_davg('c_acctbal')} FROM customer)
+      AND NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey
+              AND o_orderpriority = '1-URGENT'
+          )
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+"""
+
+
 def _sql_query(sql: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_views(spark, sf_dir)
@@ -116,14 +212,23 @@ QUERIES = {
     "sql_tpch_q5": _sql_query(_Q5),
     "sql_tpch_q6": _sql_query(_Q6),
     "sql_tpch_q10": _sql_query(_Q10),
+    "sql_tpch_q4": _sql_query(_Q4),
+    "sql_tpch_q17": _sql_query(_Q17),
+    "sql_tpch_q21": _sql_query(_Q21),
+    "sql_tpch_q22": _sql_query(_Q22),
 }
 
 # The oracle is the same ANSI text (CAST syntax identical in DuckDB);
 # matching results prove parser+planner agreement on multi-join
-# aggregates, not just expression parity.
+# aggregates, not just expression parity — and for Q4/Q17/Q21/Q22,
+# agreement on subquery decorrelation.
 ORACLE = {
     "sql_tpch_q3": _Q3,
     "sql_tpch_q5": _Q5,
     "sql_tpch_q6": _Q6,
     "sql_tpch_q10": _Q10,
+    "sql_tpch_q4": _Q4,
+    "sql_tpch_q17": _Q17,
+    "sql_tpch_q21": _Q21,
+    "sql_tpch_q22": _Q22,
 }

@@ -57,35 +57,32 @@ def _load_modules():
 
 
 # The driver checks ~50 queries per round in registration order, so the
-# order is a verification budget. Four tiers (maintained per round
-# against the latest VERDICT/CORRECTNESS artifacts):
-#   0. changed since the last verdict — rewritten operators and
-#      everything the r2 events-ts bug ERR'd (fresh rows needed most);
-#   1. never driver-verified at all (new this round);
-#   2. last verified in r1, code unchanged (stale-but-valid evidence);
-#   3. green in CORRECTNESS_r02 (freshest evidence, cheapest to skip).
+# order is a verification budget. Four tiers (refreshed each round from
+# the newest CORRECTNESS/VERDICT artifacts — r4 state, from
+# CORRECTNESS_r03.json):
+#   0. changed since the r3 verdict — operators whose code this round
+#      touched, so their green r3 rows no longer cover them;
+#   1. never driver-verified at all (new this round — the r4 SQL
+#      subquery suite + stream_user_profile fall here automatically);
+#   2. stale evidence: last green in r2 (38 queries) or r1
+#      (similarity_topk_cosine) and code-unchanged since — the whole
+#      set the r3 verdict flagged as the top rotation priority;
+#   3. green in CORRECTNESS_r03 (freshest evidence, cheapest to skip).
+# Budget check (r4): |tier0| 6 + |tier1| 5 + |tier2| 39 = 50 — exactly
+# fills the window; the 44 r3-green rows rotate back in r5.
 _CHANGED_SINCE_VERDICT = (
-    "dedup_embedding_cosine",
-    "similarity_ann_lsh",
-    "similarity_ann_ivf",
-    "join_range_theta",
-    "join_asof",
-    "scalar_array_map_json",
-    "time_rollup_hypertable",
-    "window_time_range",
-    "sql_tpch_q3",
-    "stream_tumbling_agg",
-    "stream_sliding_agg",
-    "stream_session_window",
-    "stream_watermark_late",
-    "stream_dedup_stateful",
-    "stream_stream_join",
-    "stream_custom_sessionize",
-    "sink_kinesis_batched",
-    "source_kinesis_read",
-    "source_kinesis_datasource",
+    "sql_tpch_q3",  # register_views caching sentinel (shared sqlapi path)
+    "dedup_ngram_jaccard",  # stop-shingle DF cap
+    "dedup_near_minhash",  # stop-shingle DF cap (shared shingler)
+    "dedup_cluster_cc",  # checkpoint-dir parameter
+    "embedding_quantize_int8",  # zero-scale guard
+    "stream_foreach_batch_upsert",  # version cleanup + empty-replay guard
 )
-_VERIFIED_R2 = frozenset(
+
+# Last green row r2 (or r1 for similarity_topk_cosine), code unchanged
+# since; no r3 row — the driver's window must re-verify these first
+# after tier 0/1.
+_STALE_EVIDENCE = frozenset(
     {
         "text_analysis_stats",
         "text_language_id",
@@ -125,33 +122,85 @@ _VERIFIED_R2 = frozenset(
         "agg_string_concat",
         "window_rank_cume",
         "join_cross_dims",
+        "similarity_topk_cosine",
     }
 )
 
-
-# Queries with an r1 row (hash/rows evidence) whose code is unchanged
-# since — from CORRECTNESS_r01.json. Anything in neither r1 nor r2
-# lists has never had a driver row and outranks these.
-_VERIFIED_R1 = frozenset(
+# Every green row in CORRECTNESS_r03.json (50 queries). Members that
+# also appear in _CHANGED_SINCE_VERDICT are outranked by tier 0 — the
+# r3 evidence predates this round's code change.
+_VERIFIED_R3 = frozenset(
     {
+        "dedup_embedding_cosine",
+        "similarity_ann_lsh",
+        "similarity_ann_ivf",
+        "join_range_theta",
+        "join_asof",
+        "scalar_array_map_json",
+        "time_rollup_hypertable",
+        "window_time_range",
+        "sql_tpch_q3",
+        "stream_tumbling_agg",
+        "stream_sliding_agg",
+        "stream_session_window",
+        "stream_watermark_late",
+        "stream_dedup_stateful",
+        "stream_stream_join",
+        "stream_custom_sessionize",
+        "sink_kinesis_batched",
+        "source_kinesis_read",
+        "source_kinesis_datasource",
+        "explode_token_freq",
+        "text_ngram_profile",
+        "sample_stratified_hash",
+        "stream_foreach_batch_upsert",
+        "source_orc_roundtrip",
+        "sql_tpch_q5",
+        "sql_tpch_q6",
+        "sql_tpch_q10",
+        "join_asof_tolerance",
+        "window_lag_lead",
+        "agg_filtered_conditional",
+        "time_ohlc_bars",
+        "funnel_conversion",
+        "agg_regression",
+        "dedup_fuzzy_editdist",
+        "embedding_quantize_int8",
+        "window_first_last",
         "agg_bool_bitwise",
-        "agg_stats_corr",
-        "dedup_cluster_cc",
-        "dedup_exact",
-        "dedup_near_minhash",
-        "dedup_ngram_jaccard",
-        "dedup_simhash",
+        "sort_limit",
+        "set_union_except_intersect",
         "join_salted_skew",
         "merge_upsert",
-        "scalar_conditional_regex",
+        "agg_stats_corr",
         "scalar_string_date_math",
-        "set_union_except_intersect",
-        "similarity_topk_cosine",
-        "sort_limit",
+        "scalar_conditional_regex",
         "udf_python",
-        "window_first_last",
+        "dedup_exact",
+        "dedup_near_minhash",
+        "dedup_simhash",
+        "dedup_ngram_jaccard",
+        "dedup_cluster_cc",
     }
 )
+
+
+def _check_tiers(registered: set[str]) -> None:
+    """Fail loudly on tier-list typos (ADVICE r3): every hand-maintained
+    tier name must be a registered query, mirroring oracle_sql()'s
+    unknown-entry check — otherwise a rename silently demotes a query
+    to the wrong verification tier."""
+    for tier_name, tier in (
+        ("_CHANGED_SINCE_VERDICT", set(_CHANGED_SINCE_VERDICT)),
+        ("_STALE_EVIDENCE", _STALE_EVIDENCE),
+        ("_VERIFIED_R3", _VERIFIED_R3),
+    ):
+        unknown = tier - registered
+        if unknown:
+            raise ValueError(
+                f"registry tier {tier_name} names unregistered queries "
+                f"{sorted(unknown)} — refresh the tier lists"
+            )
 
 
 def _reorder(names: list[str]) -> list[str]:
@@ -161,11 +210,11 @@ def _reorder(names: list[str]) -> list[str]:
         i, n = item
         if n in pos:
             return (0, pos[n])
-        if n not in _VERIFIED_R2 and n not in _VERIFIED_R1:
+        if n not in _STALE_EVIDENCE and n not in _VERIFIED_R3:
             return (1, i)  # never verified
-        if n not in _VERIFIED_R2:
-            return (2, i)  # r1 evidence only
-        return (3, i)
+        if n in _STALE_EVIDENCE:
+            return (2, i)  # stale (r1/r2) evidence
+        return (3, i)  # fresh r3 evidence
 
     return [n for _, n in sorted(enumerate(names), key=key)]
 
@@ -177,6 +226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         if overlap:
             raise ValueError(f"duplicate query names {overlap} in {mod.__name__}")
         out.update(mod.QUERIES)
+    _check_tiers(set(out))
     return {n: out[n] for n in _reorder(list(out))}
 
 

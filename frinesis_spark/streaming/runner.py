@@ -11,6 +11,7 @@ streaming engine, not a batch emulation.
 
 from __future__ import annotations
 
+import atexit
 import hashlib
 import os
 import shutil
@@ -19,6 +20,24 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# Streaming output dirs are read lazily by the DataFrames we return,
+# so they must outlive the call — but not the process. Every created
+# dir is tracked and reclaimed at interpreter exit (ADVICE r3: repeated
+# driver/bench/test runs otherwise accumulate unbounded parquet under
+# /tmp with no reclamation path).
+_OUTPUT_DIRS: list[str] = []
+
+
+def track_output_dir(path: str) -> None:
+    """Register a lazily-read output dir for atexit reclamation."""
+    _OUTPUT_DIRS.append(path)
+
+
+@atexit.register
+def _cleanup_output_dirs() -> None:  # pragma: no cover - exit hook
+    for d in _OUTPUT_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def _stage_dir(sf_dir: str, name: str) -> str:
@@ -84,11 +103,13 @@ def run_append_to_files(stream_df: DataFrame, spark: SparkSession) -> DataFrame:
 
     The output directory outlives this call by design (the returned
     DataFrame reads it lazily); it lives under the system temp dir with
-    a per-query unique name.
+    a per-query unique name and is reclaimed at process exit
+    (:func:`track_output_dir`).
     """
     outdir = os.path.join(
         tempfile.gettempdir(), "fs_out_" + uuid.uuid4().hex[:12]
     )
+    track_output_dir(outdir)
     ckpt = tempfile.mkdtemp(prefix="fs_ckpt_")
     spark = stream_df.sparkSession
     # Streaming gets no AQE coalescing: shuffle.partitions fixes the

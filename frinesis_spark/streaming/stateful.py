@@ -85,7 +85,81 @@ def q_stream_custom_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_append_to_files(out, spark)
 
 
-QUERIES = {"stream_custom_sessionize": q_stream_custom_sessionize}
+# ---------------------------------------------------------------------------
+# Per-user activity profile — the transformWithState semantics
+# (streaming/tws.py) re-expressed on applyInPandasWithState, so the
+# query is driver-verifiable even where the TWS protobuf worker
+# protocol is unavailable (this container). Same output, same oracle:
+# per user, total events, distinct event types, max value. The TWS
+# MapState("type_counts") becomes a pair of aligned arrays in the flat
+# state tuple — the flat-tuple API's encoding of a keyed sub-map.
+#
+# Scale: state is O(users × event types) scalars; events shuffle once
+# on user_id; on an unbounded stream add a state TTL
+# (ProcessingTimeTimeout) to expire idle users.
+
+_PROFILE_OUTPUT_SCHEMA = (
+    "user_id long, n_events long, n_types long, max_value double"
+)
+_PROFILE_STATE_SCHEMA = (
+    "n_events long, max_value double, types array<string>, "
+    "type_counts array<long>"
+)
+
+
+def _user_profile(key, pdfs, state: GroupState):
+    import pandas as pd
+
+    if state.exists:
+        n, maxv, types, counts = state.get
+        type_counts = dict(zip(list(types), list(counts)))
+    else:
+        n, maxv, type_counts = 0, float("-inf"), {}
+
+    for pdf in pdfs:
+        n += len(pdf)
+        maxv = max(maxv, float(pdf["value"].max()))
+        for t, c in pdf["event_type"].value_counts().items():
+            type_counts[t] = type_counts.get(t, 0) + int(c)
+
+    state.update(
+        (
+            n,
+            maxv,
+            sorted(type_counts),
+            [type_counts[t] for t in sorted(type_counts)],
+        )
+    )
+    yield pd.DataFrame(
+        [
+            {
+                "user_id": key[0],
+                "n_events": n,
+                "n_types": len(type_counts),
+                "max_value": maxv,
+            }
+        ]
+    )
+
+
+def q_stream_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = events_stream(spark, sf_dir).select(
+        "user_id", "event_type", "value"
+    )
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        _user_profile,
+        outputStructType=_PROFILE_OUTPUT_SCHEMA,
+        stateStructType=_PROFILE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_append_to_files(out, spark)
+
+
+QUERIES = {
+    "stream_custom_sessionize": q_stream_custom_sessionize,
+    "stream_user_profile": q_stream_user_profile,
+}
 
 ORACLE = {
     # Gap-islands per user, then each island splits into ceil(n/10)
@@ -116,6 +190,16 @@ ORACLE = {
                CAST(SUM(n) AS BIGINT) AS n_events,
                CAST(MAX(LEAST(n, {_CAP})) AS BIGINT) AS max_session_len
         FROM sizes
+        GROUP BY user_id
+    """,
+    # Bounded one-batch replay emits one row per user == batch GROUP BY
+    # (same oracle as the TWS variant it mirrors, streaming/tws.py:123).
+    "stream_user_profile": """
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT event_type) AS n_types,
+               MAX(value) AS max_value
+        FROM events
         GROUP BY user_id
     """,
 }

@@ -228,7 +228,13 @@ def q_stream_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
             )
         tgt = os.path.join(base, f"v{batch_id}")
         latest.write.mode("overwrite").parquet(tgt)
+        prev = state["path"]
         state["path"] = tgt
+        # The write above materialized the merge, so the superseded
+        # snapshot is dead — reclaim it (disk use stays one version,
+        # not O(batch count); ADVICE r3).
+        if prev is not None:
+            shutil.rmtree(prev, ignore_errors=True)
 
     ckpt = tempfile.mkdtemp(prefix="fs_ckpt_")
     query = (
@@ -242,6 +248,15 @@ def q_stream_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
     finally:
         query.stop()
         shutil.rmtree(ckpt, ignore_errors=True)
+    if state["path"] is None:
+        raise RuntimeError(
+            "stream_foreach_batch_upsert: replay produced zero "
+            "micro-batches — the staged events dir is empty or missing "
+            "(fixture drift?); no upsert state exists to read"
+        )
+    from frinesis_spark.streaming.runner import track_output_dir
+
+    track_output_dir(base)
     return spark.read.parquet(state["path"]).select(
         "user_id",
         F.col("ts").cast("timestamp_ntz").alias("last_ts"),
