@@ -70,19 +70,34 @@ def _shingles(text_col: str = "text") -> F.Column:
 
 def _shingle_index(docs: DataFrame, max_df: int = _MAX_DF) -> DataFrame:
     """DF-capped inverted index ``(doc_id, shingle)``, shared by
-    ngram_jaccard and the minhash shingler.
+    ngram_jaccard and the minhash shingler. Returned pre-materialized
+    (eager localCheckpoint) — callers reference it repeatedly and must
+    not re-run the shingle pass per reference.
 
-    explode → per-shingle DF count → anti-join the stop set. The stop
-    set is tiny (≤ |entries| / max_df shingles) but unbounded in
-    adversarial corpora, so it stays a distributed anti-join rather
-    than a broadcast list. Two shuffles over the shingle entries — the
-    price of the hot-bucket bound; both are on the shingle key, so AQE
-    coalesces them at small scale.
+    The raw explode is checkpointed FIRST; the per-shingle DF count
+    then runs over the materialized entries (one partial-agg shuffle,
+    map-side combine shrinks it to one row per distinct shingle per
+    partition), and the stop set applies in the same three regimes as
+    ``_minhash_signatures``:
+
+    - empty (this fixture: max DF 7): the index is returned as-is —
+      the cap costs one small count job, zero extra shuffles;
+    - small (≤ ``_STOP_LIT_CAP``): map-only ``isin`` filter over the
+      checkpointed rows — still no extra shuffle;
+    - pathological (adversarial boilerplate corpora): distributed
+      left-anti join, the always-correct shape.
+
+    The first cut of this cap anti-joined unconditionally — a
+    sort-merge of the full index against an (almost always empty) stop
+    side, which the r4 bench flagged at 2.06× the r3 time. The regime
+    split restores the r3 plan in the common case while keeping the
+    hot-bucket bound contractual.
     """
     par = docs.sparkSession.sparkContext.defaultParallelism
     inv = (
         docs.repartition(par)
         .select("doc_id", F.explode(_shingles()).alias("shingle"))
+        .localCheckpoint(eager=True)
     )
     stop = (
         inv.groupBy("shingle")
@@ -90,6 +105,11 @@ def _shingle_index(docs: DataFrame, max_df: int = _MAX_DF) -> DataFrame:
         .where(F.col("df") > max_df)
         .select("shingle")
     )
+    stop_shingles = [r.shingle for r in stop.limit(_STOP_LIT_CAP + 1).collect()]
+    if not stop_shingles:
+        return inv
+    if len(stop_shingles) <= _STOP_LIT_CAP:
+        return inv.where(~F.col("shingle").isin(stop_shingles))
     return inv.join(stop, "shingle", "left_anti")
 
 
@@ -382,9 +402,10 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     inert and results equal the uncapped computation).
     """
     docs = table(spark, sf_dir, "documents")
-    # Reused by sizes + both inverted-index sides → one materialized
-    # pass (see q_dedup_near_minhash on eager-vs-lazy).
-    inv = _shingle_index(docs).localCheckpoint(eager=True)
+    # Reused by sizes + both inverted-index sides; _shingle_index
+    # returns its entries already materialized (one pass — see
+    # q_dedup_near_minhash on eager-vs-lazy), so no second checkpoint.
+    inv = _shingle_index(docs)
     sizes = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     a, b = inv.alias("a"), inv.alias("b")
@@ -466,22 +487,32 @@ def q_dedup_cluster_cc(
         .repartition(F.col("u"))
     )
     edges = ckpt(edges)
+    # The convergence witness (sum of labels) rides on each round's
+    # checkpoint job as an observed metric (CollectMetricsExec
+    # accumulators) — one distributed pass per round instead of
+    # checkpoint + a separate aggregate job.
+    from pyspark.sql import Observation
+
+    obs0 = Observation()
     labels = ckpt(
         edges.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
+        .observe(obs0, F.sum("label").alias("label_sum"))
     )
-    prev_sum = labels.agg(F.sum("label")).first()[0]
+    prev_sum = obs0.get["label_sum"]
     while True:
         neighbor = labels.join(edges, labels.node == edges.u).select(
             F.col("v").alias("node"), "label"
         )
+        obs = Observation()
         labels = ckpt(
             labels.unionByName(neighbor)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
+            .observe(obs, F.sum("label").alias("label_sum"))
         )
-        cur_sum = labels.agg(F.sum("label")).first()[0]
+        cur_sum = obs.get["label_sum"]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
