@@ -52,6 +52,9 @@ HEADLINE = [
     "explode_token_freq",
     "time_ohlc_bars",
     "embedding_quantize_int8",
+    "time_gapfill_locf",
+    "window_session_islands",
+    "analytics_retention_cohort",
 ]
 
 

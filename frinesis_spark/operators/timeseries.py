@@ -1,0 +1,296 @@
+"""Time-series analytics operators on the events table: gap-filled
+downsampling with last-observation-carried-forward, batch
+sessionization (gaps-and-islands), and cohort retention.
+
+These are the continuous-aggregate / product-analytics shapes a
+hypertable engine serves (gapfill+locf ≙ TimescaleDB
+``time_bucket_gapfill``+``locf``; sessionization and retention are the
+standard event-analytics companions to ``funnel_conversion``). All
+three are pure Catalyst plans: hash aggregates, one window pass keyed
+on user_id, and a grid generated with ``sequence``/``explode`` from
+per-user span rows — never a driver-side loop or a calendar cross
+join against the full corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from frinesis_spark.catalog import table
+from frinesis_spark.functions.numeric import dsum, oracle_dsum
+
+# Gap-fill emits one row per (user, hour-in-span) — span length, not
+# event count, drives output size. The fixture's users each span the
+# full 30-day window (~720 hourly rows/user), so the query keeps a
+# deterministic user subset to bound the materialized grid; semantics
+# per user are unchanged and the modulus is part of the declared query.
+_GAPFILL_USER_MOD = 7
+
+# Session break threshold: a >30-minute silence starts a new session
+# (the industry-default web-analytics cut).
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def q_time_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-user rollup with gap filling and LOCF: every hour in
+    each user's [first, last] event span gets a row; empty hours carry
+    the last observed hourly sum forward (``locf_value_sum``) while
+    keeping the raw observation nullable (``value_sum``).
+
+    Plan: one hash aggregate to hourly grain (map-side partials — the
+    raw event volume never reaches the window), a per-user (min, max)
+    span aggregate, grid = ``explode(sequence(h0, h1, 1 hour))`` over
+    the span rows (map-only; output is bounded by span-hours, never a
+    cross join with a calendar dimension), a left join back to the
+    hourly observations on (user, hour), and one window pass on
+    user_id for the LOCF carry. At 100 TB the hourly table is ~3
+    orders of magnitude smaller than raw events, so everything after
+    the first aggregate is cheap; skew = one user's span, which is
+    calendar-bounded.
+    """
+    e = table(spark, sf_dir, "events").where(
+        F.col("user_id") % _GAPFILL_USER_MOD == 0
+    )
+    return gapfill_locf_hourly(e)
+
+
+def gapfill_locf_hourly(e: DataFrame) -> DataFrame:
+    """Core gap-fill over any (user_id, ts, value) events frame — see
+    :func:`q_time_gapfill_locf` for the plan discussion."""
+    hourly = e.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("value_sum"),
+    )
+    spans = hourly.groupBy("user_id").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    j = grid.join(hourly, ["user_id", "hour"], "left")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return j.select(
+        "user_id",
+        "hour",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        "value_sum",
+        F.last("value_sum", ignorenulls=True).over(w).alias("locf_value_sum"),
+    )
+
+
+def q_window_session_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): per user, events are
+    split into sessions at >30-minute silences; one output row per
+    session with start/end, event count, duration and exact value sum.
+
+    The batch twin of ``stream_custom_sessionize`` — same session
+    semantics, expressed as the classic two-window idiom: flag
+    session-opening events with ``lag`` (gap > threshold), number
+    sessions with a running sum of the flags, then one hash aggregate
+    on (user, session_seq). Both window functions share one
+    (partition user_id, order ts) sort, and the final aggregate's keys
+    are a superset of the window partitioning — one shuffle + one sort
+    total, no self-join, no pair blowup. Ties on ts break by event_id,
+    so session numbering is deterministic.
+    """
+    return sessionize_events(table(spark, sf_dir, "events"))
+
+
+def sessionize_events(
+    e: DataFrame, gap_us: int = _SESSION_GAP_US
+) -> DataFrame:
+    """Core gaps-and-islands sessionizer over any (user_id, event_id,
+    ts, value) frame — see :func:`q_window_session_islands`."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_us = F.unix_micros(F.lag(F.col("ts")).over(w).cast("timestamp"))
+    is_new = F.when(
+        prev_us.isNull() | (us - prev_us > F.lit(gap_us)), 1
+    ).otherwise(0)
+    sess = e.withColumn("is_new", is_new).withColumn(
+        "session_seq",
+        F.sum("is_new").over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    dur = (
+        F.unix_micros(F.col("session_end").cast("timestamp"))
+        - F.unix_micros(F.col("session_start").cast("timestamp"))
+    ) / F.lit(1_000_000.0)
+    return (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("value_sum"),
+        )
+        .select(
+            "user_id",
+            F.col("session_seq").cast("long").alias("session_seq"),
+            "session_start",
+            "session_end",
+            "n_events",
+            dur.alias("duration_seconds"),
+            "value_sum",
+        )
+    )
+
+
+def q_analytics_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users are cohorted by the week of
+    their first event; each (cohort_week, week_offset) row counts how
+    many of that cohort were active ``week_offset`` weeks later, with
+    the retention rate against the cohort's size.
+
+    Plan: first-event per user (hash agg on user_id), distinct
+    (user, active_week) pairs (partial-agg distinct — raw volume
+    collapses map-side), a join on user_id, and a count per
+    (cohort, offset). Cohort sizes are re-derived from the offset-0
+    rows (every user is by construction active in their cohort week)
+    and broadcast back — the matrix is weeks², never corpus-sized.
+    Both engines truncate weeks to Monday and compare as TIMESTAMP
+    (DATE round-trips asymmetrically through the pandas compare);
+    offsets divide an exact multiple of 7 days, so the int cast is
+    exact.
+    """
+    return retention_cohorts(table(spark, sf_dir, "events"))
+
+
+def retention_cohorts(e: DataFrame) -> DataFrame:
+    """Core cohort-retention matrix over any (user_id, ts) frame — see
+    :func:`q_analytics_retention_cohort`."""
+    firsts = e.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    cohorts = firsts.select(
+        "user_id",
+        F.date_trunc("week", F.col("first_ts")).alias("cohort_week"),
+    )
+    activity = e.select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).alias("active_week"),
+    ).distinct()
+    counts = (
+        activity.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("active_week", "cohort_week") / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    sizes = counts.where(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("n_active").alias("cohort_size")
+    )
+    return counts.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        F.round(F.col("n_active") / F.col("cohort_size"), 6).alias(
+            "retention_rate"
+        ),
+    )
+
+
+QUERIES = {
+    "time_gapfill_locf": q_time_gapfill_locf,
+    "window_session_islands": q_window_session_islands,
+    "analytics_retention_cohort": q_analytics_retention_cohort,
+}
+
+ORACLE = {
+    "time_gapfill_locf": f"""
+        WITH hourly AS (
+            SELECT user_id, date_trunc('hour', ts) AS hour,
+                   COUNT(*) AS n_events,
+                   {oracle_dsum('value')} AS value_sum
+            FROM events
+            WHERE user_id % {_GAPFILL_USER_MOD} = 0
+            GROUP BY 1, 2
+        ), spans AS (
+            SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1
+            FROM hourly GROUP BY 1
+        ), grid AS (
+            SELECT user_id,
+                   UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+            FROM spans
+        )
+        SELECT g.user_id, g.hour,
+               COALESCE(h.n_events, 0) AS n_events,
+               h.value_sum,
+               last_value(h.value_sum IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS locf_value_sum
+        FROM grid g
+        LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour
+    """,
+    "window_session_islands": f"""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                > {_SESSION_GAP_US}
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sessions AS (
+            SELECT *,
+                   SUM(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS session_seq
+            FROM flagged
+        )
+        SELECT user_id,
+               CAST(session_seq AS BIGINT) AS session_seq,
+               MIN(ts) AS session_start,
+               MAX(ts) AS session_end,
+               COUNT(*) AS n_events,
+               (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1000000.0
+                   AS duration_seconds,
+               {oracle_dsum('value')} AS value_sum
+        FROM sessions
+        GROUP BY user_id, session_seq
+    """,
+    "analytics_retention_cohort": """
+        WITH firsts AS (
+            SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY 1
+        ), cohorts AS (
+            SELECT user_id,
+                   CAST(date_trunc('week', first_ts) AS TIMESTAMP) AS cohort_week
+            FROM firsts
+        ), activity AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('week', ts) AS TIMESTAMP) AS active_week
+            FROM events
+        ), counts AS (
+            SELECT c.cohort_week,
+                   CAST(date_diff('day', c.cohort_week, a.active_week) / 7
+                        AS INTEGER) AS week_offset,
+                   COUNT(*) AS n_active
+            FROM activity a JOIN cohorts c USING (user_id)
+            GROUP BY 1, 2
+        )
+        SELECT n.cohort_week, n.week_offset, n.n_active,
+               s.n_active AS cohort_size,
+               ROUND(CAST(n.n_active AS DOUBLE) / s.n_active, 6)
+                   AS retention_rate
+        FROM counts n
+        JOIN (SELECT cohort_week, n_active FROM counts
+              WHERE week_offset = 0) s
+          USING (cohort_week)
+    """,
+}

@@ -38,6 +38,7 @@ def _load_modules():
         "frinesis_spark.sources.files",
         "frinesis_spark.sinks.files",
         "frinesis_spark.operators.sqlapi",
+        "frinesis_spark.operators.timeseries",
     ):
         try:
             mods.append(__import__(optional, fromlist=["QUERIES"]))
@@ -68,8 +69,11 @@ def _load_modules():
 #      (similarity_topk_cosine) and code-unchanged since — the whole
 #      set the r3 verdict flagged as the top rotation priority;
 #   3. green in CORRECTNESS_r03 (freshest evidence, cheapest to skip).
-# Budget check (r4): |tier0| 6 + |tier1| 5 + |tier2| 39 = 50 — exactly
-# fills the window; the 44 r3-green rows rotate back in r5.
+# Budget check (r4): |tier0| 6 + |tier1| 8 + |tier2| 39 = 53 for the
+# ~50-slot window — the 3 timeseries queries added late in r4 push the
+# last ~3 tier-2 (r2-green, code-unchanged) rows past the nominal
+# budget; they and the 44 r3-green rows rotate in r5 (two-round
+# rotation, declared per the r3 verdict's window-budget note).
 _CHANGED_SINCE_VERDICT = (
     "sql_tpch_q3",  # register_views caching sentinel (shared sqlapi path)
     "dedup_ngram_jaccard",  # stop-shingle DF cap

@@ -1,0 +1,165 @@
+"""Invariant tests for the timeseries analytics operators
+(gapfill+LOCF, batch sessionization, cohort retention).
+
+Oracle parity (hash equality vs DuckDB) is covered generically by
+test_oracle_parity.py; these pin the semantics a hash can't express,
+at toy scale where the expected output is hand-checkable.
+"""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+_SCHEMA = "user_id long, event_id long, ts timestamp, value double"
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, _SCHEMA)
+
+
+def _t(h, m=0):
+    return datetime(2024, 3, 4, h, m)  # a Monday
+
+
+def test_gapfill_fills_span_and_carries_locf(spark):
+    from frinesis_spark.operators.timeseries import gapfill_locf_hourly
+
+    rows = [
+        (1, 1, _t(5, 10), 2.0),
+        (1, 2, _t(5, 40), 3.0),  # same hour bucket as event 1
+        (1, 3, _t(8, 0), 7.0),  # hours 6, 7 are gaps
+        (2, 4, _t(9, 0), 1.0),  # single-event user → one-row grid
+    ]
+    out = {
+        (r.user_id, r.hour.hour): r
+        for r in gapfill_locf_hourly(_events(spark, rows)).collect()
+    }
+    assert set(out) == {(1, 5), (1, 6), (1, 7), (1, 8), (2, 9)}
+    assert out[(1, 5)].n_events == 2 and out[(1, 5)].value_sum == 5.0
+    # Gap hours: zero events, NULL observation, LOCF carries 5.0.
+    for h in (6, 7):
+        r = out[(1, h)]
+        assert r.n_events == 0 and r.value_sum is None
+        assert r.locf_value_sum == 5.0
+    assert out[(1, 8)].locf_value_sum == 7.0
+    assert out[(2, 9)].n_events == 1 and out[(2, 9)].locf_value_sum == 1.0
+
+
+def test_gapfill_fixture_grid_is_contiguous(spark, sf_dir):
+    """On the driver fixture: per user the grid is exactly the hourly
+    span (no holes, no dups), and total n_events equals the filtered
+    event count — the grid adds rows but never loses observations."""
+    from frinesis_spark.catalog import table
+    from frinesis_spark.operators.timeseries import (
+        _GAPFILL_USER_MOD,
+        q_time_gapfill_locf,
+    )
+
+    out = q_time_gapfill_locf(spark, sf_dir)
+    spans = out.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("hour").alias("n_hours"),
+        (
+            (
+                F.unix_micros(F.max("hour")) - F.unix_micros(F.min("hour"))
+            )
+            / 3_600_000_000
+            + 1
+        ).alias("span_hours"),
+        F.sum("n_events").alias("n_events"),
+    )
+    bad = spans.where(
+        (F.col("n_rows") != F.col("n_hours"))
+        | (F.col("n_rows") != F.col("span_hours"))
+    ).count()
+    assert bad == 0
+    total = spans.agg(F.sum("n_events")).first()[0]
+    expected = (
+        table(spark, sf_dir, "events")
+        .where(F.col("user_id") % _GAPFILL_USER_MOD == 0)
+        .count()
+    )
+    assert total == expected
+
+
+def test_sessionize_splits_on_gap(spark):
+    from frinesis_spark.operators.timeseries import sessionize_events
+
+    rows = [
+        (1, 1, _t(5, 0), 1.0),
+        (1, 2, _t(5, 10), 2.0),  # 10 min — same session
+        (1, 3, _t(7, 0), 4.0),  # 110 min gap — new session
+        (2, 4, _t(5, 0), 8.0),
+    ]
+    out = sorted(
+        sessionize_events(_events(spark, rows)).collect(),
+        key=lambda r: (r.user_id, r.session_seq),
+    )
+    assert [(r.user_id, r.session_seq, r.n_events) for r in out] == [
+        (1, 1, 2),
+        (1, 2, 1),
+        (2, 1, 1),
+    ]
+    assert out[0].value_sum == 3.0
+    assert out[0].duration_seconds == 600.0
+    assert out[1].duration_seconds == 0.0
+
+
+def test_sessionize_fixture_partitions_events(spark, sf_dir):
+    """Sessions partition the event stream: per-session counts sum to
+    the table size, session ids are dense per user, durations are
+    non-negative and bounded by the user's own span."""
+    from frinesis_spark.catalog import table
+    from frinesis_spark.operators.timeseries import q_window_session_islands
+
+    out = q_window_session_islands(spark, sf_dir)
+    n_events_total = out.agg(F.sum("n_events")).first()[0]
+    assert n_events_total == table(spark, sf_dir, "events").count()
+    per_user = out.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("session_seq").alias("max_seq"),
+        F.min("session_seq").alias("min_seq"),
+    )
+    assert (
+        per_user.where(
+            (F.col("n_sessions") != F.col("max_seq"))
+            | (F.col("min_seq") != 1)
+        ).count()
+        == 0
+    )
+    assert out.where(F.col("duration_seconds") < 0).count() == 0
+
+
+def test_retention_toy_matrix(spark):
+    from frinesis_spark.operators.timeseries import retention_cohorts
+
+    mon, next_mon = datetime(2024, 3, 4), datetime(2024, 3, 11)
+    rows = [
+        (1, 1, mon, 0.0),
+        (1, 2, next_mon, 0.0),  # user 1 retained in week 1
+        (2, 3, mon, 0.0),  # user 2 churns after week 0
+        (3, 4, next_mon, 0.0),  # user 3 is a week-1 cohort
+    ]
+    out = {
+        (r.cohort_week, r.week_offset): r
+        for r in retention_cohorts(_events(spark, rows)).collect()
+    }
+    assert out[(mon, 0)].n_active == 2 and out[(mon, 0)].cohort_size == 2
+    assert out[(mon, 1)].n_active == 1
+    assert out[(mon, 1)].retention_rate == 0.5
+    assert out[(next_mon, 0)].cohort_size == 1
+    assert (next_mon, 1) not in out
+
+
+def test_retention_fixture_rates_bounded(spark, sf_dir):
+    from frinesis_spark.operators.timeseries import (
+        q_analytics_retention_cohort,
+    )
+
+    out = q_analytics_retention_cohort(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert 0 < r.n_active <= r.cohort_size
+        assert 0 < r.retention_rate <= 1.0
+        if r.week_offset == 0:
+            assert r.n_active == r.cohort_size
