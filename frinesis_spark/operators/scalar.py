@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from frinesis_spark.catalog import table
+from frinesis_spark.catalog import register_views, table
 from frinesis_spark.functions.numeric import dsum, oracle_dsum
 
 
@@ -142,14 +142,147 @@ def q_scalar_conditional_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Passage chunking geometry: 50-token windows advancing by 40 (10-token
+# overlap) — the standard embedding-pipeline chunker shape.
+_CHUNK_TOKENS = 50
+_CHUNK_STRIDE = 40
+
+
+def q_udtf_table_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage chunking via a Python UDTF (user-defined *table*
+    function): each document lateral-expands into overlapping
+    50-token / stride-40 chunks — the doc→passage step every
+    embedding/RAG pipeline runs before vectorizing.
+
+    This is the third member of the UDF surface (scalar pandas UDF in
+    ``udf_python``, grouped-map ``applyInPandas`` in the dedup/ANN
+    ops): a one-row→many-rows generator the SQL layer consumes with
+    ``LATERAL``. Arrow-optimized (``useArrow=True``) so rows cross to
+    Python in batches. Scale is the same story as every generator:
+    map-only, no shuffle; output volume = chunks, bounded by
+    corpus_tokens / stride. Chunking itself is pure string slicing —
+    a production pipeline swaps in a real tokenizer here, which is
+    exactly why this one stays a Python UDTF instead of a Catalyst
+    ``sequence``/``slice`` expression (that rewrite is the
+    ``explode_token_freq`` family; this row exercises the UDTF path).
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="doc_id bigint, chunk_idx int, chunk_text string,"
+        " n_tokens int",
+        useArrow=True,
+    )
+    class ChunkDoc:
+        def eval(self, doc_id, text):
+            toks = (text or "").split(" ")
+            n = len(toks)
+            for idx, s in enumerate(
+                range(1, max(n, 1) + 1, _CHUNK_STRIDE)
+            ):
+                sub = toks[s - 1 : s - 1 + _CHUNK_TOKENS]
+                yield doc_id, idx, " ".join(sub), len(sub)
+
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.doc_id, c.chunk_idx, c.chunk_text, c.n_tokens
+        FROM documents d, LATERAL chunk_doc(d.doc_id, d.text) c
+        """
+    )
+
+
+def q_scalar_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT surface: build a nested JSON payload per
+    event, parse it to a VARIANT, shred typed fields back out with
+    ``variant_get`` path expressions (object / nested object / array
+    index), and aggregate on the shredded columns.
+
+    VARIANT is Spark 4's store-semi-structured/shred-at-read type (the
+    Parquet variant story): at 100 TB the payload column stays one
+    binary blob per row — no schema evolution on ingest — while typed
+    extraction happens in the scan projection, map-only and
+    codegen'd. The aggregate on shredded (string, long) columns is an
+    ordinary partial-agg shuffle. Oracle: DuckDB runs the same
+    construct-then-extract chain through its JSON functions — numeric
+    roundtrip is exact (integers), so hashes must match.
+    """
+    e = table(spark, sf_dir, "events")
+    k_str = F.get_json_object(F.col("props"), "$.k")
+    payload = F.concat(
+        F.lit('{"meta":{"type":"'),
+        F.col("event_type"),
+        F.lit('"},"k":'),
+        k_str,
+        F.lit(',"ks":['),
+        k_str,
+        F.lit(","),
+        (k_str.cast("long") * 2).cast("string"),
+        F.lit("]}"),
+    )
+    v = F.parse_json(payload)
+    shred = e.select(
+        F.variant_get(v, "$.meta.type", "string").alias("vtype"),
+        F.variant_get(v, "$.k", "long").alias("k"),
+        F.variant_get(v, "$.ks[1]", "long").alias("k2"),
+    )
+    return shred.groupBy("vtype").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").alias("sum_k"),
+        F.sum("k2").alias("sum_k2"),
+        F.max("k").alias("max_k"),
+    )
+
+
 QUERIES = {
     "scalar_string_date_math": q_scalar_string_date_math,
     "scalar_array_map_json": q_scalar_array_map_json,
     "scalar_conditional_regex": q_scalar_conditional_regex,
     "udf_python": q_udf_python,
+    "udtf_table_chunks": q_udtf_table_chunks,
+    "scalar_variant_shred": q_scalar_variant_shred,
 }
 
 ORACLE = {
+    "udtf_table_chunks": f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), starts AS (
+            SELECT doc_id, t,
+                   UNNEST(generate_series(1, GREATEST(len(t), 1),
+                                          {_CHUNK_STRIDE})) AS s
+            FROM toks
+        )
+        SELECT doc_id,
+               CAST((s - 1) / {_CHUNK_STRIDE} AS INTEGER) AS chunk_idx,
+               array_to_string(t[s : s + {_CHUNK_TOKENS} - 1], ' ')
+                   AS chunk_text,
+               CAST(len(t[s : s + {_CHUNK_TOKENS} - 1]) AS INTEGER)
+                   AS n_tokens
+        FROM starts
+    """,
+    "scalar_variant_shred": """
+        WITH payloads AS (
+            SELECT CONCAT('{"meta":{"type":"', event_type, '"},"k":',
+                          json_extract_string(props, '$.k'),
+                          ',"ks":[', json_extract_string(props, '$.k'), ',',
+                          CAST(CAST(json_extract_string(props, '$.k')
+                                    AS BIGINT) * 2 AS VARCHAR),
+                          ']}') AS payload
+            FROM events
+        )
+        SELECT json_extract_string(payload, '$.meta.type') AS vtype,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(json_extract_string(payload, '$.k')
+                             AS BIGINT)) AS BIGINT) AS sum_k,
+               CAST(SUM(CAST(json_extract_string(payload, '$.ks[1]')
+                             AS BIGINT)) AS BIGINT) AS sum_k2,
+               MAX(CAST(json_extract_string(payload, '$.k') AS BIGINT))
+                   AS max_k
+        FROM payloads
+        GROUP BY 1
+    """,
     "scalar_string_date_math": """
         SELECT o_orderkey,
                UPPER(o_orderstatus) AS status_upper,

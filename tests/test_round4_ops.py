@@ -139,3 +139,72 @@ def test_register_views_cached_per_session_dir(spark, sf_dir, monkeypatch):
     assert len(calls) == len(catalog.TABLES)  # cache hit: no new loads
     catalog.register_views(spark, sf_dir, force=True)
     assert len(calls) == 2 * len(catalog.TABLES)
+
+
+def test_udtf_chunks_cover_and_overlap(spark, sf_dir):
+    """Chunking invariants on the fixture: chunk 0 exists for every
+    doc, consecutive full chunks overlap by window-stride tokens, and
+    every chunk carries 1..window tokens."""
+    from frinesis_spark.operators.scalar import (
+        _CHUNK_STRIDE,
+        _CHUNK_TOKENS,
+        q_udtf_table_chunks,
+    )
+
+    out = q_udtf_table_chunks(spark, sf_dir)
+    per_doc = out.groupBy("doc_id").agg(
+        F.min("chunk_idx").alias("first"),
+        F.max("chunk_idx").alias("last"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    assert per_doc.where(
+        (F.col("first") != 0) | (F.col("n") != F.col("last") + 1)
+    ).count() == 0  # dense 0..last chunk ids
+    assert out.where(
+        (F.col("n_tokens") < 1) | (F.col("n_tokens") > _CHUNK_TOKENS)
+    ).count() == 0
+    # A full chunk's tail re-appears at the head of the next chunk.
+    row = (
+        out.where(F.col("n_tokens") == _CHUNK_TOKENS)
+        .orderBy("doc_id", "chunk_idx")
+        .limit(1)
+        .collect()
+    )
+    if row:
+        doc_id, idx = row[0].doc_id, row[0].chunk_idx
+        pair = {
+            r.chunk_idx: r.chunk_text.split(" ")
+            for r in out.where(
+                (F.col("doc_id") == doc_id)
+                & F.col("chunk_idx").isin(idx, idx + 1)
+            ).collect()
+        }
+        if idx + 1 in pair:
+            overlap = _CHUNK_TOKENS - _CHUNK_STRIDE
+            assert pair[idx][-overlap:] == pair[idx + 1][:overlap]
+
+
+def test_variant_shred_roundtrips_source_columns(spark, sf_dir):
+    """The shredded VARIANT aggregate equals the same aggregate taken
+    directly on the source columns — the construct→parse→extract chain
+    is lossless for its typed fields."""
+    from frinesis_spark.catalog import table
+    from frinesis_spark.operators.scalar import q_scalar_variant_shred
+
+    got = {
+        r.vtype: (r.n_events, r.sum_k, r.sum_k2, r.max_k)
+        for r in q_scalar_variant_shred(spark, sf_dir).collect()
+    }
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    want = {
+        r.event_type: (r.n, r.sk, 2 * r.sk, r.mk)
+        for r in table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(k).alias("sk"),
+            F.max(k).alias("mk"),
+        )
+        .collect()
+    }
+    assert got == want
