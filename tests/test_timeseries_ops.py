@@ -163,3 +163,39 @@ def test_retention_fixture_rates_bounded(spark, sf_dir):
         assert 0 < r.retention_rate <= 1.0
         if r.week_offset == 0:
             assert r.n_active == r.cohort_size
+
+
+def _formatted_plan(df):
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_sessionize_plan_single_shuffle(spark, sf_dir):
+    """Both window functions and the session aggregate ride ONE
+    user_id exchange — the plan the docstring promises (no self-join,
+    no second sort-partition)."""
+    import re
+
+    from frinesis_spark.operators.timeseries import q_window_session_islands
+
+    plan = _formatted_plan(q_window_session_islands(spark, sf_dir))
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchange == 1, f"expected 1 shuffle, plan:\n{plan}"
+    assert "Join" not in plan
+
+
+def test_gapfill_plan_no_cross_join(spark, sf_dir):
+    """The grid comes from per-user span rows, never a calendar cross
+    join; the left join back to observations is an equi-join."""
+    from frinesis_spark.operators.timeseries import q_time_gapfill_locf
+
+    plan = _formatted_plan(q_time_gapfill_locf(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+    # The user filter reaches both parquet scans.
+    assert plan.count("PushedFilters") >= 1
