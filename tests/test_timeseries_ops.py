@@ -199,3 +199,70 @@ def test_gapfill_plan_no_cross_join(spark, sf_dir):
     assert "NestedLoop" not in plan
     # The user filter reaches both parquet scans.
     assert plan.count("PushedFilters") >= 1
+
+
+def _reference_sessions(rows, gap_us):
+    """Single-threaded reference sessionizer: the ground truth the
+    distributed plan must reproduce."""
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for uid, eid, ts, val in rows:
+        by_user[uid].append((ts, eid, val))
+    out = []
+    for uid, evs in by_user.items():
+        evs.sort()
+        seq, start = 0, None
+        for ts, eid, val in evs:
+            if start is None or (ts - prev).total_seconds() * 1e6 > gap_us:
+                seq += 1
+                start, n, vsum = ts, 0, 0.0
+            prev, n, vsum = ts, n + 1, vsum + val
+            # overwrite the open session's row until it closes
+            if out and out[-1][:2] == (uid, seq):
+                out[-1] = (uid, seq, n, start, prev)
+            else:
+                out.append((uid, seq, n, start, prev))
+    return sorted(out)
+
+
+def test_sessionize_property_matches_reference(spark):
+    """Property test: on randomized event timelines (clustered + bursty
+    + tie-heavy), the distributed sessionizer agrees with a
+    single-threaded reference on session count, membership, and
+    bounds."""
+    from datetime import timedelta
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from frinesis_spark.operators.timeseries import sessionize_events
+
+    gap_us = 30 * 60 * 1_000_000
+    offsets = st.lists(
+        st.integers(min_value=0, max_value=90 * 60),  # 0..90 min steps
+        min_size=1,
+        max_size=25,
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(user_steps=st.lists(offsets, min_size=1, max_size=3))
+    def run(user_steps):
+        rows, eid = [], 0
+        for uid, steps in enumerate(user_steps):
+            t = datetime(2024, 3, 4, 0, 0)
+            for s in steps:
+                t = t + timedelta(seconds=s)
+                eid += 1
+                rows.append((uid, eid, t, 1.0))
+        got = sorted(
+            (r.user_id, r.session_seq, r.n_events, r.session_start, r.session_end)
+            for r in sessionize_events(_events(spark, rows)).collect()
+        )
+        assert got == _reference_sessions(rows, gap_us)
+
+    run()
