@@ -55,6 +55,8 @@ HEADLINE = [
     "time_gapfill_locf",
     "window_session_islands",
     "analytics_retention_cohort",
+    "agg_grouping_sets",
+    "merge_scd2",
 ]
 
 

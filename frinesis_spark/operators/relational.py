@@ -986,7 +986,93 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# SCD-2 parameters: snapshot validity start and the updates batch's
+# effective date — fixed so both engines derive identical history.
+_SCD2_T0 = "2024-01-01"
+_SCD2_EFF = "2024-06-01"
+
+
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form behind rollup/cube:
+    aggregate `orders` at (priority, status), (priority) and (status)
+    grains in one pass. The chosen set list is NOT a rollup prefix
+    chain (it includes (status) alone but no grand total), so this
+    exercises the arbitrary-sets path of the DataFrame API
+    (``df.groupingSets``).
+
+    Scale: identical to rollup — each row expands map-side into its 3
+    grouping combinations inside one hash aggregate with partial
+    combine; one shuffle total vs 3 scans + 3 shuffles for separate
+    queries. ``grouping_id`` disambiguates grains (both engines number
+    bits left-to-right over the grouping columns).
+    """
+    o = table(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [
+            ["o_orderpriority", "o_orderstatus"],
+            ["o_orderpriority"],
+            ["o_orderstatus"],
+        ],
+        "o_orderpriority",
+        "o_orderstatus",
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("total_price"),
+        F.grouping_id().cast("long").alias("grain"),
+    )
+
+
+def q_merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge, SCD type-2: apply an updates batch to the `customer`
+    dimension keeping FULL HISTORY — matched keys close their current
+    row (``valid_to`` = effective date, no longer current) and insert
+    a new version; brand-new keys insert their first version.
+
+    The history-keeping sibling of ``q_merge_upsert`` (SCD-1
+    overwrite). One left join on the key classifies current rows as
+    closed-or-untouched (map-side flags — no second pass), and the
+    updates batch unions in as the new open versions; at 100 TB a
+    table format adds file pruning but the join+union semantics are
+    exactly this. The updates batch is derived deterministically from
+    the table (every 5th key re-balanced +100.0, every 11th key offset
+    to a fresh key) so the oracle reproduces it.
+    """
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    t0 = F.to_timestamp(F.lit(_SCD2_T0))
+    eff = F.to_timestamp(F.lit(_SCD2_EFF))
+    updates = (
+        c.where(F.col("c_custkey") % 5 == 0)
+        .select("c_custkey", (F.col("c_acctbal") + 100.0).alias("c_acctbal"))
+        .unionByName(
+            c.where(F.col("c_custkey") % 11 == 0).select(
+                (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+                "c_acctbal",
+            )
+        )
+    )
+    dim, u = c.alias("t"), updates.alias("u")
+    existing = dim.join(
+        u, F.col("t.c_custkey") == F.col("u.c_custkey"), "left"
+    ).select(
+        F.col("t.c_custkey").alias("c_custkey"),
+        F.col("t.c_acctbal").alias("c_acctbal"),
+        t0.alias("valid_from"),
+        F.when(F.col("u.c_custkey").isNotNull(), eff).alias("valid_to"),
+        F.col("u.c_custkey").isNull().alias("is_current"),
+    )
+    fresh = updates.select(
+        "c_custkey",
+        "c_acctbal",
+        eff.alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return existing.unionByName(fresh)
+
+
 QUERIES = {
+    "agg_grouping_sets": q_agg_grouping_sets,
+    "merge_scd2": q_merge_scd2,
     "scan_parquet": q_scan_parquet,
     "project_filter": q_project_filter,
     "filter_in_between_like": q_filter_in_between_like,
@@ -1031,6 +1117,39 @@ QUERIES = {
 }
 
 ORACLE = {
+    "agg_grouping_sets": f"""
+        SELECT o_orderpriority, o_orderstatus,
+               COUNT(*) AS n_orders,
+               {oracle_dsum('o_totalprice')} AS total_price,
+               CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus)
+                    AS BIGINT) AS grain
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderpriority), (o_orderstatus))
+    """,
+    "merge_scd2": f"""
+        WITH dim AS (
+            SELECT c_custkey, c_acctbal FROM customer
+        ), updates AS (
+            SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal
+            FROM dim WHERE c_custkey % 5 = 0
+            UNION ALL
+            SELECT c_custkey + 10000000 AS c_custkey, c_acctbal
+            FROM dim WHERE c_custkey % 11 = 0
+        )
+        SELECT t.c_custkey, t.c_acctbal,
+               TIMESTAMP '{_SCD2_T0} 00:00:00' AS valid_from,
+               CASE WHEN u.c_custkey IS NOT NULL
+                    THEN TIMESTAMP '{_SCD2_EFF} 00:00:00' END AS valid_to,
+               u.c_custkey IS NULL AS is_current
+        FROM dim t LEFT JOIN updates u ON t.c_custkey = u.c_custkey
+        UNION ALL
+        SELECT c_custkey, c_acctbal,
+               TIMESTAMP '{_SCD2_EFF} 00:00:00' AS valid_from,
+               CAST(NULL AS TIMESTAMP) AS valid_to,
+               TRUE AS is_current
+        FROM updates
+    """,
     "scan_parquet": "SELECT * FROM part",
     "join_asof_tolerance": """
         SELECT p.event_id, p.user_id,

@@ -208,3 +208,65 @@ def test_variant_shred_roundtrips_source_columns(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_scd2_history_is_consistent(spark, sf_dir):
+    """SCD-2 invariants on the fixture: every key has exactly one
+    current row; a closed row's valid_to equals its successor's
+    valid_from; non-updated keys keep their single original row."""
+    from frinesis_spark.operators.relational import q_merge_scd2
+
+    out = q_merge_scd2(spark, sf_dir)
+    per_key = out.groupBy("c_custkey").agg(
+        F.sum(F.col("is_current").cast("int")).alias("n_current"),
+        F.count(F.lit(1)).alias("n_versions"),
+    )
+    assert per_key.where(F.col("n_current") != 1).count() == 0
+    # Updated keys: 2 versions; fresh keys and untouched keys: 1.
+    assert per_key.where(~F.col("n_versions").isin(1, 2)).count() == 0
+    two = per_key.where(F.col("n_versions") == 2).select("c_custkey")
+    chain_breaks = (
+        out.join(two, "c_custkey")
+        .groupBy("c_custkey")
+        .agg(
+            F.max("valid_to").alias("closed_at"),
+            F.max(F.when(F.col("is_current"), F.col("valid_from"))).alias(
+                "reopened_at"
+            ),
+        )
+        .where(F.col("closed_at") != F.col("reopened_at"))
+        .count()
+    )
+    assert chain_breaks == 0
+
+
+def test_grouping_sets_grains_are_consistent(spark, sf_dir):
+    """Each single-column grain's totals must equal the two-column
+    grain re-aggregated — the defining property of grouping sets."""
+    from frinesis_spark.operators.relational import q_agg_grouping_sets
+
+    out = q_agg_grouping_sets(spark, sf_dir).cache()
+    fine = out.where(F.col("grain") == 0)
+    by_prio = {
+        r.o_orderpriority: r.n_orders
+        for r in fine.groupBy("o_orderpriority")
+        .agg(F.sum("n_orders").alias("n_orders"))
+        .collect()
+    }
+    got_prio = {
+        r.o_orderpriority: r.n_orders
+        for r in out.where(F.col("grain") == 1).collect()
+    }
+    assert got_prio == by_prio
+    by_status = {
+        r.o_orderstatus: r.n_orders
+        for r in fine.groupBy("o_orderstatus")
+        .agg(F.sum("n_orders").alias("n_orders"))
+        .collect()
+    }
+    got_status = {
+        r.o_orderstatus: r.n_orders
+        for r in out.where(F.col("grain") == 2).collect()
+    }
+    assert got_status == by_status
+    out.unpersist()
