@@ -189,3 +189,51 @@ def test_streaming_tumbling_matches_batch(spark, sf_dir):
     assert len(streamed) > 0
     for r in streamed:
         assert batch[(r.window_start, r.event_type)] == (r.n_events, r.sum_value)
+
+
+def test_available_now_trigger_matches_watermark_semantics(spark, sf_dir):
+    """Trigger.AvailableNow (the production backfill mode: process
+    everything available, then self-terminate) must land on exactly the
+    same watermark-gated output as the drain-loop runner used by
+    q_stream_watermark_late — including the closing no-data batch that
+    flushes windows behind the final watermark. Pins the execution-mode
+    equivalence without a separate registry entry."""
+    import tempfile
+
+    from frinesis_spark.functions.numeric import dsum
+    from frinesis_spark.streaming.runner import events_stream, track_output_dir
+    from frinesis_spark.streaming.windows import q_stream_watermark_late
+
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("window.end").cast("timestamp_ntz").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    outdir = os.path.join(
+        "/tmp", "an_out_" + uuid.uuid4().hex[:12]
+    )
+    track_output_dir(outdir)
+    ckpt = tempfile.mkdtemp(prefix="an_ckpt_")
+    query = (
+        agg.writeStream.format("parquet")
+        .option("path", outdir)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert query.awaitTermination(300), "AvailableNow query did not stop"
+    got = sorted(map(tuple, spark.read.parquet(outdir).collect()))
+    want = sorted(map(tuple, q_stream_watermark_late(spark, sf_dir).collect()))
+    assert got == want and want
