@@ -92,13 +92,53 @@ def q_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_text_lines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw text-lines connector: write the document corpus as gzipped
+    one-document-per-line text files, read it back with the line
+    source, and recompute corpus statistics — the canonical LLM-corpus
+    ingest format (web-crawl dumps arrive exactly like this).
+
+    The aggregate (line count, exact char volume, distinct lines,
+    length extremes) is computed from the RE-READ copy, so any
+    encoding/line-splitting drift in the connector fails the hash
+    compare against the original column. Scale note: gzip is not
+    splittable — parallelism comes from file count, not file splits
+    (the writer shards one file per task, preserving it); at 100 TB
+    prefer zstd/bzip2 or sized shards, same connector. The fixture's
+    documents contain no newlines (asserted by the n_lines check —
+    an embedded newline would change the count).
+    """
+    d = table(spark, sf_dir, "documents")
+    path = _roundtrip_dir("text_gz")
+    d.select("text").write.mode("overwrite").option(
+        "compression", "gzip"
+    ).text(path)
+    back = spark.read.text(path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length("value")).alias("n_chars_total"),
+        F.countDistinct("value").alias("n_distinct"),
+        F.min(F.length("value")).cast("long").alias("min_len"),
+        F.max(F.length("value")).cast("long").alias("max_len"),
+    )
+
+
 QUERIES = {
     "source_csv_roundtrip": q_source_csv_roundtrip,
     "source_json_roundtrip": q_source_json_roundtrip,
     "source_orc_roundtrip": q_source_orc_roundtrip,
+    "source_text_lines_roundtrip": q_source_text_lines_roundtrip,
 }
 
 ORACLE = {
+    "source_text_lines_roundtrip": """
+        SELECT COUNT(*) AS n_lines,
+               CAST(SUM(LENGTH(text)) AS BIGINT) AS n_chars_total,
+               COUNT(DISTINCT text) AS n_distinct,
+               CAST(MIN(LENGTH(text)) AS BIGINT) AS min_len,
+               CAST(MAX(LENGTH(text)) AS BIGINT) AS max_len
+        FROM documents
+    """,
     "source_csv_roundtrip": """
         SELECT n_regionkey,
                COUNT(*) AS n_nations,
