@@ -191,6 +191,45 @@ def _sql_query(sql: str):
     return run
 
 
+# TPC-H Q1 (pricing summary report): THE canonical scan-heavy
+# aggregate — the SQL-string twin of the DataFrame flagship
+# (`agg_group_sum` / entry()), proving the parser→Catalyst path lands
+# on the same partial/final hash-agg plan with the date predicate
+# pushed to the scan.
+_Q1 = f"""
+    SELECT l_returnflag, l_linestatus,
+           {oracle_dsum('l_quantity')} AS sum_qty,
+           {oracle_dsum('l_extendedprice')} AS sum_base_price,
+           {oracle_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {oracle_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {oracle_davg('l_quantity')} AS avg_qty,
+           {oracle_davg('l_extendedprice')} AS avg_price,
+           {oracle_davg('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+"""
+
+# TPC-H Q14 (promotion effect): conditional-ratio aggregate — two
+# decimal-exact sums over the same join, one conditional, combined in
+# a single final division (deterministic: exact numerator/denominator,
+# one IEEE op). The synthetic p_type carries single-word classes, so
+# the promo predicate is equality rather than LIKE 'PROMO%'.
+_Q14 = f"""
+    SELECT ROUND(100.00 * {oracle_dsum("CASE WHEN p_type = 'PROMO'"
+                                       " THEN l_extendedprice * (1 - l_discount)"
+                                       " ELSE 0 END")}
+                 / {oracle_dsum('l_extendedprice * (1 - l_discount)')},
+                 6) AS promo_revenue_pct
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l_shipdate <  TIMESTAMP '1996-10-01'
+"""
+
+
 def q_sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 via the SQL-string entry point.
 
@@ -216,6 +255,8 @@ QUERIES = {
     "sql_tpch_q17": _sql_query(_Q17),
     "sql_tpch_q21": _sql_query(_Q21),
     "sql_tpch_q22": _sql_query(_Q22),
+    "sql_tpch_q1": _sql_query(_Q1),
+    "sql_tpch_q14": _sql_query(_Q14),
 }
 
 # The oracle is the same ANSI text (CAST syntax identical in DuckDB);
@@ -231,4 +272,6 @@ ORACLE = {
     "sql_tpch_q17": _Q17,
     "sql_tpch_q21": _Q21,
     "sql_tpch_q22": _Q22,
+    "sql_tpch_q1": _Q1,
+    "sql_tpch_q14": _Q14,
 }
