@@ -98,8 +98,10 @@ def main() -> None:
     # Best-of-N per query: the shared box shows ±2x run-to-run noise
     # (CPU steal), so a single sample conflates engine speed with
     # neighbor load. Min over reps is the standard estimator for
-    # achievable wall time.
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    # achievable wall time. Three reps (was two): an r4 contended run
+    # showed a 5x phantom on an unchanged query surviving best-of-2;
+    # the third sample makes one noisy rep per query survivable.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries.get(name)
