@@ -69,10 +69,10 @@ def _load_modules():
 #      (similarity_topk_cosine) and code-unchanged since — the whole
 #      set the r3 verdict flagged as the top rotation priority;
 #   3. green in CORRECTNESS_r03 (freshest evidence, cheapest to skip).
-# Budget check (r4): |tier0| 6 + |tier1| 15 + |tier2| 39 = 60 for the
-# ~50-slot window — the 10 queries added late in r4 (3 timeseries,
+# Budget check (r4): |tier0| 6 + |tier1| 16 + |tier2| 39 = 61 for the
+# ~50-slot window — the 11 queries added late in r4 (3 timeseries,
 # UDTF chunker, variant shred, grouping sets, SCD-2 merge, text-lines
-# source, SQL Q1/Q14) push the last ~10 tier-2 (r2-green,
+# source, SQL Q1/Q14, compaction) push the last ~11 tier-2 (r2-green,
 # code-unchanged) rows past the nominal budget; they and the 44 r3-green rows rotate in r5 (two-round
 # rotation, declared per the r3 verdict's window-budget note).
 _CHANGED_SINCE_VERDICT = (

@@ -122,12 +122,72 @@ def q_join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Compaction targets: many-small-files input sharding and the
+# records-per-file ceiling the compactor rewrites toward.
+_FRAGMENT_FILES = 64
+_COMPACT_MAX_RECORDS = 100_000
+
+
+def compact_parquet(
+    df: DataFrame, path: str, target_files: int
+) -> None:
+    """Rewrite a DataFrame into ``target_files`` parquet files (small-
+    files compaction): ``repartition(target_files)`` so every output
+    file carries an even share, with ``maxRecordsPerFile`` as the
+    ceiling that keeps any one file scan-task-sized.
+
+    At 100 TB this is THE table-maintenance operation: streaming
+    ingest and fine-grained partitioning strand data in thousands of
+    KB-sized files, and every downstream scan then pays one task +
+    one footer read per fragment. Compaction trades one bounded
+    rewrite for every future scan's speedup. (Table formats ship this
+    as OPTIMIZE/rewrite_data_files; on raw parquet it is exactly this
+    repartition+write.)
+    """
+    (
+        df.repartition(target_files)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", str(_COMPACT_MAX_RECORDS))
+        .parquet(path)
+    )
+
+
+def q_sink_compacted_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction roundtrip: fragment `lineitem` into
+    ``_FRAGMENT_FILES`` tiny parquet files (simulating streaming-ingest
+    debris), compact to 4 right-sized files, and aggregate the
+    COMPACTED copy — the oracle on the original table proves the
+    rewrite lost/duplicated/retyped nothing. The file-count reduction
+    itself is asserted in tests (an aggregate can't see layout).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    frag_path = _sink_dir("lineitem_fragmented")
+    li.repartition(_FRAGMENT_FILES).write.mode("overwrite").parquet(frag_path)
+    compacted_path = _sink_dir("lineitem_compacted")
+    compact_parquet(spark.read.parquet(frag_path), compacted_path, 4)
+    back = spark.read.parquet(compacted_path)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_extendedprice").alias("price_sum"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
 QUERIES = {
     "sink_partitioned_parquet": q_sink_partitioned_parquet,
     "join_bucketed_colocated": q_join_bucketed_colocated,
+    "sink_compacted_parquet": q_sink_compacted_parquet,
 }
 
 ORACLE = {
+    "sink_compacted_parquet": f"""
+        SELECT l_returnflag,
+               COUNT(*) AS n_rows,
+               {oracle_dsum('l_extendedprice')} AS price_sum,
+               COUNT(DISTINCT l_orderkey) AS n_orders
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
     "sink_partitioned_parquet": f"""
         SELECT o_orderpriority,
                COUNT(*) AS n_orders,

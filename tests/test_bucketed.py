@@ -94,3 +94,27 @@ def test_bucketed_join_matches_unbucketed(bucketed, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
     ).collect()
     assert sorted(map(tuple, via_buckets)) == sorted(map(tuple, plain))
+
+
+def test_compaction_reduces_file_count(spark, sf_dir):
+    """The compactor must actually consolidate layout: 64 fragments in,
+    ≤4 parquet data files out, rows preserved exactly (content parity
+    vs the oracle is covered by test_oracle_parity; this pins the
+    layout effect an aggregate can't see)."""
+    import glob
+    import os
+
+    from frinesis_spark.catalog import table
+    from frinesis_spark.sinks.files import (
+        _FRAGMENT_FILES,
+        _sink_dir,
+        q_sink_compacted_parquet,
+    )
+
+    q_sink_compacted_parquet(spark, sf_dir).collect()
+    frag = glob.glob(os.path.join(_sink_dir("lineitem_fragmented"), "part-*"))
+    comp = glob.glob(os.path.join(_sink_dir("lineitem_compacted"), "part-*"))
+    assert len(frag) == _FRAGMENT_FILES
+    assert 1 <= len(comp) <= 4
+    n = spark.read.parquet(_sink_dir("lineitem_compacted")).count()
+    assert n == table(spark, sf_dir, "lineitem").count()
