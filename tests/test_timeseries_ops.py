@@ -266,3 +266,80 @@ def test_sessionize_property_matches_reference(spark):
         assert got == _reference_sessions(rows, gap_us)
 
     run()
+
+
+def _reference_gapfill(rows):
+    """Single-threaded reference gapfill+LOCF over (uid, eid, ts, val)."""
+    from collections import defaultdict
+    from datetime import timedelta
+
+    hourly = defaultdict(lambda: [0, 0.0])
+    for uid, eid, ts, val in rows:
+        h = ts.replace(minute=0, second=0, microsecond=0)
+        cell = hourly[(uid, h)]
+        cell[0] += 1
+        cell[1] += val
+    out = []
+    users = {uid for uid, _ in hourly}
+    for uid in users:
+        hours = sorted(h for u, h in hourly if u == uid)
+        h, last = hours[0], None
+        while h <= hours[-1]:
+            n, s = hourly.get((uid, h), (0, None))
+            vs = round(s, 6) if n else None
+            if vs is not None:
+                last = vs
+            out.append((uid, h, n, vs, last))
+            h = h + timedelta(hours=1)
+    return sorted(out)
+
+
+def test_gapfill_property_matches_reference(spark):
+    """Property test: on randomized sparse timelines the distributed
+    gapfill+LOCF agrees with a sequential reference on grid coverage,
+    observation placement, and carry-forward values."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from frinesis_spark.operators.timeseries import gapfill_locf_hourly
+
+    event = st.tuples(
+        st.integers(min_value=0, max_value=100 * 3600),  # offset seconds
+        st.floats(
+            min_value=-100, max_value=100, allow_nan=False, width=32
+        ),
+    )
+    per_user = st.lists(event, min_size=1, max_size=12)
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(user_events=st.lists(per_user, min_size=1, max_size=3))
+    def run(user_events):
+        from datetime import timedelta
+
+        rows, eid = [], 0
+        for uid, evs in enumerate(user_events):
+            for off, val in evs:
+                eid += 1
+                rows.append(
+                    (uid, eid, datetime(2024, 3, 4) + timedelta(seconds=off),
+                     float(val))
+                )
+        got = sorted(
+            (
+                r.user_id,
+                r.hour,
+                r.n_events,
+                None if r.value_sum is None else round(r.value_sum, 6),
+                None
+                if r.locf_value_sum is None
+                else round(r.locf_value_sum, 6),
+            )
+            for r in gapfill_locf_hourly(_events(spark, rows)).collect()
+        )
+        assert got == _reference_gapfill(rows)
+
+    run()
