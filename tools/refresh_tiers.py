@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Rebuild the registry verification tiers from the newest
+CORRECTNESS_r{N}.json — the first chore of every round.
+
+The driver verifies ~50 queries per round in registration order, so
+``frinesis_spark/registry.py`` orders queries into tiers:
+
+  0. changed since the last verdict (must be re-verified) — this tool
+     cannot know what the next round changes, so it emits an EMPTY
+     tier-0 stub to fill in by hand as code changes land;
+  1. never driver-verified (implicit: not in any list);
+  2. stale evidence — green in SOME earlier round but absent from the
+     newest artifact (their rotation priority);
+  3. green in the newest artifact (freshest, cheapest to skip).
+
+Usage: ``python tools/refresh_tiers.py`` → prints the two frozensets
+(with per-name provenance) to paste into registry.py, plus a budget
+summary. Reads every CORRECTNESS_r*.json in the repo root; "green"
+means hash_match (or a rows-only row with no error).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+
+def _green(row: dict) -> bool:
+    if row.get("err") not in (None, "no_oracle"):
+        return False
+    if row.get("hash_match") is True:
+        return True
+    # rows-only check: no oracle, spark side produced rows without error
+    return row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+
+
+def main() -> None:
+    artifacts: dict[int, dict] = {}
+    for p in REPO.glob("CORRECTNESS_r*.json"):
+        m = re.match(r"CORRECTNESS_r(\d+)\.json", p.name)
+        if m:
+            artifacts[int(m.group(1))] = json.loads(p.read_text())
+    if not artifacts:
+        raise SystemExit("no CORRECTNESS_r*.json artifacts found")
+    newest = max(artifacts)
+
+    from frinesis_spark import registry
+
+    registered = set(registry.queries())
+
+    fresh = {
+        n for n, row in artifacts[newest].items() if _green(row) and n in registered
+    }
+    last_green: dict[str, int] = {}
+    for rnd in sorted(artifacts):
+        for n, row in artifacts[rnd].items():
+            if _green(row) and n in registered:
+                last_green[n] = rnd
+    stale = {n for n, rnd in last_green.items() if rnd < newest and n not in fresh}
+    never = registered - fresh - stale
+
+    print(f"# Tiers from CORRECTNESS_r{newest:02d} "
+          f"({len(registered)} registered queries)")
+    print(f"# tier 0 (changed since verdict): FILL IN BY HAND as r{newest + 1} "
+          "changes land")
+    print("_CHANGED_SINCE_VERDICT = (\n)\n")
+    print(f"# tier 2: stale evidence — last green before r{newest} "
+          f"({len(stale)} queries)")
+    print("_STALE_EVIDENCE = frozenset(")
+    print("    {")
+    for n in sorted(stale, key=lambda n: (last_green[n], n)):
+        print(f'        "{n}",  # last green r{last_green[n]}')
+    print("    }\n)\n")
+    print(f"# tier 3: green in CORRECTNESS_r{newest:02d} ({len(fresh)} queries)")
+    print(f"_VERIFIED_R{newest} = frozenset(")
+    print("    {")
+    for n in sorted(fresh):
+        print(f'        "{n}",')
+    print("    }\n)\n")
+    print(f"# budget: tier1 (never verified) = {len(never)} queries:")
+    for n in sorted(never):
+        print(f"#   {n}")
+    print(f"# window fill: {len(never)} never + {len(stale)} stale "
+          f"= {len(never) + len(stale)} ahead of the {len(fresh)} fresh rows")
+
+
+if __name__ == "__main__":
+    main()
