@@ -469,6 +469,51 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_incremental_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: exact near-dups of a NEW document
+    batch against the EXISTING corpus — the query a production
+    pipeline runs on every ingest (self-join dedup is the bootstrap;
+    this asymmetric probe is the steady state).
+
+    The batch split is deterministic (odd doc_ids = new batch, even =
+    corpus) so the oracle reproduces it. The new side probes the
+    corpus-wide inverted index — precisely what the per-(session,
+    corpus) index cache exists for: at scale the index is a persisted
+    artifact and only the new batch's shingles are computed fresh.
+    Candidates bucket on the shingle key exactly like the self-join
+    case, bounded by the same stop-shingle DF cap; output is
+    (new_id, corpus_id) pairs, never new×corpus.
+    """
+    inv = _cached_shingle_index(spark, sf_dir)
+    sizes = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    new = inv.where(F.col("doc_id") % 2 == 1).alias("n")
+    corpus = inv.where(F.col("doc_id") % 2 == 0).alias("c")
+    common = (
+        new.join(corpus, F.col("n.shingle") == F.col("c.shingle"))
+        .groupBy(
+            F.col("n.doc_id").alias("new_id"),
+            F.col("c.doc_id").alias("corpus_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = sizes.select(F.col("doc_id").alias("new_id"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(
+        F.col("doc_id").alias("corpus_id"), F.col("n_sh").alias("n_b")
+    )
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.join(na, "new_id")
+        .join(nb, "corpus_id")
+        .select(
+            "new_id",
+            "corpus_id",
+            F.round(jac, 6).alias("jaccard"),
+            F.col("n_common").cast("long").alias("n_common"),
+        )
+        .where(F.col("jaccard") >= _JACCARD_THRESHOLD)
+    )
+
+
 def q_dedup_cluster_cc(
     spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
 ) -> DataFrame:
@@ -725,6 +770,7 @@ QUERIES = {
     "dedup_near_minhash": q_dedup_near_minhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_incremental_jaccard": q_dedup_incremental_jaccard,
     "dedup_cluster_cc": q_dedup_cluster_cc,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_fuzzy_editdist": q_dedup_fuzzy_editdist,
@@ -783,6 +829,24 @@ ORACLE = {
         JOIN sizes na ON na.doc_id = doc_a
         JOIN sizes nb ON nb.doc_id = doc_b
         WHERE n_common / (na.n_sh + nb.n_sh - n_common) >= 0.5
+    """,
+    "dedup_incremental_jaccard": f"""
+        WITH {_INV_SQL},
+        common AS (
+            SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
+                   COUNT(*) AS n_common
+            FROM inv a JOIN inv b
+              ON a.shingle = b.shingle
+             AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT new_id, corpus_id,
+               ROUND(n_common / (na.n_sh + nb.n_sh - n_common), 6) AS jaccard,
+               CAST(n_common AS BIGINT) AS n_common
+        FROM common
+        JOIN sizes na ON na.doc_id = new_id
+        JOIN sizes nb ON nb.doc_id = corpus_id
+        WHERE n_common / (na.n_sh + nb.n_sh - n_common) >= {_JACCARD_THRESHOLD}
     """,
     "dedup_cluster_cc": f"""
         WITH RECURSIVE

@@ -69,11 +69,11 @@ def _load_modules():
 #      (similarity_topk_cosine) and code-unchanged since — the whole
 #      set the r3 verdict flagged as the top rotation priority;
 #   3. green in CORRECTNESS_r03 (freshest evidence, cheapest to skip).
-# Budget check (r4): |tier0| 6 + |tier1| 16 + |tier2| 39 = 61 for the
-# ~50-slot window — the 11 queries added late in r4 (3 timeseries,
+# Budget check (r4): |tier0| 6 + |tier1| 17 + |tier2| 39 = 62 for the
+# ~50-slot window — the 12 queries added late in r4 (3 timeseries,
 # UDTF chunker, variant shred, grouping sets, SCD-2 merge, text-lines
-# source, SQL Q1/Q14, compaction) push the last ~11 tier-2 (r2-green,
-# code-unchanged) rows past the nominal budget; they and the 44 r3-green rows rotate in r5 (two-round
+# source, SQL Q1/Q14, compaction, incremental dedup) push the last ~12
+# tier-2 (r2-green, code-unchanged) rows past the nominal budget; they and the 44 r3-green rows rotate in r5 (two-round
 # rotation, declared per the r3 verdict's window-budget note).
 _CHANGED_SINCE_VERDICT = (
     "sql_tpch_q3",  # register_views caching sentinel (shared sqlapi path)
