@@ -57,6 +57,7 @@ HEADLINE = [
     "analytics_retention_cohort",
     "agg_grouping_sets",
     "merge_scd2",
+    "dedup_incremental_jaccard",
 ]
 
 
