@@ -58,6 +58,12 @@ HEADLINE = [
     "agg_grouping_sets",
     "merge_scd2",
     "dedup_incremental_jaccard",
+    # Correlated-subquery SQL (r4 verdict #3): Q21 is the heaviest
+    # decorrelation plan (triple lineitem correlation), Q17 the
+    # scalar-subquery-per-group shape — a plan regression in either
+    # would otherwise be invisible to the bench.
+    "sql_tpch_q21",
+    "sql_tpch_q17",
 ]
 
 
@@ -104,16 +110,22 @@ def main() -> None:
     # the third sample makes one noisy rep per query survivable.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries.get(name)
         if fn is None:
             continue
-        best = float("inf")
+        samples = []
         for _ in range(reps):
             start = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - start)
-        timings[name] = round(best, 3)
+            samples.append(time.perf_counter() - start)
+        timings[name] = round(min(samples), 3)
+        # max/min ratio across reps (r4 verdict #8): a reported 1.1-1.2x
+        # cross-round drift on a query whose own reps spread 1.5x is
+        # noise by the bench's own evidence; a drift larger than the
+        # spread is a real plan change worth chasing.
+        spreads[name] = round(max(samples) / max(min(samples), 1e-9), 2)
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -121,6 +133,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "rep_spread": spreads,
         "sf": sf,
     }
 

@@ -110,23 +110,36 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
-# (session id, sf_dir) of the last registration per session. Temp views
+def session_key(spark: SparkSession) -> tuple[str, int]:
+    """Stable cache key for per-session derived state.
+
+    ``(applicationId, id(session))``: the applicationId changes whenever
+    the SparkContext is stopped and recreated, so a new session that
+    happens to reuse a garbage-collected session's ``id()`` can never
+    collide with stale entries bound to a dead context (the ADVICE r4
+    session-id-reuse hazard); ``id(session)`` disambiguates sibling
+    sessions sharing one context (``newSession()``), since temp views
+    and cached DataFrames are session-scoped.
+    """
+    return (spark.sparkContext.applicationId, id(spark))
+
+
+# (session key, sf_dir) of the last registration per session. Temp views
 # are session-scoped and the scans are lazy, so re-registering the same
 # dir is pure overhead (10 footer/schema reads per SQL query call —
 # measured as sql_tpch_q3's r3 1.36× drift vs r1).
-_VIEWS_CACHE: dict[int, str] = {}
+_VIEWS_CACHE: dict[tuple[str, int], str] = {}
 
 
 def register_views(spark: SparkSession, sf_dir: str, force: bool = False) -> None:
     """Register every table as a temp view for the SQL-string API.
 
     Idempotent per (session, sf_dir): repeat calls with the same dir are
-    no-ops. Keyed by ``id(spark)`` — sessions live for the whole process
-    in every harness we run under, so id reuse after GC is not a
-    concern; pass ``force=True`` to re-register (e.g. after dropping a
-    view).
+    no-ops. Keyed by :func:`session_key`, so a stopped-then-recreated
+    context re-registers from scratch; pass ``force=True`` to
+    re-register within one session (e.g. after dropping a view).
     """
-    key = id(spark)
+    key = session_key(spark)
     if not force and _VIEWS_CACHE.get(key) == sf_dir:
         return
     for name in TABLES:

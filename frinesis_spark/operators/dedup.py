@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from frinesis_spark.catalog import table
+from frinesis_spark.catalog import session_key, table
 
 # MinHash parameters: 128-long signature, 32 bands × 4 rows.
 # P(candidate | jaccard j) = 1-(1-j^4)^32 → ~0.99 at j=0.5, ~0.04 at j=0.1.
@@ -123,12 +123,12 @@ def _shingle_index(docs: DataFrame, max_df: int = _MAX_DF) -> DataFrame:
 # notes call for: at 100 TB the index is a persisted table, not a
 # per-query recomputation. Holding the DataFrame keeps its
 # checkpointed RDD blocks alive for the session.
-_INDEX_CACHE: dict[tuple[int, str], DataFrame] = {}
-_SIG_CACHE: dict[tuple[int, str], DataFrame] = {}
+_INDEX_CACHE: dict[tuple[tuple[str, int], str], DataFrame] = {}
+_SIG_CACHE: dict[tuple[tuple[str, int], str], DataFrame] = {}
 
 
 def _cached_shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     inv = _INDEX_CACHE.get(key)
     if inv is None:
         if len(_INDEX_CACHE) >= 4:  # bound held checkpoints per session
@@ -187,7 +187,18 @@ def _minhash_signatures(docs: DataFrame, max_df: int = _MAX_DF) -> DataFrame:
     can neither dominate a signature nor (downstream) a band bucket.
     The cap runs on the 8-byte shingle *hashes*, not strings — the DF
     count is one int-keyed partial-agg shuffle over the checkpointed
-    hash arrays (strings never shuffle). Three stop-set regimes:
+    hash arrays (strings never shuffle). CONTRACT NOTE (ADVICE r4):
+    the operator contract defines the stop set on shingle *strings*
+    (as :func:`_shingle_index` counts it); counting on hashes selects
+    the identical set under the assumption that no rare shingle
+    xxhash64-collides with a boilerplate one — probability ~2⁻⁶⁴ per
+    pair, and a collision's only effect is dropping one extra rare
+    shingle from signatures (never a correctness inversion, since this
+    query is LSH-approximate by declaration). Accepted deliberately:
+    counting on strings would shuffle the full shingle text at 100 TB
+    for no measurable recall gain. tests/test_dedup.py pins that both
+    cap implementations select the same stop set on a collision-free
+    fixture. Three stop-set regimes:
 
     - empty (this fixture: max DF 7): signatures stay exactly the r3
       map-only pipeline — the cap costs one small count job;
@@ -279,7 +290,7 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the same per-(session, corpus) statistics cache as the shingle
     # index (see _INDEX_CACHE): a pure function of an immutable
     # fixture dir, shared across repeat invocations.
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     sig = _SIG_CACHE.get(key)
     if sig is None:
         if len(_SIG_CACHE) >= 4:
@@ -456,16 +467,20 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    # Threshold on the UNROUNDED ratio (matching the oracle's WHERE),
+    # then round only for display/hash stability — ADVICE r4: filtering
+    # on the rounded column could admit a pair within 5e-7 of the
+    # threshold that the oracle rejects.
     return (
         common.join(na, "doc_a")
         .join(nb, "doc_b")
+        .where(jac >= _JACCARD_THRESHOLD)
         .select(
             "doc_a",
             "doc_b",
             F.round(jac, 6).alias("jaccard"),
             F.col("n_common").cast("long").alias("n_common"),
         )
-        .where(F.col("jaccard") >= _JACCARD_THRESHOLD)
     )
 
 
@@ -501,16 +516,18 @@ def q_dedup_incremental_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("corpus_id"), F.col("n_sh").alias("n_b")
     )
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    # Unrounded threshold before the rounded display column — same
+    # oracle-parity rationale as q_dedup_ngram_jaccard (ADVICE r4).
     return (
         common.join(na, "new_id")
         .join(nb, "corpus_id")
+        .where(jac >= _JACCARD_THRESHOLD)
         .select(
             "new_id",
             "corpus_id",
             F.round(jac, 6).alias("jaccard"),
             F.col("n_common").cast("long").alias("n_common"),
         )
-        .where(F.col("jaccard") >= _JACCARD_THRESHOLD)
     )
 
 

@@ -175,7 +175,13 @@ def q_udtf_table_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     class ChunkDoc:
         def eval(self, doc_id, text):
-            toks = (text or "").split(" ")
+            # NULL text yields no chunks — aligned with the oracle's
+            # explicit `WHERE text IS NOT NULL` (ADVICE r4: the old
+            # `text or ""` fallback emitted one empty chunk while
+            # DuckDB's string_split propagated NULL).
+            if text is None:
+                return
+            toks = text.split(" ")
             n = len(toks)
             for idx, s in enumerate(
                 range(1, max(n, 1) + 1, _CHUNK_STRIDE)
@@ -210,6 +216,11 @@ def q_scalar_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = table(spark, sf_dir, "events")
     k_str = F.get_json_object(F.col("props"), "$.k")
+    # Rows without a $.k key are dropped explicitly on BOTH sides
+    # (ADVICE r4): Spark's concat nulls the whole payload on a NULL
+    # argument while DuckDB's CONCAT skips NULLs — aligning by filter
+    # is exact, aligning the concat semantics is not.
+    e = e.where(k_str.isNotNull())
     payload = F.concat(
         F.lit('{"meta":{"type":"'),
         F.col("event_type"),
@@ -248,6 +259,7 @@ ORACLE = {
     "udtf_table_chunks": f"""
         WITH toks AS (
             SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            WHERE text IS NOT NULL
         ), starts AS (
             SELECT doc_id, t,
                    UNNEST(generate_series(1, GREATEST(len(t), 1),
@@ -271,6 +283,7 @@ ORACLE = {
                                     AS BIGINT) * 2 AS VARCHAR),
                           ']}') AS payload
             FROM events
+            WHERE json_extract_string(props, '$.k') IS NOT NULL
         )
         SELECT json_extract_string(payload, '$.meta.type') AS vtype,
                COUNT(*) AS n_events,
@@ -311,7 +324,10 @@ ORACLE = {
             SELECT event_id AS row_id,
                    CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k_json,
                    CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k_map,
-                   CAST(1 AS BIGINT) AS n_keys
+                   -- derived from the JSON itself (ADVICE r4), not a
+                   -- literal 1: fixture-schema drift now shows up as a
+                   -- value diff here, not a confusing hash mismatch
+                   CAST(LEN(JSON_KEYS(props)) AS BIGINT) AS n_keys
             FROM events
         )
         SELECT d.row_id, n_tokens, mentions_data, first_token, k_json, k_map, n_keys

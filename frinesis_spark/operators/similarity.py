@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from frinesis_spark.catalog import table
+from frinesis_spark.catalog import session_key, table
 from frinesis_spark.functions.vectors import cosine_similarity
 
 _N_QUERIES = 10  # vec_id < 10 form the query set
@@ -247,7 +247,7 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantity the recall/efficiency tests measure directly."""
     q, c = _queries_and_candidates(spark, sf_dir)
     qb = _multiprobe(q, "query_id", "qe")
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     cb = _LSH_INDEX_CACHE.get(key)
     if cb is None:
         if len(_LSH_INDEX_CACHE) >= 4:
@@ -378,15 +378,15 @@ def _ivf_centroids(corpus: DataFrame, emb_col: str):
 # queries reuse the materialized index instead of retraining. Same
 # statistics-cache pattern as dedup's shingle index; at real scale
 # these are persisted index tables.
-_IVF_INDEX_CACHE: dict[tuple[int, str], tuple] = {}
-_LSH_INDEX_CACHE: dict[tuple[int, str], DataFrame] = {}
+_IVF_INDEX_CACHE: dict[tuple[tuple[str, int], str], tuple] = {}
+_LSH_INDEX_CACHE: dict[tuple[tuple[str, int], str], DataFrame] = {}
 
 
 def _ivf_cells_and_probes(spark: SparkSession, sf_dir: str):
     """Shared IVF machinery: (corpus rows tagged with their cell,
     query rows repeated per probed cell). The (cells, centroids)
     index half comes from the per-(session, corpus) cache."""
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     cached = _IVF_INDEX_CACHE.get(key)
     if cached is not None:
         cells, cents = cached

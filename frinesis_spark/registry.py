@@ -59,133 +59,147 @@ def _load_modules():
 
 # The driver checks ~50 queries per round in registration order, so the
 # order is a verification budget. Four tiers (refreshed each round from
-# the newest CORRECTNESS/VERDICT artifacts — r4 state, from
-# CORRECTNESS_r03.json):
-#   0. changed since the r3 verdict — operators whose code this round
-#      touched, so their green r3 rows no longer cover them;
-#   1. never driver-verified at all (new this round — the r4 SQL
-#      subquery suite + stream_user_profile fall here automatically);
-#   2. stale evidence: last green in r2 (38 queries) or r1
-#      (similarity_topk_cosine) and code-unchanged since — the whole
-#      set the r3 verdict flagged as the top rotation priority;
-#   3. green in CORRECTNESS_r03 (freshest evidence, cheapest to skip).
-# Budget check (r4): |tier0| 6 + |tier1| 17 + |tier2| 39 = 62 for the
-# ~50-slot window — the 12 queries added late in r4 (3 timeseries,
-# UDTF chunker, variant shred, grouping sets, SCD-2 merge, text-lines
-# source, SQL Q1/Q14, compaction, incremental dedup) push the last ~12
-# tier-2 (r2-green, code-unchanged) rows past the nominal budget; they and the 44 r3-green rows rotate in r5 (two-round
-# rotation, declared per the r3 verdict's window-budget note).
+# the newest CORRECTNESS artifact via tools/refresh_tiers.py — r5
+# state, from CORRECTNESS_r04.json):
+#   0. changed since the r4 verdict — operators whose code this round
+#      touched, so their green r4 rows no longer cover them;
+#   1. never driver-verified at all (none at r5 start — every one of
+#      the 106 registered queries has a green row somewhere);
+#   2. stale evidence, ordered OLDEST ROUND FIRST within the tier:
+#      similarity_topk_cosine (r1), 11 r2-green agg/window/join rows,
+#      then the 44 r3-green rows absent from the r4 window;
+#   3. green in CORRECTNESS_r04 (freshest evidence, cheapest to skip).
+# Window arithmetic (r5, from refresh_tiers.py): 0 never + 56 stale
+# (1×r1 + 11×r2 + 44×r3) + |tier0| changed-this-round = 56+ for the
+# ~50-slot window. The r1/r2 dozen fills the very front (the r4
+# verdict's top item); the last ~6-12 r3-stale rows rotate to r6,
+# completing the declared two-round rotation. No new §2C queries are
+# added in r5 precisely to keep this arithmetic closable (verdict #7).
 _CHANGED_SINCE_VERDICT = (
-    "sql_tpch_q3",  # register_views caching sentinel (shared sqlapi path)
-    "dedup_ngram_jaccard",  # stop-shingle DF cap
-    "dedup_near_minhash",  # stop-shingle DF cap (shared shingler)
-    "dedup_cluster_cc",  # checkpoint-dir parameter
-    "embedding_quantize_int8",  # zero-scale guard
-    "stream_foreach_batch_upsert",  # version cleanup + empty-replay guard
+    "dedup_ngram_jaccard",  # unrounded-jaccard filter parity (ADVICE r4)
+    "dedup_incremental_jaccard",  # unrounded-jaccard filter parity (ADVICE r4)
+    "dedup_near_minhash",  # DF-cap stop-set now counted on shingle strings
+    "udtf_table_chunks",  # NULL-text alignment with the oracle (ADVICE r4)
+    "scalar_variant_shred",  # missing-key NULL alignment (ADVICE r4)
+    "scalar_array_map_json",  # oracle derives n_keys from the JSON
+    "similarity_ann_lsh",  # index cache keyed on applicationId
+    "similarity_ann_ivf",  # index cache keyed on applicationId
 )
 
-# Last green row r2 (or r1 for similarity_topk_cosine), code unchanged
-# since; no r3 row — the driver's window must re-verify these first
-# after tier 0/1.
-_STALE_EVIDENCE = frozenset(
+# Last green row before r4 (round noted per name), code unchanged
+# since; absent from CORRECTNESS_r04 — the driver's window re-verifies
+# these after tier 0/1, oldest evidence first.
+_STALE_EVIDENCE = {
+    "similarity_topk_cosine": 1,
+    "agg_collect_sorted": 2,
+    "agg_cube": 2,
+    "agg_histogram": 2,
+    "agg_percentile": 2,
+    "agg_pivot": 2,
+    "agg_string_concat": 2,
+    "join_cross_dims": 2,
+    "window_ntile_ranks": 2,
+    "window_rank_cume": 2,
+    "window_rank_topk": 2,
+    "window_running_frame": 2,
+    "agg_bool_bitwise": 3,
+    "agg_filtered_conditional": 3,
+    "agg_regression": 3,
+    "agg_stats_corr": 3,
+    "dedup_embedding_cosine": 3,
+    "dedup_exact": 3,
+    "dedup_fuzzy_editdist": 3,
+    "dedup_simhash": 3,
+    "explode_token_freq": 3,
+    "funnel_conversion": 3,
+    "join_asof": 3,
+    "join_asof_tolerance": 3,
+    "join_range_theta": 3,
+    "join_salted_skew": 3,
+    "merge_upsert": 3,
+    "sample_stratified_hash": 3,
+    "scalar_conditional_regex": 3,
+    "scalar_string_date_math": 3,
+    "set_union_except_intersect": 3,
+    "sink_kinesis_batched": 3,
+    "sort_limit": 3,
+    "source_kinesis_datasource": 3,
+    "source_kinesis_read": 3,
+    "source_orc_roundtrip": 3,
+    "sql_tpch_q10": 3,
+    "sql_tpch_q5": 3,
+    "sql_tpch_q6": 3,
+    "stream_custom_sessionize": 3,
+    "stream_dedup_stateful": 3,
+    "stream_session_window": 3,
+    "stream_sliding_agg": 3,
+    "stream_stream_join": 3,
+    "stream_tumbling_agg": 3,
+    "stream_watermark_late": 3,
+    "text_ngram_profile": 3,
+    "time_ohlc_bars": 3,
+    "time_rollup_hypertable": 3,
+    "udf_python": 3,
+    "window_first_last": 3,
+    "window_lag_lead": 3,
+    "window_time_range": 3,
+}
+
+# Every green row in CORRECTNESS_r04.json (50 queries). Members that
+# also appear in _CHANGED_SINCE_VERDICT are outranked by tier 0 — the
+# r4 evidence predates this round's code change.
+_VERIFIED_LAST = frozenset(
     {
+        "agg_approx_distinct",
+        "agg_distinct",
+        "agg_group_sum",
+        "agg_grouping_sets",
+        "agg_rollup",
+        "analytics_retention_cohort",
+        "dedup_cluster_cc",
+        "dedup_incremental_jaccard",
+        "dedup_near_minhash",
+        "dedup_ngram_jaccard",
+        "embedding_quantize_int8",
+        "filter_in_between_like",
+        "join_anti",
+        "join_broadcast",
+        "join_bucketed_colocated",
+        "join_inner_equi",
+        "join_left_outer",
+        "join_multiway_star",
+        "join_semi",
+        "merge_scd2",
+        "multimodal_decode",
+        "multimodal_frame_sample",
+        "multimodal_join",
+        "multimodal_resize",
+        "pipeline_llm_prep",
+        "project_filter",
+        "scalar_variant_shred",
+        "scan_parquet",
+        "sink_compacted_parquet",
+        "sink_partitioned_parquet",
+        "source_csv_roundtrip",
+        "source_json_roundtrip",
+        "source_text_lines_roundtrip",
+        "sql_tpch_q1",
+        "sql_tpch_q14",
+        "sql_tpch_q17",
+        "sql_tpch_q21",
+        "sql_tpch_q22",
+        "sql_tpch_q3",
+        "sql_tpch_q4",
+        "stream_foreach_batch_upsert",
+        "stream_user_profile",
         "text_analysis_stats",
+        "text_fingerprint",
         "text_language_id",
         "text_quality_score",
         "text_token_count",
-        "text_fingerprint",
-        "pipeline_llm_prep",
-        "multimodal_join",
-        "multimodal_decode",
-        "multimodal_resize",
-        "multimodal_frame_sample",
-        "source_csv_roundtrip",
-        "source_json_roundtrip",
-        "sink_partitioned_parquet",
-        "join_bucketed_colocated",
-        "scan_parquet",
-        "project_filter",
-        "filter_in_between_like",
-        "join_inner_equi",
-        "join_broadcast",
-        "join_left_outer",
-        "join_semi",
-        "join_anti",
-        "join_multiway_star",
-        "agg_group_sum",
-        "agg_distinct",
-        "agg_approx_distinct",
-        "agg_rollup",
-        "agg_cube",
-        "agg_percentile",
-        "agg_pivot",
-        "window_rank_topk",
-        "window_running_frame",
-        "window_ntile_ranks",
-        "agg_collect_sorted",
-        "agg_histogram",
-        "agg_string_concat",
-        "window_rank_cume",
-        "join_cross_dims",
-        "similarity_topk_cosine",
-    }
-)
-
-# Every green row in CORRECTNESS_r03.json (50 queries). Members that
-# also appear in _CHANGED_SINCE_VERDICT are outranked by tier 0 — the
-# r3 evidence predates this round's code change.
-_VERIFIED_R3 = frozenset(
-    {
-        "dedup_embedding_cosine",
-        "similarity_ann_lsh",
-        "similarity_ann_ivf",
-        "join_range_theta",
-        "join_asof",
-        "scalar_array_map_json",
-        "time_rollup_hypertable",
-        "window_time_range",
-        "sql_tpch_q3",
-        "stream_tumbling_agg",
-        "stream_sliding_agg",
-        "stream_session_window",
-        "stream_watermark_late",
-        "stream_dedup_stateful",
-        "stream_stream_join",
-        "stream_custom_sessionize",
-        "sink_kinesis_batched",
-        "source_kinesis_read",
-        "source_kinesis_datasource",
-        "explode_token_freq",
-        "text_ngram_profile",
-        "sample_stratified_hash",
-        "stream_foreach_batch_upsert",
-        "source_orc_roundtrip",
-        "sql_tpch_q5",
-        "sql_tpch_q6",
-        "sql_tpch_q10",
-        "join_asof_tolerance",
-        "window_lag_lead",
-        "agg_filtered_conditional",
-        "time_ohlc_bars",
-        "funnel_conversion",
-        "agg_regression",
-        "dedup_fuzzy_editdist",
-        "embedding_quantize_int8",
-        "window_first_last",
-        "agg_bool_bitwise",
-        "sort_limit",
-        "set_union_except_intersect",
-        "join_salted_skew",
-        "merge_upsert",
-        "agg_stats_corr",
-        "scalar_string_date_math",
-        "scalar_conditional_regex",
-        "udf_python",
-        "dedup_exact",
-        "dedup_near_minhash",
-        "dedup_simhash",
-        "dedup_ngram_jaccard",
-        "dedup_cluster_cc",
+        "time_gapfill_locf",
+        "udtf_table_chunks",
+        "window_session_islands",
     }
 )
 
@@ -197,8 +211,8 @@ def _check_tiers(registered: set[str]) -> None:
     to the wrong verification tier."""
     for tier_name, tier in (
         ("_CHANGED_SINCE_VERDICT", set(_CHANGED_SINCE_VERDICT)),
-        ("_STALE_EVIDENCE", _STALE_EVIDENCE),
-        ("_VERIFIED_R3", _VERIFIED_R3),
+        ("_STALE_EVIDENCE", set(_STALE_EVIDENCE)),
+        ("_VERIFIED_LAST", _VERIFIED_LAST),
     ):
         unknown = tier - registered
         if unknown:
@@ -211,15 +225,17 @@ def _check_tiers(registered: set[str]) -> None:
 def _reorder(names: list[str]) -> list[str]:
     pos = {n: i for i, n in enumerate(_CHANGED_SINCE_VERDICT)}
 
-    def key(item: tuple[int, str]) -> tuple[int, int]:
+    def key(item: tuple[int, str]) -> tuple[int, int, int]:
         i, n = item
         if n in pos:
-            return (0, pos[n])
-        if n not in _STALE_EVIDENCE and n not in _VERIFIED_R3:
-            return (1, i)  # never verified
+            return (0, 0, pos[n])
+        if n not in _STALE_EVIDENCE and n not in _VERIFIED_LAST:
+            return (1, 0, i)  # never verified
         if n in _STALE_EVIDENCE:
-            return (2, i)  # stale (r1/r2) evidence
-        return (3, i)  # fresh r3 evidence
+            # stale evidence: oldest green round first so the r1/r2
+            # dozen is guaranteed a slot even if the window truncates
+            return (2, _STALE_EVIDENCE[n], i)
+        return (3, 0, i)  # fresh last-round evidence
 
     return [n for _, n in sorted(enumerate(names), key=key)]
 

@@ -1,0 +1,210 @@
+"""Round-5 hardening tests (the r4 VERDICT/ADVICE punch list):
+
+- per-session caches keyed on ``(applicationId, id(session))`` so a
+  stopped-then-recreated context can never be served another context's
+  checkpointed artifacts, even if CPython reuses the session ``id()``;
+- the minhash DF-cap (counted on xxhash64 shingle hashes) selects the
+  SAME stop set as the string-counted ``_shingle_index`` contract on a
+  collision-free fixture;
+- jaccard queries threshold on the unrounded ratio (a borderline pair
+  engineered to round up across the threshold must be excluded, as the
+  oracle excludes it);
+- NULL-text / missing-``$.k`` rows are dropped identically on the
+  Spark and oracle sides of the UDTF chunker and the variant shred.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from frinesis_spark.catalog import session_key
+
+
+class _FakeContext:
+    def __init__(self, app_id: str) -> None:
+        self.applicationId = app_id
+
+
+class _FakeSession:
+    def __init__(self, app_id: str) -> None:
+        self.sparkContext = _FakeContext(app_id)
+
+
+def test_session_key_distinguishes_recreated_contexts():
+    """A new context (new applicationId) never collides with a dead
+    one's cache entries — even when the new session object lands on the
+    recycled id() of the old one (the ADVICE r4 hazard)."""
+    keys = []
+    for app_id in ("local-111", "local-222", "local-333"):
+        s = _FakeSession(app_id)
+        keys.append(session_key(s))
+        del s  # free the id for potential reuse by the next session
+    assert len(set(keys)) == 3
+    assert all(k[0] == app for k, app in zip(keys, ("local-111", "local-222", "local-333")))
+
+
+def test_session_key_distinguishes_sibling_sessions(spark):
+    """Sessions sharing one context (newSession) get distinct keys —
+    temp views and cached DataFrames are session-scoped."""
+    sibling = spark.newSession()
+    assert session_key(spark) != session_key(sibling)
+    assert session_key(spark)[0] == session_key(sibling)[0]  # same context
+    assert session_key(spark) == session_key(spark)  # stable per session
+
+
+def test_caches_are_keyed_by_session_key(spark, sf_dir):
+    """The dedup shingle-index cache stores under the session_key, so a
+    context restart (different applicationId) misses the cache."""
+    from frinesis_spark.operators import dedup
+
+    dedup._cached_shingle_index(spark, sf_dir)
+    assert (session_key(spark), sf_dir) in dedup._INDEX_CACHE
+
+
+def test_minhash_hash_cap_matches_string_cap_stop_set(spark):
+    """The DF cap counted on xxhash64 hashes (the minhash signature
+    path) selects the same stop set as counting on shingle strings
+    (the _shingle_index / oracle contract), absent hash collisions.
+
+    Fixture: 5 docs sharing the boilerplate shingle "common license
+    header" (DF 5 > cap 3); every other shingle is unique (DF 1).
+    """
+    from frinesis_spark.operators.dedup import _shingles
+
+    texts = [
+        (i, f"doc{i} unique{i} tail{i} common license header")
+        for i in range(5)
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    max_df = 3
+
+    inv = docs.select("doc_id", F.explode(_shingles()).alias("shingle"))
+    stop_strings = {
+        r.shingle
+        for r in inv.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > max_df)
+        .collect()
+    }
+    # exactly the boilerplate 3-gram windows that appear in all 5 docs
+    assert stop_strings == {"common license header"}
+
+    base = docs.select(
+        "doc_id", F.transform(_shingles(), lambda s: F.xxhash64(s)).alias("hs")
+    )
+    stop_hashes = {
+        r.h
+        for r in base.select(F.explode("hs").alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > max_df)
+        .collect()
+    }
+    string_hashes = {
+        r.h
+        for r in spark.createDataFrame(
+            [(s,) for s in stop_strings], "shingle string"
+        )
+        .select(F.xxhash64("shingle").alias("h"))
+        .collect()
+    }
+    assert stop_hashes == string_hashes
+
+
+@pytest.fixture()
+def _docs_view(spark):
+    """Swap the `documents` temp view for a crafted fixture. The real
+    sf_dir is registered FIRST so the query's own register_views call
+    is a cached no-op that preserves the swap; teardown invalidates the
+    cache so later tests re-register the real tables."""
+    from frinesis_spark import catalog
+
+    def swap(df, sf_dir):
+        catalog.register_views(spark, sf_dir)
+        df.createOrReplaceTempView("documents")
+
+    yield swap
+    catalog._VIEWS_CACHE.pop(session_key(spark), None)
+
+
+def test_jaccard_threshold_is_unrounded(spark, monkeypatch):
+    """A pair whose exact jaccard is just UNDER 0.5 but whose 6-decimal
+    ROUND is exactly 0.5 must be EXCLUDED — the discriminating case for
+    the ADVICE r4 fix (the old code filtered on the rounded column and
+    would have admitted it; the oracle filters unrounded).
+
+    Construction: the smallest ratios inside (0.4999995, 0.5) need
+    ~1e6-row denominators, unreachable with real shingled texts, so the
+    inverted index is synthesized directly: doc 0 carries k shared
+    shingles, doc 1 the same k plus k+1 unique ones →
+    j = k/(2k+1) = 0.49999958… for k = 600000, ROUND(j, 6) = 0.5.
+    """
+    import pyspark.sql.functions as F
+
+    from frinesis_spark.operators import dedup
+
+    k = 600_000
+    shared = spark.range(k).select(
+        F.concat(F.lit("s"), F.col("id")).alias("shingle")
+    )
+    inv = (
+        shared.select(F.lit(0).cast("long").alias("doc_id"), "shingle")
+        .unionAll(shared.select(F.lit(1).cast("long").alias("doc_id"), "shingle"))
+        .unionAll(
+            spark.range(k + 1).select(
+                F.lit(1).cast("long").alias("doc_id"),
+                F.concat(F.lit("u"), F.col("id")).alias("shingle"),
+            )
+        )
+    )
+    monkeypatch.setattr(dedup, "_cached_shingle_index", lambda s, d: inv)
+    out = dedup.q_dedup_ngram_jaccard(spark, "ignored").collect()
+    # exact j = 600000/1200001 < 0.5 → excluded, even though it rounds
+    # to the 0.5 threshold at 6 decimals
+    assert out == []
+
+
+def test_udtf_chunker_drops_null_text(spark, sf_dir, _docs_view):
+    """NULL text yields zero chunks (not one empty chunk), matching the
+    oracle's WHERE text IS NOT NULL."""
+    from frinesis_spark.operators.scalar import q_udtf_table_chunks
+
+    docs = spark.createDataFrame(
+        [(1, "one two three"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    _docs_view(docs, sf_dir)
+    rows = q_udtf_table_chunks(spark, sf_dir).collect()
+    by_doc = {r.doc_id for r in rows}
+    assert 2 not in by_doc  # NULL text dropped
+    assert 1 in by_doc and 3 in by_doc  # empty string still chunks ('' token)
+
+
+def test_variant_shred_drops_missing_k(spark):
+    """Events whose props JSON has no $.k are excluded on the Spark
+    side (the oracle excludes them via WHERE ... IS NOT NULL)."""
+    from frinesis_spark import catalog
+    from frinesis_spark.operators.scalar import q_scalar_variant_shred
+
+    events = spark.createDataFrame(
+        [
+            (1, "click", '{"k": 3}'),
+            (2, "click", '{"other": 1}'),
+            (3, "view", '{"k": 5}'),
+        ],
+        "event_id long, event_type string, props string",
+    )
+    real_table = catalog.table
+    try:
+        catalog_table = lambda s, d, n: events if n == "events" else real_table(s, d, n)
+        import frinesis_spark.operators.scalar as scalar_mod
+
+        orig = scalar_mod.table
+        scalar_mod.table = catalog_table
+        rows = {r.vtype: r for r in q_scalar_variant_shred(spark, "x").collect()}
+    finally:
+        scalar_mod.table = orig
+    assert rows["click"].n_events == 1  # the no-k click row is dropped
+    assert rows["click"].sum_k == 3 and rows["click"].sum_k2 == 6
+    assert rows["view"].sum_k == 5
