@@ -125,6 +125,7 @@ def _shingle_index(docs: DataFrame, max_df: int = _MAX_DF) -> DataFrame:
 # checkpointed RDD blocks alive for the session.
 _INDEX_CACHE: dict[tuple[tuple[str, int], str], DataFrame] = {}
 _SIG_CACHE: dict[tuple[tuple[str, int], str], DataFrame] = {}
+_SIZES_CACHE: dict[tuple[tuple[str, int], str], DataFrame] = {}
 
 
 def _cached_shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -136,6 +137,30 @@ def _cached_shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         inv = _shingle_index(table(spark, sf_dir, "documents"))
         _INDEX_CACHE[key] = inv
     return inv
+
+
+def _cached_shingle_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc shingle counts ``(doc_id, n_sh)`` over the DF-capped
+    index — a corpus statistic like the index itself, so it lives in
+    the same per-(session, corpus) cache. Each jaccard query joins it
+    TWICE (both pair sides); uncached, every reference re-runs the
+    doc_id partial-agg shuffle over the index. One row per document
+    (KBs even at 100 TB scale ÷ 10⁹ docs → a broadcastable dim), so
+    the eager localCheckpoint is cheap and the downstream joins
+    broadcast it instead of shuffling the candidate pairs."""
+    key = (session_key(spark), sf_dir)
+    sizes = _SIZES_CACHE.get(key)
+    if sizes is None:
+        if len(_SIZES_CACHE) >= 4:
+            _SIZES_CACHE.clear()
+        sizes = (
+            _cached_shingle_index(spark, sf_dir)
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_sh"))
+            .localCheckpoint(eager=True)
+        )
+        _SIZES_CACHE[key] = sizes
+    return sizes
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -450,7 +475,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # already materialized (one shingle pass per session+corpus — see
     # _cached_shingle_index), so no second checkpoint.
     inv = _cached_shingle_index(spark, sf_dir)
-    sizes = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sizes = _cached_shingle_sizes(spark, sf_dir)
 
     a, b = inv.alias("a"), inv.alias("b")
     common = (
@@ -500,7 +525,7 @@ def q_dedup_incremental_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (new_id, corpus_id) pairs, never new×corpus.
     """
     inv = _cached_shingle_index(spark, sf_dir)
-    sizes = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sizes = _cached_shingle_sizes(spark, sf_dir)
     new = inv.where(F.col("doc_id") % 2 == 1).alias("n")
     corpus = inv.where(F.col("doc_id") % 2 == 0).alias("c")
     common = (

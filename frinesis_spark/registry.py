@@ -76,9 +76,10 @@ def _load_modules():
 # completing the declared two-round rotation. No new §2C queries are
 # added in r5 precisely to keep this arithmetic closable (verdict #7).
 _CHANGED_SINCE_VERDICT = (
-    "dedup_ngram_jaccard",  # unrounded-jaccard filter parity (ADVICE r4)
-    "dedup_incremental_jaccard",  # unrounded-jaccard filter parity (ADVICE r4)
-    "dedup_near_minhash",  # DF-cap stop-set now counted on shingle strings
+    "dedup_ngram_jaccard",  # unrounded-jaccard filter + cached sizes
+    "dedup_incremental_jaccard",  # unrounded-jaccard filter + cached sizes
+    "dedup_cluster_cc",  # consumes the changed ngram_jaccard pair path
+    "dedup_near_minhash",  # DF-cap collision contract documented + tested
     "udtf_table_chunks",  # NULL-text alignment with the oracle (ADVICE r4)
     "scalar_variant_shred",  # missing-key NULL alignment (ADVICE r4)
     "scalar_array_map_json",  # oracle derives n_keys from the JSON

@@ -159,6 +159,15 @@ def test_jaccard_threshold_is_unrounded(spark, monkeypatch):
         )
     )
     monkeypatch.setattr(dedup, "_cached_shingle_index", lambda s, d: inv)
+    # the sizes cache would otherwise pin this synthetic corpus under
+    # the fake sf_dir key; bypass it the same way
+    monkeypatch.setattr(
+        dedup,
+        "_cached_shingle_sizes",
+        lambda s, d: inv.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_sh")
+        ),
+    )
     out = dedup.q_dedup_ngram_jaccard(spark, "ignored").collect()
     # exact j = 600000/1200001 < 0.5 → excluded, even though it rounds
     # to the 0.5 threshold at 6 decimals

@@ -70,14 +70,14 @@ def main() -> None:
           "changes land")
     print("_CHANGED_SINCE_VERDICT = (\n)\n")
     print(f"# tier 2: stale evidence — last green before r{newest} "
-          f"({len(stale)} queries)")
-    print("_STALE_EVIDENCE = frozenset(")
-    print("    {")
+          f"({len(stale)} queries); name -> last-green round, the\n"
+          "# _reorder sort key (oldest evidence claims window slots first)")
+    print("_STALE_EVIDENCE = {")
     for n in sorted(stale, key=lambda n: (last_green[n], n)):
-        print(f'        "{n}",  # last green r{last_green[n]}')
-    print("    }\n)\n")
+        print(f'    "{n}": {last_green[n]},')
+    print("}\n")
     print(f"# tier 3: green in CORRECTNESS_r{newest:02d} ({len(fresh)} queries)")
-    print(f"_VERIFIED_R{newest} = frozenset(")
+    print("_VERIFIED_LAST = frozenset(")
     print("    {")
     for n in sorted(fresh):
         print(f'        "{n}",')
