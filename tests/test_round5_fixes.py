@@ -217,3 +217,49 @@ def test_variant_shred_drops_missing_k(spark):
     assert rows["click"].n_events == 1  # the no-k click row is dropped
     assert rows["click"].sum_k == 3 and rows["click"].sum_k2 == 6
     assert rows["view"].sum_k == 5
+
+
+def test_minhash_regimes_agree(spark, monkeypatch):
+    """The three stop-set regimes of _minhash_signatures are declared
+    result-identical; force the pathological distributed-anti-join path
+    (by shrinking _STOP_LIT_CAP below the stop-set size) and pin its
+    signatures against the default literal-array path."""
+    from frinesis_spark.operators import dedup
+
+    boiler = "aa bb cc dd"  # 2 boilerplate shingles: "aa bb cc", "bb cc dd"
+    rows = [(i, f"{boiler} unique{i} tail{i} end{i}") for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    lit_path = {
+        (r.doc_id, tuple(r.sig))
+        for r in dedup._minhash_signatures(docs, max_df=5).collect()
+    }
+    monkeypatch.setattr(dedup, "_STOP_LIT_CAP", 1)  # stop set (2) > cap
+    anti_path = {
+        (r.doc_id, tuple(r.sig))
+        for r in dedup._minhash_signatures(docs, max_df=5).collect()
+    }
+    assert lit_path == anti_path
+    assert len(lit_path) == 8  # no doc was all-boilerplate
+
+
+def test_shingle_index_regimes_agree(spark, monkeypatch):
+    """Same contract for _shingle_index: the isin-literal filter and
+    the left-anti join select identical surviving index entries."""
+    from frinesis_spark.operators import dedup
+
+    boiler = "xx yy zz ww"
+    rows = [(i, f"{boiler} only{i} here{i} now{i}") for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    lit_path = {
+        (r.doc_id, r.shingle)
+        for r in dedup._shingle_index(docs, max_df=5).collect()
+    }
+    monkeypatch.setattr(dedup, "_STOP_LIT_CAP", 1)
+    anti_path = {
+        (r.doc_id, r.shingle)
+        for r in dedup._shingle_index(docs, max_df=5).collect()
+    }
+    assert lit_path == anti_path
+    assert not any(s in {"xx yy zz", "yy zz ww"} for _, s in lit_path)
