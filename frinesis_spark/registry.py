@@ -80,6 +80,7 @@ _CHANGED_SINCE_VERDICT = (
     "dedup_incremental_jaccard",  # unrounded-jaccard filter + cached sizes
     "dedup_cluster_cc",  # consumes the changed ngram_jaccard pair path
     "dedup_near_minhash",  # DF-cap collision contract documented + tested
+    "dedup_simhash",  # fingerprint table moved into the statistics cache
     "udtf_table_chunks",  # NULL-text alignment with the oracle (ADVICE r4)
     "scalar_variant_shred",  # missing-key NULL alignment (ADVICE r4)
     "scalar_array_map_json",  # oracle derives n_keys from the JSON
