@@ -263,3 +263,41 @@ def test_shingle_index_regimes_agree(spark, monkeypatch):
     }
     assert lit_path == anti_path
     assert not any(s in {"xx yy zz", "yy zz ww"} for _, s in lit_path)
+
+
+def test_cached_sizes_match_index_recount(spark, sf_dir):
+    """The cached per-doc size table equals a fresh recount over the
+    cached index (cache is a pure materialization, not a variant)."""
+    from frinesis_spark.operators import dedup
+
+    inv = dedup._cached_shingle_index(spark, sf_dir)
+    cached = {
+        (r.doc_id, r.n_sh)
+        for r in dedup._cached_shingle_sizes(spark, sf_dir).collect()
+    }
+    fresh = {
+        (r.doc_id, r.n_sh)
+        for r in inv.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+        .collect()
+    }
+    assert cached == fresh
+
+
+def test_cached_simhash_fingerprints_stable(spark, sf_dir):
+    """Repeat calls serve the same materialized fingerprint table, and
+    its values equal a fresh (uncached) fingerprint pass."""
+    from frinesis_spark.catalog import table
+    from frinesis_spark.operators import dedup
+
+    first = dedup._cached_simhash_fingerprints(spark, sf_dir)
+    again = dedup._cached_simhash_fingerprints(spark, sf_dir)
+    assert first is again  # same materialized DataFrame object
+    cached = {(r.doc_id, r.simhash) for r in first.collect()}
+    fresh = {
+        (r.doc_id, r.simhash)
+        for r in dedup._simhash_fingerprints(
+            table(spark, sf_dir, "documents")
+        ).collect()
+    }
+    assert cached == fresh
