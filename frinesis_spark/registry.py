@@ -257,7 +257,11 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     for mod in _load_modules():
         out.update(getattr(mod, "ORACLE", {}))
-    unknown = out.keys() - queries().keys()
+    q_order = list(queries())
+    unknown = out.keys() - set(q_order)
     if unknown:
         raise ValueError(f"oracle entries without a query: {unknown}")
-    return {n: out[n] for n in _reorder(list(out))}
+    # Mirror queries() order exactly (not an independent _reorder over
+    # the oracle names, whose within-tier tie-break could differ) so
+    # both halves of the driver contract present one verification order.
+    return {n: out[n] for n in q_order if n in out}

@@ -1,0 +1,65 @@
+"""The registration order IS the driver's verification budget — these
+tests pin the rotation contract so a silent `_reorder` regression can't
+push stale-evidence queries out of the ~50-slot window.
+"""
+
+from __future__ import annotations
+
+from frinesis_spark import registry
+
+
+def _names():
+    return list(registry.queries())
+
+
+def test_tier0_leads_in_declared_order():
+    names = _names()
+    tier0 = list(registry._CHANGED_SINCE_VERDICT)
+    assert names[: len(tier0)] == tier0
+
+
+def test_stale_tier_sorted_oldest_round_first():
+    names = _names()
+    tier0 = set(registry._CHANGED_SINCE_VERDICT)
+    stale_in_order = [
+        n for n in names if n in registry._STALE_EVIDENCE and n not in tier0
+    ]
+    rounds = [registry._STALE_EVIDENCE[n] for n in stale_in_order]
+    assert rounds == sorted(rounds), (
+        "stale tier must run oldest evidence first"
+    )
+    # every stale name precedes every fresh (last-round-verified) name
+    last_stale = max(names.index(n) for n in stale_in_order)
+    fresh_only = [
+        n
+        for n in names
+        if n in registry._VERIFIED_LAST
+        and n not in tier0
+        and n not in registry._STALE_EVIDENCE
+    ]
+    first_fresh = min(names.index(n) for n in fresh_only)
+    assert last_stale < first_fresh
+
+
+def test_oldest_evidence_fits_the_window():
+    """Tier 0 + the r1/r2 dozen must all land inside the driver's
+    ~50-slot window with heavy margin — they are the rotation's
+    non-negotiable front."""
+    names = _names()
+    critical = set(registry._CHANGED_SINCE_VERDICT) | {
+        n for n, rnd in registry._STALE_EVIDENCE.items() if rnd <= 2
+    }
+    positions = [names.index(n) for n in critical]
+    assert max(positions) < 30
+
+
+def test_every_tier_name_is_registered():
+    registered = set(_names())
+    assert set(registry._CHANGED_SINCE_VERDICT) <= registered
+    assert set(registry._STALE_EVIDENCE) <= registered
+    assert registry._VERIFIED_LAST <= registered
+
+
+def test_oracle_order_mirrors_query_order():
+    qnames = [n for n in _names() if n in registry.oracle_sql()]
+    assert list(registry.oracle_sql()) == qnames
