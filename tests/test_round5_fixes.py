@@ -301,3 +301,51 @@ def test_cached_simhash_fingerprints_stable(spark, sf_dir):
         ).collect()
     }
     assert cached == fresh
+
+
+def test_minhash_agrees_with_exact_jaccard(spark, sf_dir):
+    """Cross-validate the rows-only minhash query against the
+    oracle-verified exact-jaccard query — the correctness evidence the
+    DuckDB compare can't provide for a non-SQL hash family.
+
+    Measured on both fixtures (sf0.001 and sf0.01): recall 1.0,
+    zero false positives, max |est - exact| ≈ 0.05; pinned with slack
+    for seed-stable but fixture-drift-tolerant margins."""
+    from frinesis_spark.operators import dedup
+
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.q_dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+    est = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in dedup.q_dedup_near_minhash(spark, sf_dir).collect()
+    }
+    assert exact, "fixture must contain planted near-dup pairs"
+    hits = set(exact) & set(est)
+    recall = len(hits) / len(exact)
+    assert recall >= 0.85, f"minhash recall {recall:.2f} of exact pairs"
+    # false-positive mass: est >= 0.5 pairs absent from the exact set
+    assert len(set(est) - set(exact)) <= max(2, len(exact) // 5)
+    worst = max(abs(exact[p] - est[p]) for p in hits)
+    assert worst <= 0.15, f"worst |est-exact| = {worst:.3f}"
+
+
+def test_simhash_recovers_exact_near_dups(spark, sf_dir):
+    """SimHash (Hamming <= 8) must recover most exact-jaccard >= 0.5
+    pairs — its token-frequency similarity is a different (looser)
+    notion, so only recall is pinned, not precision. Measured: 0.92-0.93
+    on both fixtures."""
+    from frinesis_spark.operators import dedup
+
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.q_dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+    sh = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.q_dedup_simhash(spark, sf_dir).collect()
+    }
+    assert exact
+    recall = len(exact & sh) / len(exact)
+    assert recall >= 0.7, f"simhash recall {recall:.2f} of exact pairs"
