@@ -66,6 +66,24 @@ HEADLINE = [
     "sql_tpch_q17",
 ]
 
+# Queries served from the per-(session, corpus) derived-artifact caches
+# (shingle index / sizes / minhash sigs / simhash fingerprints / LSH
+# buckets / IVF centroids+cells). Their steady-state reps measure the
+# WARM path only; the bench also takes one COLD rep each (caches
+# cleared first) so the index-build cost — the number the 100 TB
+# build-once/query-many story depends on — is pinned per round
+# (r5 verdict #5). Cold times go to BENCH_full.json, not the compact
+# stdout line.
+CACHE_BACKED = [
+    "dedup_near_minhash",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_incremental_jaccard",
+    "dedup_cluster_cc",
+    "similarity_ann_lsh",
+    "similarity_ann_ivf",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -109,17 +127,40 @@ def main() -> None:
     # showed a 5x phantom on an unchanged query surviving best-of-2;
     # the third sample makes one noisy rep per query survivable.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
+    def run_once(name: str) -> float:
+        start = time.perf_counter()
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - start
+
+    # Cold pass first (r5 verdict #5): one rep per cache-backed query
+    # with the derived-artifact caches cleared immediately before it, so
+    # the sample includes the index build. Per-query clear (not one
+    # clear for the whole pass): incremental_jaccard's cold cost
+    # INCLUDES the shingle-index build even though ngram_jaccard just
+    # built one — each query's cold number is its fully-cold cost.
+    from frinesis_spark.caches import clear_derived_caches
+
+    cold: dict[str, float] = {}
+    for name in CACHE_BACKED:
+        if name not in queries:
+            continue
+        clear_derived_caches()
+        cold[name] = round(run_once(name), 3)
+
+    # Steady-state pass: best-of-N per query. The shared box shows ±2x
+    # run-to-run noise (CPU steal), so a single sample conflates engine
+    # speed with neighbor load; min over reps is the standard estimator
+    # for achievable wall time. Three reps (was two): an r4 contended
+    # run showed a 5x phantom on an unchanged query surviving
+    # best-of-2. The cold pass above pre-warmed the cache-backed
+    # queries, so every sample here is genuinely warm.
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     for name in HEADLINE:
-        fn = queries.get(name)
-        if fn is None:
+        if name not in queries:
             continue
-        samples = []
-        for _ in range(reps):
-            start = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            samples.append(time.perf_counter() - start)
+        samples = [run_once(name) for _ in range(reps)]
         timings[name] = round(min(samples), 3)
         # max/min ratio across reps (r4 verdict #8): a reported 1.1-1.2x
         # cross-round drift on a query whose own reps spread 1.5x is
@@ -128,18 +169,21 @@ def main() -> None:
         spreads[name] = round(max(samples) / max(min(samples), 1e-9), 2)
 
     total = round(sum(timings.values()), 3)
-    out = {
+    full = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "cold": cold,
         "rep_spread": spreads,
+        "reps": reps,
         "sf": sf,
     }
 
     # Regression anchor: compare against the newest BENCH_r{N}.json
     # (same sf only) and flag >1.5x per-query slowdowns. Ratios ride
-    # along in the JSON so every round's bench is self-auditing.
+    # along in the record so every round's bench is self-auditing.
+    regressions: dict[str, float] = {}
     prev = _load_prev_bench(Path(__file__).resolve().parent, sf)
     if prev:
         vs_prev = {
@@ -147,11 +191,36 @@ def main() -> None:
             for name, t in timings.items()
             if prev.get(name)
         }
-        out["vs_prev"] = vs_prev
-        out["regressions"] = {
-            name: r for name, r in vs_prev.items() if r > 1.5
+        full["vs_prev"] = vs_prev
+        regressions = {name: r for name, r in vs_prev.items() if r > 1.5}
+        full["regressions"] = regressions
+
+    # Two outputs (r5 verdict #1 — BENCH_r05 was lost to truncation):
+    # the FULL record goes to a committed repo file, and stdout gets a
+    # COMPACT line guaranteed to fit the driver's 2000-char tail
+    # capture (r5's line, grown by rep_spread + vs_prev, exceeded it
+    # and the round's per-query seconds were unrecoverable).
+    full_path = Path(__file__).resolve().parent / "BENCH_full.json"
+    full_path.write_text(json.dumps(full, indent=1) + "\n")
+    compact = {
+        "metric": full["metric"],
+        "value": total,
+        "unit": "sec",
+        "queries": {n: round(t, 2) for n, t in timings.items()},
+        "sf": sf,
+        "regressions": regressions,
+        "full": full_path.name,
+    }
+    line = json.dumps(compact)
+    if len(line) > 1800:  # belt-and-braces: never outgrow the capture again
+        compact.pop("regressions", None)
+        compact["queries"] = {
+            n: t for n, t in sorted(
+                compact["queries"].items(), key=lambda kv: -kv[1]
+            )[:30]
         }
-    print(json.dumps(out))
+        line = json.dumps(compact)
+    print(line)
 
 
 def _load_prev_bench(repo: Path, sf: float) -> dict[str, float] | None:

@@ -5,7 +5,8 @@ Commands:
 - ``list`` — every registered query name (the engine's operator
   surface, SURVEY.md §2).
 - ``run NAME`` — execute one query against ``--sf-dir`` and print
-  rows as JSON lines (``--limit`` caps output; 0 = all).
+  rows as JSON lines (``--limit`` caps output; 0 = all rows, streamed
+  partition-at-a-time, never a full driver collect).
 - ``sql "SELECT ..."`` — run an ANSI-SQL string against the
   registered table views.
 
@@ -36,7 +37,10 @@ def main(argv: list[str] | None = None) -> int:
         help="directory of the parquet tables",
     )
     p.add_argument(
-        "--limit", type=int, default=20, help="max rows to print (0 = all)"
+        "--limit",
+        type=int,
+        default=20,
+        help="max rows to print (0 = stream ALL rows via toLocalIterator)",
     )
     sub = p.add_subparsers(dest="cmd", required=True)
     sub.add_parser("list")
@@ -69,7 +73,13 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         df = fn(spark, args.sf_dir)
 
-    rows = df.limit(args.limit).collect() if args.limit else df.collect()
+    # --limit 0 streams via toLocalIterator(), never df.collect(): the
+    # CLI must stay usable against a full-scale table, and an unbounded
+    # collect materializes the whole result in driver memory (r5
+    # verdict #8 — the one driver-side bottleneck grep still found).
+    # toLocalIterator pulls one partition at a time, so driver memory
+    # is bounded by the largest partition regardless of result size.
+    rows = df.limit(args.limit).collect() if args.limit else df.toLocalIterator()
     for row in rows:
         print(json.dumps(row.asDict(recursive=True), default=_json_default))
     return 0

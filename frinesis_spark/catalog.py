@@ -9,6 +9,7 @@ downstream plan into the scan (verify with ``.explain``: ``PushedFilters``
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -114,34 +115,46 @@ def session_key(spark: SparkSession) -> tuple[str, int]:
     """Stable cache key for per-session derived state.
 
     ``(applicationId, id(session))``: the applicationId changes whenever
-    the SparkContext is stopped and recreated, so a new session that
-    happens to reuse a garbage-collected session's ``id()`` can never
-    collide with stale entries bound to a dead context (the ADVICE r4
-    session-id-reuse hazard); ``id(session)`` disambiguates sibling
-    sessions sharing one context (``newSession()``), since temp views
-    and cached DataFrames are session-scoped.
+    the SparkContext is stopped and recreated, so an ``id()`` recycled
+    across contexts cannot collide with stale entries bound to a dead
+    context (the ADVICE r4 session-id-reuse hazard); ``id(session)``
+    disambiguates sibling sessions sharing one context
+    (``newSession()``), since temp views and cached DataFrames are
+    session-scoped. Within ONE context a recycled ``id()`` CAN still
+    collide (ADVICE r5) — safe only for caches whose values hold a
+    reference to the session (all the DataFrame caches do, which pins
+    the session alive for the entry's lifetime). Caches with
+    session-free values must key weakly on the session object instead
+    (see ``_VIEWS_CACHE``).
     """
     return (spark.sparkContext.applicationId, id(spark))
 
 
-# (session key, sf_dir) of the last registration per session. Temp views
-# are session-scoped and the scans are lazy, so re-registering the same
-# dir is pure overhead (10 footer/schema reads per SQL query call —
-# measured as sql_tpch_q3's r3 1.36× drift vs r1).
-_VIEWS_CACHE: dict[tuple[str, int], str] = {}
+# session -> sf_dir of the last registration. Temp views are
+# session-scoped and the scans are lazy, so re-registering the same dir
+# is pure overhead (10 footer/schema reads per SQL query call — measured
+# as sql_tpch_q3's r3 1.36× drift vs r1). Keyed WEAKLY on the session
+# object itself (ADVICE r5): the value is a plain string that pins
+# nothing, so an id()-based key could be recycled by a later sibling
+# session and wrongly skip its registration; a WeakKeyDictionary entry
+# dies with its session, so a recycled id can never alias a live entry.
+_VIEWS_CACHE: "weakref.WeakKeyDictionary[SparkSession, str]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def register_views(spark: SparkSession, sf_dir: str, force: bool = False) -> None:
     """Register every table as a temp view for the SQL-string API.
 
     Idempotent per (session, sf_dir): repeat calls with the same dir are
-    no-ops. Keyed by :func:`session_key`, so a stopped-then-recreated
-    context re-registers from scratch; pass ``force=True`` to
-    re-register within one session (e.g. after dropping a view).
+    no-ops. Keyed weakly on the session object, so a dead session's
+    entry vanishes with it (no id-reuse aliasing) and a
+    stopped-then-recreated context re-registers from scratch; pass
+    ``force=True`` to re-register within one session (e.g. after
+    dropping a view).
     """
-    key = session_key(spark)
-    if not force and _VIEWS_CACHE.get(key) == sf_dir:
+    if not force and _VIEWS_CACHE.get(spark) == sf_dir:
         return
     for name in TABLES:
         table(spark, sf_dir, name).createOrReplaceTempView(name)
-    _VIEWS_CACHE[key] = sf_dir
+    _VIEWS_CACHE[spark] = sf_dir

@@ -54,8 +54,9 @@ def q_scalar_array_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collection functions: split/size/array_contains on `documents`,
     JSON extraction + from_json→map on `events.props`.
 
-    The map column is parsed with ``from_json`` into map<string,int>
-    (JVM-side Jackson, codegen) — no Python in the loop.
+    The map column is parsed with ``from_json`` into map<string,string>
+    (JVM-side Jackson, codegen) — no Python in the loop. String values,
+    then per-key casts: see the inline note on oracle NULL parity.
     """
     d = table(spark, sf_dir, "documents")
     e = table(spark, sf_dir, "events")
@@ -66,11 +67,22 @@ def q_scalar_array_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_contains(words, "data").alias("mentions_data"),
         F.element_at(words, 1).alias("first_token"),
     )
-    props_map = F.from_json(F.col("props"), T.MapType(T.StringType(), T.LongType()))
+    # Parsed as map<string,STRING>, not map<string,long> (ADVICE r5): a
+    # long-valued parse nulls the ENTIRE map if ANY props value is not a
+    # long (string, nested object), which would null n_keys/k_map while
+    # the oracle's JSON_KEYS still counts keys and its per-key extract
+    # still extracts. String values are lossless for key counting, and
+    # the per-key try_cast (TRY_CAST in the oracle) nulls only that
+    # key on a non-numeric value — identical NULL semantics on both
+    # engines, and no ANSI-mode cast error on malformed input. One
+    # Jackson pass, JVM codegen throughout.
+    props_map = F.from_json(
+        F.col("props"), T.MapType(T.StringType(), T.StringType())
+    )
     event_side = e.select(
         F.col("event_id").alias("row_id"),
-        F.get_json_object(F.col("props"), "$.k").cast("long").alias("k_json"),
-        F.element_at(props_map, "k").alias("k_map"),
+        F.get_json_object(F.col("props"), "$.k").try_cast("long").alias("k_json"),
+        F.element_at(props_map, "k").try_cast("long").alias("k_map"),
         F.size(F.map_keys(props_map)).cast("long").alias("n_keys"),
     )
     # Two differently-shaped scalar exercises, one per source table.
@@ -322,8 +334,10 @@ ORACLE = {
             FROM documents
         ), event_side AS (
             SELECT event_id AS row_id,
-                   CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k_json,
-                   CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k_map,
+                   -- TRY_CAST, matching Spark's try_cast: a non-numeric
+                   -- k nulls that key only on BOTH engines (ADVICE r5)
+                   TRY_CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k_json,
+                   TRY_CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k_map,
                    -- derived from the JSON itself (ADVICE r4), not a
                    -- literal 1: fixture-schema drift now shows up as a
                    -- value diff here, not a confusing hash mismatch

@@ -58,150 +58,138 @@ def _load_modules():
 
 
 # The driver checks ~50 queries per round in registration order, so the
-# order is a verification budget. Four tiers (refreshed each round from
-# the newest CORRECTNESS artifact via tools/refresh_tiers.py — r5
-# state, from CORRECTNESS_r04.json):
-#   0. changed since the r4 verdict — operators whose code this round
-#      touched, so their green r4 rows no longer cover them;
-#   1. never driver-verified at all (none at r5 start — every one of
-#      the 106 registered queries has a green row somewhere);
+# order is a verification budget. Four tiers (refreshed at r6 start from
+# CORRECTNESS_r05.json via tools/refresh_tiers.py):
+#   0. changed since the r5 verdict — operators whose code this round
+#      touched, so their green r5 rows no longer cover them;
+#   1. never driver-verified (new r6 registrations, if any);
 #   2. stale evidence, ordered OLDEST ROUND FIRST within the tier:
-#      similarity_topk_cosine (r1), 11 r2-green agg/window/join rows,
-#      then the 44 r3-green rows absent from the r4 window;
-#   3. green in CORRECTNESS_r04 (freshest evidence, cheapest to skip).
-# Window arithmetic (r5, from refresh_tiers.py): 0 never + 56 stale
-# (1×r1 + 11×r2 + 44×r3) + |tier0| changed-this-round = 56+ for the
-# ~50-slot window. The r1/r2 dozen fills the very front (the r4
-# verdict's top item); the last ~6-12 r3-stale rows rotate to r6,
-# completing the declared two-round rotation. No new §2C queries are
-# added in r5 precisely to keep this arithmetic closable (verdict #7).
+#      the 12 r3-green rows the r5 verdict flagged for rotation, then
+#      the 44 r4-green rows absent from the r5 window;
+#   3. green in CORRECTNESS_r05 (freshest evidence, cheapest to skip).
+# Window arithmetic (r6): registry folded 106 → 104 (r5 verdict #7:
+# agg_rollup+agg_cube → agg_rollup_cube, window_rank_cume+
+# window_ntile_ranks → window_ranking_suite — near-identical surfaces
+# that re-verified separately every rotation). The window fills as
+# 1 tier0 (scalar_array_map_json) + 2 tier1 (the folded queries) +
+# 12 r3-stale + 35 of the 43 r4-stale = 50; the 8-row r4 remainder
+# rotates to r7. Steady state after the fold: 104 registered vs a
+# 50-slot window = 54 stale/round, so each slot the fold freed (2 per
+# rotation) shrinks the permanent 3rd-round tail; tier0 discipline
+# (keep code-change fan-out small) is what keeps the tail bounded.
 _CHANGED_SINCE_VERDICT = (
-    "dedup_ngram_jaccard",  # unrounded-jaccard filter + cached sizes
-    "dedup_incremental_jaccard",  # unrounded-jaccard filter + cached sizes
-    "dedup_cluster_cc",  # consumes the changed ngram_jaccard pair path
-    "dedup_near_minhash",  # DF-cap collision contract documented + tested
-    "dedup_simhash",  # fingerprint table moved into the statistics cache
-    "udtf_table_chunks",  # NULL-text alignment with the oracle (ADVICE r4)
-    "scalar_variant_shred",  # missing-key NULL alignment (ADVICE r4)
-    "scalar_array_map_json",  # oracle derives n_keys from the JSON
-    "similarity_ann_lsh",  # index cache keyed on applicationId
-    "similarity_ann_ivf",  # index cache keyed on applicationId
+    # r6: props parsed as map<string,string> + try_cast per key, oracle
+    # moved to TRY_CAST — NULL-aligned under non-long values (ADVICE r5)
+    "scalar_array_map_json",
 )
 
-# Last green row before r4 (round noted per name), code unchanged
-# since; absent from CORRECTNESS_r04 — the driver's window re-verifies
-# these after tier 0/1, oldest evidence first.
 _STALE_EVIDENCE = {
-    "similarity_topk_cosine": 1,
-    "agg_collect_sorted": 2,
-    "agg_cube": 2,
-    "agg_histogram": 2,
-    "agg_percentile": 2,
-    "agg_pivot": 2,
-    "agg_string_concat": 2,
-    "join_cross_dims": 2,
-    "window_ntile_ranks": 2,
-    "window_rank_cume": 2,
-    "window_rank_topk": 2,
-    "window_running_frame": 2,
-    "agg_bool_bitwise": 3,
     "agg_filtered_conditional": 3,
     "agg_regression": 3,
-    "agg_stats_corr": 3,
     "dedup_embedding_cosine": 3,
     "dedup_exact": 3,
     "dedup_fuzzy_editdist": 3,
-    "dedup_simhash": 3,
-    "explode_token_freq": 3,
     "funnel_conversion": 3,
-    "join_asof": 3,
     "join_asof_tolerance": 3,
-    "join_range_theta": 3,
-    "join_salted_skew": 3,
-    "merge_upsert": 3,
-    "sample_stratified_hash": 3,
     "scalar_conditional_regex": 3,
     "scalar_string_date_math": 3,
-    "set_union_except_intersect": 3,
-    "sink_kinesis_batched": 3,
-    "sort_limit": 3,
-    "source_kinesis_datasource": 3,
-    "source_kinesis_read": 3,
-    "source_orc_roundtrip": 3,
-    "sql_tpch_q10": 3,
-    "sql_tpch_q5": 3,
-    "sql_tpch_q6": 3,
-    "stream_custom_sessionize": 3,
-    "stream_dedup_stateful": 3,
-    "stream_session_window": 3,
-    "stream_sliding_agg": 3,
-    "stream_stream_join": 3,
-    "stream_tumbling_agg": 3,
-    "stream_watermark_late": 3,
-    "text_ngram_profile": 3,
     "time_ohlc_bars": 3,
-    "time_rollup_hypertable": 3,
     "udf_python": 3,
-    "window_first_last": 3,
     "window_lag_lead": 3,
-    "window_time_range": 3,
+    "agg_approx_distinct": 4,
+    "agg_distinct": 4,
+    "agg_group_sum": 4,
+    "agg_grouping_sets": 4,
+    "analytics_retention_cohort": 4,
+    "embedding_quantize_int8": 4,
+    "filter_in_between_like": 4,
+    "join_anti": 4,
+    "join_broadcast": 4,
+    "join_bucketed_colocated": 4,
+    "join_inner_equi": 4,
+    "join_left_outer": 4,
+    "join_multiway_star": 4,
+    "join_semi": 4,
+    "merge_scd2": 4,
+    "multimodal_decode": 4,
+    "multimodal_frame_sample": 4,
+    "multimodal_join": 4,
+    "multimodal_resize": 4,
+    "pipeline_llm_prep": 4,
+    "project_filter": 4,
+    "scan_parquet": 4,
+    "sink_compacted_parquet": 4,
+    "sink_partitioned_parquet": 4,
+    "source_csv_roundtrip": 4,
+    "source_json_roundtrip": 4,
+    "source_text_lines_roundtrip": 4,
+    "sql_tpch_q1": 4,
+    "sql_tpch_q14": 4,
+    "sql_tpch_q17": 4,
+    "sql_tpch_q21": 4,
+    "sql_tpch_q22": 4,
+    "sql_tpch_q3": 4,
+    "sql_tpch_q4": 4,
+    "stream_foreach_batch_upsert": 4,
+    "stream_user_profile": 4,
+    "text_analysis_stats": 4,
+    "text_fingerprint": 4,
+    "text_language_id": 4,
+    "text_quality_score": 4,
+    "text_token_count": 4,
+    "time_gapfill_locf": 4,
+    "window_session_islands": 4,
 }
 
-# Every green row in CORRECTNESS_r04.json (50 queries). Members that
-# also appear in _CHANGED_SINCE_VERDICT are outranked by tier 0 — the
-# r4 evidence predates this round's code change.
 _VERIFIED_LAST = frozenset(
     {
-        "agg_approx_distinct",
-        "agg_distinct",
-        "agg_group_sum",
-        "agg_grouping_sets",
-        "agg_rollup",
-        "analytics_retention_cohort",
+        "agg_bool_bitwise",
+        "agg_collect_sorted",
+        "agg_histogram",
+        "agg_percentile",
+        "agg_pivot",
+        "agg_stats_corr",
+        "agg_string_concat",
         "dedup_cluster_cc",
         "dedup_incremental_jaccard",
         "dedup_near_minhash",
         "dedup_ngram_jaccard",
-        "embedding_quantize_int8",
-        "filter_in_between_like",
-        "join_anti",
-        "join_broadcast",
-        "join_bucketed_colocated",
-        "join_inner_equi",
-        "join_left_outer",
-        "join_multiway_star",
-        "join_semi",
-        "merge_scd2",
-        "multimodal_decode",
-        "multimodal_frame_sample",
-        "multimodal_join",
-        "multimodal_resize",
-        "pipeline_llm_prep",
-        "project_filter",
+        "dedup_simhash",
+        "explode_token_freq",
+        "join_asof",
+        "join_cross_dims",
+        "join_range_theta",
+        "join_salted_skew",
+        "merge_upsert",
+        "sample_stratified_hash",
+        "scalar_array_map_json",
         "scalar_variant_shred",
-        "scan_parquet",
-        "sink_compacted_parquet",
-        "sink_partitioned_parquet",
-        "source_csv_roundtrip",
-        "source_json_roundtrip",
-        "source_text_lines_roundtrip",
-        "sql_tpch_q1",
-        "sql_tpch_q14",
-        "sql_tpch_q17",
-        "sql_tpch_q21",
-        "sql_tpch_q22",
-        "sql_tpch_q3",
-        "sql_tpch_q4",
-        "stream_foreach_batch_upsert",
-        "stream_user_profile",
-        "text_analysis_stats",
-        "text_fingerprint",
-        "text_language_id",
-        "text_quality_score",
-        "text_token_count",
-        "time_gapfill_locf",
+        "set_union_except_intersect",
+        "similarity_ann_ivf",
+        "similarity_ann_lsh",
+        "similarity_topk_cosine",
+        "sink_kinesis_batched",
+        "sort_limit",
+        "source_kinesis_datasource",
+        "source_kinesis_read",
+        "source_orc_roundtrip",
+        "sql_tpch_q10",
+        "sql_tpch_q5",
+        "sql_tpch_q6",
+        "stream_custom_sessionize",
+        "stream_dedup_stateful",
+        "stream_session_window",
+        "stream_sliding_agg",
+        "stream_stream_join",
+        "stream_tumbling_agg",
+        "stream_watermark_late",
+        "text_ngram_profile",
+        "time_rollup_hypertable",
         "udtf_table_chunks",
-        "window_session_islands",
+        "window_first_last",
+        "window_rank_topk",
+        "window_running_frame",
+        "window_time_range",
     }
 )
 

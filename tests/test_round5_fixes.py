@@ -125,7 +125,7 @@ def _docs_view(spark):
         df.createOrReplaceTempView("documents")
 
     yield swap
-    catalog._VIEWS_CACHE.pop(session_key(spark), None)
+    catalog._VIEWS_CACHE.pop(spark, None)
 
 
 def test_jaccard_threshold_is_unrounded(spark, monkeypatch):
@@ -190,9 +190,10 @@ def test_udtf_chunker_drops_null_text(spark, sf_dir, _docs_view):
     assert 1 in by_doc and 3 in by_doc  # empty string still chunks ('' token)
 
 
-def test_variant_shred_drops_missing_k(spark):
+def test_variant_shred_drops_missing_k(spark, monkeypatch):
     """Events whose props JSON has no $.k are excluded on the Spark
     side (the oracle excludes them via WHERE ... IS NOT NULL)."""
+    import frinesis_spark.operators.scalar as scalar_mod
     from frinesis_spark import catalog
     from frinesis_spark.operators.scalar import q_scalar_variant_shred
 
@@ -205,15 +206,12 @@ def test_variant_shred_drops_missing_k(spark):
         "event_id long, event_type string, props string",
     )
     real_table = catalog.table
-    try:
-        catalog_table = lambda s, d, n: events if n == "events" else real_table(s, d, n)
-        import frinesis_spark.operators.scalar as scalar_mod
-
-        orig = scalar_mod.table
-        scalar_mod.table = catalog_table
-        rows = {r.vtype: r for r in q_scalar_variant_shred(spark, "x").collect()}
-    finally:
-        scalar_mod.table = orig
+    monkeypatch.setattr(
+        scalar_mod,
+        "table",
+        lambda s, d, n: events if n == "events" else real_table(s, d, n),
+    )
+    rows = {r.vtype: r for r in q_scalar_variant_shred(spark, "x").collect()}
     assert rows["click"].n_events == 1  # the no-k click row is dropped
     assert rows["click"].sum_k == 3 and rows["click"].sum_k2 == 6
     assert rows["view"].sum_k == 5

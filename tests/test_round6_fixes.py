@@ -1,0 +1,170 @@
+"""Round-6 punch-list pins (r5 verdict + ADVICE).
+
+- the >_STOP_LIT_CAP pathological stop-set regime at the PRODUCTION
+  cap, on a corpus that genuinely exceeds it (verdict #6 — the one
+  regime no fixture or prior test reached without shrinking the cap);
+- the weak-keyed views cache (ADVICE r5 #1);
+- n_keys / k_map oracle NULL parity under non-long JSON values
+  (ADVICE r5 #2);
+- the derived-cache reset helper bench.py's cold reps depend on
+  (verdict #5).
+"""
+
+from __future__ import annotations
+
+import gc
+
+import pytest
+
+from frinesis_spark.operators import dedup
+
+
+def _pathological_corpus(spark):
+    """Six docs sharing 4,100 boilerplate words → 4,098 distinct
+    3-word shingles each with DF 6 — more stop shingles than
+    ``_STOP_LIT_CAP`` (4,096) at max_df 5, with NO cap monkeypatching.
+    Each doc keeps a discriminative unique tail so it survives the
+    stop filter with a non-empty signature."""
+    boiler = " ".join(f"w{i}" for i in range(4_100))
+    rows = [
+        (i, f"{boiler} unique{i}a unique{i}b unique{i}c unique{i}d")
+        for i in range(6)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_stop_cap_pathological_minhash_matches_literal(spark, monkeypatch):
+    """_minhash_signatures' anti-join regime (stop set > _STOP_LIT_CAP,
+    dedup.py `else` branch) at the production cap must produce
+    signatures identical to the array_except literal regime on the
+    same data (the declared three-regime equivalence)."""
+    docs = _pathological_corpus(spark)
+
+    anti = {
+        (r.doc_id, tuple(r.sig))
+        for r in dedup._minhash_signatures(docs, max_df=5).collect()
+    }
+    # Same stop set, forced through the literal path by raising the cap.
+    monkeypatch.setattr(dedup, "_STOP_LIT_CAP", 10_000_000)
+    lit = {
+        (r.doc_id, tuple(r.sig))
+        for r in dedup._minhash_signatures(docs, max_df=5).collect()
+    }
+    assert anti == lit
+    assert len(anti) == 6  # unique tails keep every doc alive
+
+
+def test_stop_cap_pathological_index_matches_literal(spark, monkeypatch):
+    """Same equivalence for _shingle_index's left-anti regime: the
+    DF-capped inverted index must be row-identical to the isin literal
+    regime, and must have dropped every boilerplate shingle."""
+    docs = _pathological_corpus(spark)
+
+    anti = {
+        (r.doc_id, r.shingle)
+        for r in dedup._shingle_index(docs, max_df=5).collect()
+    }
+    monkeypatch.setattr(dedup, "_STOP_LIT_CAP", 10_000_000)
+    lit = {
+        (r.doc_id, r.shingle)
+        for r in dedup._shingle_index(docs, max_df=5).collect()
+    }
+    assert anti == lit
+    assert len(anti) > 0
+    # Every surviving shingle touches a unique tail token (DF 1 ≤ 5);
+    # pure-boilerplate shingles (DF 6 > 5) are all gone.
+    assert all("unique" in s for _, s in anti)
+
+
+def test_views_cache_is_weak_keyed(spark, sf_dir):
+    """ADVICE r5 #1: _VIEWS_CACHE must not outlive its session — a
+    plain id()-keyed entry could be aliased by a later sibling session
+    recycling the id and wrongly skip that sibling's registration."""
+    import weakref
+
+    from frinesis_spark import catalog
+
+    sibling = spark.newSession()
+    catalog.register_views(sibling, sf_dir)
+    assert catalog._VIEWS_CACHE.get(sibling) == sf_dir
+    # The main session's entry (if any) is independent of the sibling's.
+    catalog.register_views(spark, sf_dir)
+    assert catalog._VIEWS_CACHE.get(spark) == sf_dir
+
+    ref = weakref.ref(sibling)
+    # PySpark's _monkey_patch_RDD pins the LATEST-created session via
+    # the module-level RDD.toDF closure; creating one more session
+    # transfers that pin so `sibling` becomes collectible.
+    spark.newSession()
+    del sibling
+    gc.collect()
+    if ref() is not None:
+        pytest.skip("sibling session kept alive by an unrelated reference")
+    # Entry died with the session: a recycled id can never alias it.
+    assert all(k is not None for k in catalog._VIEWS_CACHE.keys())
+
+
+def test_n_keys_counts_keys_with_non_long_values(spark, monkeypatch):
+    """ADVICE r5 #2: a props value that is not a long (string, nested
+    object) must not null n_keys — DuckDB's JSON_KEYS counts keys
+    regardless of value types, and the old map<string,long> parse
+    nulled the ENTIRE map on one bad value. k_map stays per-key: the
+    non-numeric value nulls that key's extraction only."""
+    import frinesis_spark.operators.scalar as scalar_mod
+    from frinesis_spark import catalog
+    from frinesis_spark.operators.scalar import q_scalar_array_map_json
+
+    docs = spark.createDataFrame(
+        [(1, "alpha data beta"), (2, "just words"), (3, "k is data")],
+        "doc_id long, text string",
+    )
+    events = spark.createDataFrame(
+        [
+            (1, '{"k": 3, "s": "str", "o": {"n": 1}}'),  # mixed value types
+            (2, '{"k": "notanumber"}'),  # non-numeric k
+            (3, '{"k": 7}'),  # all-long (the fixture shape)
+        ],
+        "event_id long, props string",
+    )
+    real_table = catalog.table
+
+    def fake_table(s, d, n):
+        if n == "documents":
+            return docs
+        if n == "events":
+            return events
+        return real_table(s, d, n)
+
+    monkeypatch.setattr(scalar_mod, "table", fake_table)
+    rows = {r.row_id: r for r in q_scalar_array_map_json(spark, "x").collect()}
+
+    assert rows[1].n_keys == 3  # string + object values still count
+    assert rows[1].k_map == 3 and rows[1].k_json == 3
+    assert rows[2].n_keys == 1
+    assert rows[2].k_map is None  # per-key cast nulls, not whole-map
+    assert rows[3].n_keys == 1 and rows[3].k_map == 7
+
+
+def test_clear_derived_caches_resets_and_rebuilds(spark, sf_dir):
+    """bench.py's cold reps rely on clear_derived_caches() actually
+    emptying every derived-artifact cache and the next query
+    transparently rebuilding to the same result."""
+    from frinesis_spark.caches import clear_derived_caches
+    from frinesis_spark.operators import dedup, similarity
+
+    clear_derived_caches()
+    before = dedup.q_dedup_ngram_jaccard(spark, sf_dir).collect()
+    assert dedup._INDEX_CACHE  # populated by the run
+    dropped = clear_derived_caches()
+    assert dropped >= 1
+    for d in (
+        dedup._INDEX_CACHE,
+        dedup._SIG_CACHE,
+        dedup._SIZES_CACHE,
+        dedup._SIMHASH_CACHE,
+        similarity._LSH_INDEX_CACHE,
+        similarity._IVF_INDEX_CACHE,
+    ):
+        assert not d
+    after = dedup.q_dedup_ngram_jaccard(spark, sf_dir).collect()
+    assert sorted(map(tuple, before)) == sorted(map(tuple, after))
