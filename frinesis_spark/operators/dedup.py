@@ -832,6 +832,47 @@ def q_dedup_fuzzy_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Decontamination: minimum distinct shared shingles with any benchmark
+# doc before a corpus doc is flagged. One shared 3-gram is ambient
+# collision noise on natural text; ≥3 is the conventional "verbatim
+# overlap" bar for n-gram decontamination.
+_DECON_MIN_HITS = 3
+
+
+def q_dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share
+    ≥ 3 distinct 3-word shingles with any document of a held-out
+    evaluation set — the test-set-leakage scrub every serious LLM
+    training pipeline runs (the n-gram-overlap method used by public
+    corpus-prep pipelines).
+
+    The eval set stands in as ``doc_id % 100 == 0`` (deterministic,
+    ~1% of the corpus — real deployments pass the actual benchmark
+    suite). Scale shape: eval sets are TINY next to a 100 TB corpus,
+    so the eval shingle set builds once and BROADCASTS; the corpus
+    side is a map-only explode joined against the broadcast hash set
+    followed by one partial-agg count shuffle on doc_id — never an
+    all-pairs or corpus-side index build. Output: the contaminated
+    doc_ids with their overlap counts (the drop list).
+    """
+    docs = table(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 100 == 0
+    eval_shingles = (
+        docs.where(is_eval)
+        .select(F.explode(_shingles()).alias("shingle"))
+        .distinct()
+    )
+    corpus_shingles = docs.where(~is_eval).select(
+        "doc_id", F.explode(_shingles()).alias("shingle")
+    )
+    return (
+        corpus_shingles.join(F.broadcast(eval_shingles), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_contaminated_shingles"))
+        .where(F.col("n_contaminated_shingles") >= _DECON_MIN_HITS)
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_near_minhash": q_dedup_near_minhash,
@@ -841,6 +882,7 @@ QUERIES = {
     "dedup_cluster_cc": q_dedup_cluster_cc,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_fuzzy_editdist": q_dedup_fuzzy_editdist,
+    "dedup_decontaminate": q_dedup_decontaminate,
 }
 
 _SHINGLE_SQL = """
@@ -869,6 +911,22 @@ _INV_SQL = f"""
 """
 
 ORACLE = {
+    "dedup_decontaminate": f"""
+        WITH sets AS ({_SHINGLE_SQL}),
+        eval_sh AS (
+            SELECT DISTINCT UNNEST(sh) AS shingle
+            FROM sets WHERE doc_id % 100 = 0
+        ),
+        corpus_sh AS (
+            SELECT doc_id, UNNEST(sh) AS shingle
+            FROM sets WHERE doc_id % 100 <> 0
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_contaminated_shingles
+        FROM corpus_sh JOIN eval_sh USING (shingle)
+        GROUP BY doc_id
+        HAVING COUNT(*) >= {_DECON_MIN_HITS}
+    """,
     "dedup_exact": """
         SELECT MIN(doc_id) AS doc_id,
                COUNT(*) AS n_copies,

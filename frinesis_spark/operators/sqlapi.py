@@ -183,6 +183,122 @@ _Q22 = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# r6 additions: the remaining classic TPC-H plan shapes the suite did
+# not yet guard (r6 slack 35 ≫ 5 new rows; registry window-arithmetic
+# comment). Each is the original's plan shape adapted to the synthetic
+# schema (no o_comment/p_container/shipmode/partsupp columns).
+
+# Q9 analogue (product-type profit by nation and year): LIKE-filtered
+# part dim broadcast into a 5-table join, group on (nation, year).
+# The original's profit subtracts ps_supplycost (no partsupp table
+# here), so the measure is discounted revenue; the plan shape —
+# dim-filter → broadcast → one fact shuffle → two-key agg — is intact.
+# YEAR() is cast to BIGINT on both engines (DuckDB YEAR → BIGINT,
+# Spark year → INT — the dtype drift the hash compare would catch).
+_Q9 = f"""
+    SELECT n_name AS nation,
+           CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+           {oracle_dsum('l_extendedprice * (1 - l_discount)')} AS sum_profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE 'red%'
+    GROUP BY n_name, CAST(YEAR(o_orderdate) AS BIGINT)
+    ORDER BY 1, 2 DESC
+"""
+# (explicit group/order expressions: the `nation` output alias would
+# bind to the nation TABLE, not the alias, in DuckDB's binder)
+
+# Q13 analogue (customer order-count distribution): LEFT OUTER join
+# with a predicate INSIDE the join condition (not a post-filter —
+# customers whose every order is urgent must still appear with count
+# 0), then a second aggregation over the first's result. Two shuffles
+# by construction: custkey, then count. The original filters on
+# o_comment; the schema carries no comments, so priority stands in.
+_Q13 = """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer
+        LEFT OUTER JOIN orders
+          ON c_custkey = o_custkey
+         AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+"""
+
+# Q18 analogue (large-volume customers): IN over a grouped HAVING
+# subquery — after RewritePredicateSubquery the qualifying-order set
+# becomes a left-semi join on l_orderkey against a pre-aggregated
+# per-order sum, then the outer 3-table join re-aggregates. Threshold
+# 250 sits at the fixture's ~p97 per-order quantity (204 qualifying
+# orders at sf0.01), so the semi-join side is selective — the shape
+# that matters at 100 TB. Total-order sort keys make LIMIT stable.
+_Q18 = f"""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           {oracle_dsum('l_quantity')} AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey
+            HAVING {oracle_dsum('l_quantity')} > 250
+          )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+    LIMIT 100
+"""
+
+# Q19 (discounted revenue, disjunctive predicates): the OR-of-ANDs
+# pushdown stressor — each disjunct pairs a part predicate with a
+# lineitem predicate, so the optimizer must derive the common
+# residuals it can push per side (the l_quantity bounds reach the
+# lineitem scan; the p_brand/p_size bounds the part scan) while the
+# cross-table OR stays in the join filter. p_size stands in for the
+# schema-less p_container, same selectivity role.
+_Q19 = f"""
+    SELECT {oracle_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+"""
+
+# Q20 analogue (part-promotion suppliers): IN nested INSIDE an IN —
+# two stacked semi-join decorrelations (supplier←qualifying shippers,
+# lineitem←name-filtered parts) plus a grouped HAVING between them.
+# The original's availqty comparison needs partsupp; the stand-in
+# keeps both nesting levels and the selective inner dim filter.
+# Threshold 280 ≈ the fixture's median per-supplier red-part 1996
+# volume, so roughly half the suppliers qualify — selective but not
+# degenerate at any tested sf.
+_Q20 = f"""
+    SELECT s_name, s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+            SELECT l_suppkey FROM lineitem
+            WHERE l_partkey IN (
+                    SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+                  )
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+            GROUP BY l_suppkey
+            HAVING {oracle_dsum('l_quantity')} > 280
+          )
+    ORDER BY s_name
+"""
+
+
 def _sql_query(sql: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_views(spark, sf_dir)
@@ -257,6 +373,11 @@ QUERIES = {
     "sql_tpch_q22": _sql_query(_Q22),
     "sql_tpch_q1": _sql_query(_Q1),
     "sql_tpch_q14": _sql_query(_Q14),
+    "sql_tpch_q9": _sql_query(_Q9),
+    "sql_tpch_q13": _sql_query(_Q13),
+    "sql_tpch_q18": _sql_query(_Q18),
+    "sql_tpch_q19": _sql_query(_Q19),
+    "sql_tpch_q20": _sql_query(_Q20),
 }
 
 # The oracle is the same ANSI text (CAST syntax identical in DuckDB);
@@ -274,4 +395,9 @@ ORACLE = {
     "sql_tpch_q22": _Q22,
     "sql_tpch_q1": _Q1,
     "sql_tpch_q14": _Q14,
+    "sql_tpch_q9": _Q9,
+    "sql_tpch_q13": _Q13,
+    "sql_tpch_q18": _Q18,
+    "sql_tpch_q19": _Q19,
+    "sql_tpch_q20": _Q20,
 }

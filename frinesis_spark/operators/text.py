@@ -269,8 +269,54 @@ def q_sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PII / denylist scrubbing patterns. Kept RE2-and-Java compatible
+# (char classes, \b, \d, bounded braces — no lookarounds) so ONE
+# pattern text drives both Spark's regexp_replace/regexp_count (Java)
+# and DuckDB's REGEXP_* (RE2). DuckDB's REGEXP_REPLACE needs the 'g'
+# flag — it replaces only the first match by default, while Spark
+# always replaces all.
+_PII_PATTERNS = (
+    # (tag, pattern) — counts are taken on the ORIGINAL text, then the
+    # replacements apply in this order.
+    ("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("PHONE", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"),
+    # Denylist term scrub — the fixture's stand-in for entity/term
+    # redaction (its synthetic prose has no real emails/phones, so the
+    # first two patterns prove the negative path while this one
+    # exercises real replacements).
+    ("TERM", r"\bcustomer\b"),
+)
+
+
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII / denylist scrubbing: regex-redact emails, phone numbers and
+    denylisted terms from ``documents.text``, reporting per-document
+    redaction counts — the compliance pass every LLM training-data
+    pipeline runs before tokenization.
+
+    Map-only projection: every regexp_replace/regexp_count is a
+    Catalyst expression inside whole-stage codegen — zero shuffles,
+    zero Python, so at 100 TB this is a pure scan-speed pass (and the
+    natural place to fuse with other per-row scalar stages). Counts
+    are computed on the original text; replacements chain in pattern
+    order.
+    """
+    d = table(spark, sf_dir, "documents")
+    clean = F.col("text")
+    n_red = F.lit(0)
+    for tag, pat in _PII_PATTERNS:
+        n_red = n_red + F.regexp_count(F.col("text"), F.lit(pat))
+        clean = F.regexp_replace(clean, pat, f"<{tag}>")
+    return d.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        n_red.cast("long").alias("n_redactions"),
+    )
+
+
 QUERIES = {
     "explode_token_freq": q_explode_token_freq,
+    "text_pii_scrub": q_text_pii_scrub,
     "text_ngram_profile": q_text_ngram_profile,
     "sample_stratified_hash": q_sample_stratified_hash,
     "text_analysis_stats": q_text_analysis_stats,
@@ -304,7 +350,23 @@ _PRED_SQL = (
 )
 _STOP_LIST = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
 
+def _pii_scrub_sql() -> str:
+    """Same patterns, DuckDB RE2 side ('g' flag for replace-all)."""
+    clean = "text"
+    counts = []
+    for tag, pat in _PII_PATTERNS:
+        counts.append(f"LEN(REGEXP_EXTRACT_ALL(text, '{pat}'))")
+        clean = f"REGEXP_REPLACE({clean}, '{pat}', '<{tag}>', 'g')"
+    return f"""
+        SELECT doc_id,
+               {clean} AS clean_text,
+               CAST({' + '.join(counts)} AS BIGINT) AS n_redactions
+        FROM documents
+    """
+
+
 ORACLE = {
+    "text_pii_scrub": _pii_scrub_sql(),
     "sample_stratified_hash": """
         WITH b AS (
             SELECT doc_id, lang, source,

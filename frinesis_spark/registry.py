@@ -72,11 +72,16 @@ def _load_modules():
 # window_ntile_ranks → window_ranking_suite — near-identical surfaces
 # that re-verified separately every rotation). The window fills as
 # 1 tier0 (scalar_array_map_json) + 2 tier1 (the folded queries) +
-# 12 r3-stale + 35 of the 43 r4-stale = 50; the 8-row r4 remainder
-# rotates to r7. Steady state after the fold: 104 registered vs a
-# 50-slot window = 54 stale/round, so each slot the fold freed (2 per
-# rotation) shrinks the permanent 3rd-round tail; tier0 discipline
-# (keep code-change fan-out small) is what keeps the tail bounded.
+# 12 r3-stale + 28 of the 43 r4-stale = 50; the 15-row r4 remainder
+# rotates to r7 (and leads r7's window as its oldest tier). Slack
+# spent this round: 1 tier0 (scalar_array_map_json) + 9 tier1 (2
+# folded queries + 5 TPC-H shapes q9/q13/q18/q19/q20 + text_pii_scrub
+# + dedup_decontaminate) = 10 of the 38-slot post-rotation budget,
+# inside the r5 verdict #7 slack ≥ 10 target. Steady state after
+# fold+additions: 111 registered vs a 50-slot window = 61 stale/round,
+# a permanent ~11+|tier0| 3rd-round tail of code-unchanged rows; the
+# fold bought 2 of those back and tier0 discipline (small code-change
+# fan-out) bounds the rest. Registry growth stops here for r6.
 _CHANGED_SINCE_VERDICT = (
     # r6: props parsed as map<string,string> + try_cast per key, oracle
     # moved to TRY_CAST — NULL-aligned under non-long values (ADVICE r5)

@@ -168,3 +168,87 @@ def test_clear_derived_caches_resets_and_rebuilds(spark, sf_dir):
         assert not d
     after = dedup.q_dedup_ngram_jaccard(spark, sf_dir).collect()
     assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+
+
+def test_bench_compact_line_fits_driver_capture():
+    """BENCH_r05 was lost because the bench stdout line outgrew the
+    driver's 2000-char tail capture. Pin the compact line under it for
+    the WORST plausible case: every headline query present with
+    4-digit-seconds times and every one flagged as a regression."""
+    import bench
+
+    timings = {n: 9999.99 for n in bench.HEADLINE}
+    regressions = {n: 99.99 for n in bench.HEADLINE}
+    line = bench.compact_line(timings, regressions, 0.1, 999999.999)
+    assert len(line) < 1900  # driver captures the last 2000 chars
+    # And the normal case keeps the full per-query map intact.
+    import json
+
+    normal = bench.compact_line(
+        {n: 1.23 for n in bench.HEADLINE}, {}, 0.1, 46.74
+    )
+    assert set(json.loads(normal)["queries"]) == set(bench.HEADLINE)
+    assert len(normal) < 1800
+
+
+def _swap_documents(spark, monkeypatch, module, docs):
+    """Route a module's catalog.table('documents') to a crafted frame."""
+    from frinesis_spark import catalog
+
+    real_table = catalog.table
+    monkeypatch.setattr(
+        module,
+        "table",
+        lambda s, d, n: docs if n == "documents" else real_table(s, d, n),
+    )
+
+
+def test_pii_scrub_redacts_and_counts(spark, monkeypatch):
+    """Emails/phones/denylist terms are replaced with their tags and
+    counted from the ORIGINAL text; clean text passes untouched."""
+    import frinesis_spark.operators.text as text_mod
+    from frinesis_spark.operators.text import q_text_pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "contact me at jane.doe@example.com or 555-123-4567 ok"),
+            (2, "the customer emailed the customer twice"),
+            (3, "nothing sensitive here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    _swap_documents(spark, monkeypatch, text_mod, docs)
+    rows = {r.doc_id: r for r in q_text_pii_scrub(spark, "x").collect()}
+
+    assert rows[1].n_redactions == 2
+    assert "<EMAIL>" in rows[1].clean_text and "<PHONE>" in rows[1].clean_text
+    assert "jane.doe" not in rows[1].clean_text
+    assert "555-123-4567" not in rows[1].clean_text
+    assert rows[2].n_redactions == 2  # both term occurrences
+    assert rows[2].clean_text == "the <TERM> emailed the <TERM> twice"
+    assert rows[3].n_redactions == 0
+    assert rows[3].clean_text == docs.collect()[2].text
+
+
+def test_decontaminate_flags_eval_overlap(spark, monkeypatch):
+    """A corpus doc sharing ≥3 distinct shingles with an eval doc
+    (doc_id % 100 == 0) lands on the drop list; eval docs themselves
+    and low-overlap docs do not."""
+    import frinesis_spark.operators.dedup as dedup_mod
+    from frinesis_spark.operators.dedup import q_dedup_decontaminate
+
+    eval_text = "alpha beta gamma delta epsilon zeta"  # 4 shingles
+    docs = spark.createDataFrame(
+        [
+            (100, eval_text),  # the eval doc (100 % 100 == 0)
+            (1, f"{eval_text} own tail words"),  # copies all 4 → flagged
+            (2, "alpha beta gamma plus other stuff"),  # 1 shared → clean
+            (3, "totally unrelated text goes right here"),  # 0 shared
+        ],
+        "doc_id long, text string",
+    )
+    _swap_documents(spark, monkeypatch, dedup_mod, docs)
+    rows = {r.doc_id: r for r in q_dedup_decontaminate(spark, "x").collect()}
+
+    assert set(rows) == {1}
+    assert rows[1].n_contaminated_shingles == 4

@@ -90,6 +90,19 @@ AUDITED = [
     # rows they replaced
     "agg_rollup_cube",
     "window_ranking_suite",
+    # r6 TPC-H additions: the decorrelation/pushdown shapes that were
+    # not yet plan-guarded (q18 semi-join over grouped HAVING, q19
+    # disjunctive pushdown, q20 stacked semi-joins, q13 predicate-in-
+    # join-condition outer join, q9 LIKE-dim broadcast 5-join)
+    "sql_tpch_q9",
+    "sql_tpch_q13",
+    "sql_tpch_q18",
+    "sql_tpch_q19",
+    "sql_tpch_q20",
+    # r6 LLM-pipeline additions: pii scrub must be a zero-shuffle scan
+    # projection; decontaminate a broadcast join + one count shuffle
+    "text_pii_scrub",
+    "dedup_decontaminate",
 ]
 
 
