@@ -299,6 +299,194 @@ _Q20 = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# r6 completion: the seven remaining TPC-H shapes (Q2/Q7/Q8/Q11/Q12/
+# Q15/Q16) — the suite now guards all 22 classic plan shapes. The
+# synthetic schema has no partsupp table, so Q2/Q11/Q16 use lineitem as
+# the part↔supplier relation (same join topology, same decorrelation
+# paths); no l_shipmode, so Q12 keys on l_returnflag. Thresholds are
+# scale-free (relative to means/mins computed by the query itself), so
+# one query text stays non-degenerate from sf0.001 to 100 TB.
+
+# Q2 analogue (minimum-cost supplier): THE correlated scalar-MIN
+# subquery with its own join chain — after decorrelation the inner
+# min-per-partkey becomes an aggregate joined back on the correlation
+# key, and the region dims broadcast into both the outer and inner
+# chains. MIN of a stored double is exact, so the equality probe is
+# engine-independent; DISTINCT collapses tied lineitems (the original
+# reads partsupp, which has no duplicates — lineitem does).
+_Q2 = """
+    SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_name
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE p_size <= 15 AND p_type = 'SMALL' AND r_name = 'EUROPE'
+      AND l_extendedprice = (
+            SELECT MIN(l2.l_extendedprice)
+            FROM lineitem l2
+            JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+            JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+            JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+            WHERE l2.l_partkey = p_partkey AND r2.r_name = 'EUROPE'
+          )
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+"""
+
+# Q7 analogue (volume shipping between two nations): the self-join of
+# nation under a symmetric two-way disjunction — the optimizer must
+# keep both (n1,n2) orientations alive through the 6-table chain, then
+# group on the derived (supp_nation, cust_nation, year) triple.
+# NATION_18/NATION_19 carry flows in both directions at every tested
+# sf (fixture probe).
+_Q7 = f"""
+    SELECT supp_nation, cust_nation, l_year,
+           {oracle_dsum('volume')} AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation,
+               n2.n_name AS cust_nation,
+               CAST(YEAR(l_shipdate) AS BIGINT) AS l_year,
+               l_extendedprice * (1 - l_discount) AS volume
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+            OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
+          AND l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+                             AND TIMESTAMP '1997-12-31'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+"""
+
+# Q8 analogue (national market share): conditional-numerator ratio —
+# both sums are exact decimals cast to double, so the single final
+# division is one IEEE op on identical operands in both engines. The
+# 8-table chain (nation joined TWICE: customer side bound to the
+# region filter, supplier side free) is the join-reorder stressor.
+_Q8 = f"""
+    SELECT o_year,
+           {oracle_dsum("CASE WHEN nation = 'NATION_3'"
+                        " THEN volume ELSE 0 END")}
+             / {oracle_dsum('volume')} AS mkt_share
+    FROM (
+        SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               n2.n_name AS nation
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'AMERICA'
+          AND o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+                              AND TIMESTAMP '1997-12-31'
+          AND p_type = 'ECONOMY'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+"""
+
+# Q11 analogue (important parts by value share): grouped HAVING against
+# an uncorrelated scalar subquery that re-runs the SAME dim-filtered
+# join — the planner sees two copies of the lineitem⋈supplier⋈nation⋈
+# region chain, one aggregated per-partkey and one to a single scalar
+# broadcast into the HAVING filter. The original's fraction is
+# 0.0001/SF (scale-dependent text); here the threshold is 1.5× the
+# MEAN per-part value, so the one query text stays selective-but-
+# non-degenerate at every scale.
+_Q11 = f"""
+    SELECT l_partkey, {oracle_dsum('l_extendedprice')} AS part_value
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+    GROUP BY l_partkey
+    HAVING {oracle_dsum('l_extendedprice')} > (
+            SELECT 1.5 * {oracle_dsum('l_extendedprice')}
+                       / COUNT(DISTINCT l_partkey)
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+          )
+    ORDER BY part_value DESC, l_partkey
+"""
+
+# Q12 analogue (shipping-priority line counts): the pivoted conditional
+# count — COUNT(CASE WHEN … THEN 1 END) on both engines (NOT
+# SUM(CASE…1…0): DuckDB widens integer SUM to HUGEINT, which the hash
+# compare would flag as a dtype mismatch). l_returnflag stands in for
+# the schema-less l_shipmode with the same two-value IN filter.
+_Q12 = """
+    SELECT l_returnflag,
+           COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS high_line_count,
+           COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_returnflag IN ('R', 'A')
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+"""
+
+# Q15 (top supplier): CTE referenced twice — once joined, once reduced
+# to a scalar MAX. Catalyst plans the second reference as a one-row
+# broadcast; the revenue sums are exact decimals, so the equality
+# against MAX(total_revenue) is safe (the original's known tie
+# subtlety resolves identically in both engines).
+_Q15 = f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               {oracle_dsum('l_extendedprice * (1 - l_discount)')}
+                 AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier
+    JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+"""
+
+# Q16 analogue (supplier-part relationship breadth): COUNT(DISTINCT)
+# under a NOT IN subquery — the null-aware anti-join decorrelation
+# path (s_suppkey is non-null here, but the plan shape is the point:
+# Spark must prove null-safety or fall back to NullAwareAntiJoin).
+# Negative-balance suppliers stand in for the original's
+# complaint-comment LIKE filter.
+_Q16 = """
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#5'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 23)
+      AND l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+          )
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
 def _sql_query(sql: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_views(spark, sf_dir)
@@ -378,6 +566,13 @@ QUERIES = {
     "sql_tpch_q18": _sql_query(_Q18),
     "sql_tpch_q19": _sql_query(_Q19),
     "sql_tpch_q20": _sql_query(_Q20),
+    "sql_tpch_q2": _sql_query(_Q2),
+    "sql_tpch_q7": _sql_query(_Q7),
+    "sql_tpch_q8": _sql_query(_Q8),
+    "sql_tpch_q11": _sql_query(_Q11),
+    "sql_tpch_q12": _sql_query(_Q12),
+    "sql_tpch_q15": _sql_query(_Q15),
+    "sql_tpch_q16": _sql_query(_Q16),
 }
 
 # The oracle is the same ANSI text (CAST syntax identical in DuckDB);
@@ -400,4 +595,11 @@ ORACLE = {
     "sql_tpch_q18": _Q18,
     "sql_tpch_q19": _Q19,
     "sql_tpch_q20": _Q20,
+    "sql_tpch_q2": _Q2,
+    "sql_tpch_q7": _Q7,
+    "sql_tpch_q8": _Q8,
+    "sql_tpch_q11": _Q11,
+    "sql_tpch_q12": _Q12,
+    "sql_tpch_q15": _Q15,
+    "sql_tpch_q16": _Q16,
 }

@@ -314,8 +314,128 @@ def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filtering: per-document duplicate-token
+    and duplicate-bigram ratios, with an integer-exact ``repetitive``
+    flag — the quality gate that removes boilerplate/spam before LLM
+    training (Rae et al. 2021 'Scaling Language Models', repetition
+    rules C.2).
+
+    Plan: one scan → explode words / construct bigrams via a Catalyst
+    ``transform(sequence(...))`` (no Python) → two partial-aggregated
+    shuffles keyed on (doc_id, token), both map-side combined, then a
+    co-partitioned join back on doc_id. Shuffle volume is bounded by
+    the distinct-(doc, token) count, not total tokens, and at 100 TB
+    each doc's tokens stay in one task (doc_id keying) so no hot keys.
+
+    The flag compares with INTEGER cross-multiplication
+    (``top*100 > n*30``) instead of float thresholds, so the decision
+    is bit-identical on every engine and scale; the reported ratios are
+    single IEEE divisions of exact integer counts.
+    """
+    d = table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    base = d.select(
+        "doc_id",
+        words.alias("ws"),
+        F.size(words).cast("long").alias("n_words"),
+    )
+    wcnt = (
+        base.select("doc_id", F.explode("ws").alias("w"))
+        .groupBy("doc_id", "w")
+        .count()
+    )
+    wagg = wcnt.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("count").alias("top_word_n"),
+    )
+    bigrams = F.expr(
+        "transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i + 1]))"
+    )
+    bcnt = (
+        base.where(F.size("ws") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("b"))
+        .groupBy("doc_id", "b")
+        .count()
+    )
+    bagg = bcnt.groupBy("doc_id").agg(F.max("count").alias("top_bigram_n"))
+    n_w = F.col("n_words")
+    top_w = F.col("top_word_n")
+    top_b = F.col("top_bigram_n")
+    return (
+        base.select("doc_id", "n_words")
+        .join(wagg, "doc_id")
+        .join(bagg, "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            (F.col("n_distinct").cast("double") / n_w).alias("distinct_ratio"),
+            (top_w.cast("double") / n_w).alias("top_word_ratio"),
+            (top_b.cast("double") / (n_w - 1)).alias("top_bigram_ratio"),
+            ((top_w * 100 > n_w * 30) | (top_b * 100 > (n_w - 1) * 18)).alias(
+                "repetitive"
+            ),
+        )
+    )
+
+
+# Sequence-packing parameters: context length and bucket fan-out. 8
+# buckets keeps the sf0.01 fixture non-degenerate; at 100 TB the bucket
+# count scales to the executor count (each bucket packs independently).
+_PACK_CTX = 512
+_PACK_BUCKETS = 8
+
+
+def q_tokenize_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM pretraining: assign every document a
+    (bucket, pack_id, offset) slot in a stream of fixed-size
+    ``_PACK_CTX``-token training sequences — the concat-and-chunk
+    packing most pretraining data loaders use (documents may straddle
+    pack boundaries; the offset says where each doc starts).
+
+    Distributed shape: documents hash into ``_PACK_BUCKETS`` streams by
+    an md5 bucket of doc_id (content-independent → reproducible across
+    engines/runs/re-shards, same rationale as sample_stratified_hash),
+    then ONE shuffle partitions by bucket and a running-sum window over
+    the deterministic doc_id order yields each doc's cumulative token
+    offset. pack_id/offset are integer ``div``/``%`` of exact BIGINT
+    sums — no floats anywhere. At 100 TB: packing is embarrassingly
+    parallel across buckets (bucket count ∝ executors), each bucket's
+    window is one sorted stream, and the output feeds a
+    partitionBy(bucket, pack_id) writer so downstream loaders read
+    packs co-located.
+    """
+    d = table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % _PACK_BUCKETS
+    )
+    base = d.select(
+        "doc_id", bucket.alias("bucket"), n_tok.alias("n_tokens")
+    )
+    w = (
+        W.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum_before = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias(
+        "cum_before"
+    )
+    return base.select("doc_id", "bucket", "n_tokens", cum_before).select(
+        "doc_id",
+        "bucket",
+        "n_tokens",
+        F.expr(f"cum_before div {_PACK_CTX}").alias("pack_id"),
+        (F.col("cum_before") % _PACK_CTX).alias("pack_offset"),
+    )
+
+
 QUERIES = {
     "explode_token_freq": q_explode_token_freq,
+    "text_repetition_filter": q_text_repetition_filter,
+    "tokenize_pack_sequences": q_tokenize_pack_sequences,
     "text_pii_scrub": q_text_pii_scrub,
     "text_ngram_profile": q_text_ngram_profile,
     "sample_stratified_hash": q_sample_stratified_hash,
@@ -367,6 +487,73 @@ def _pii_scrub_sql() -> str:
 
 ORACLE = {
     "text_pii_scrub": _pii_scrub_sql(),
+    # DuckDB arrays are 1-based (Spark's 0-based): range(1, len) with
+    # ws[i] || ' ' || ws[i+1] builds the same len-1 bigrams as Spark's
+    # sequence(0, size-2). MAX/COUNT stay BIGINT (no SUM → no HUGEINT
+    # widening); ratios are the same single IEEE divisions.
+    "text_repetition_filter": """
+        WITH base AS (
+            SELECT doc_id, STRING_SPLIT(text, ' ') AS ws,
+                   CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_words
+            FROM documents
+        ),
+        wcnt AS (
+            SELECT doc_id, w, COUNT(*) AS c
+            FROM (SELECT doc_id, UNNEST(ws) AS w FROM base)
+            GROUP BY doc_id, w
+        ),
+        wagg AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                   CAST(MAX(c) AS BIGINT) AS top_word_n
+            FROM wcnt GROUP BY doc_id
+        ),
+        bcnt AS (
+            SELECT doc_id, b, COUNT(*) AS c
+            FROM (SELECT doc_id,
+                         UNNEST(LIST_TRANSFORM(RANGE(1, LEN(ws)),
+                                i -> ws[i] || ' ' || ws[i + 1])) AS b
+                  FROM base WHERE LEN(ws) >= 2)
+            GROUP BY doc_id, b
+        ),
+        bagg AS (
+            SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bigram_n
+            FROM bcnt GROUP BY doc_id
+        )
+        SELECT base.doc_id, n_words,
+               CAST(n_distinct AS DOUBLE) / n_words AS distinct_ratio,
+               CAST(top_word_n AS DOUBLE) / n_words AS top_word_ratio,
+               CAST(top_bigram_n AS DOUBLE) / (n_words - 1)
+                   AS top_bigram_ratio,
+               (top_word_n * 100 > n_words * 30
+                OR top_bigram_n * 100 > (n_words - 1) * 18) AS repetitive
+        FROM base
+        JOIN wagg USING (doc_id)
+        JOIN bagg USING (doc_id)
+    """,
+    # Window SUM over BIGINT widens to HUGEINT in DuckDB — cast back
+    # before the integer div/mod so dtypes match Spark's BIGINT.
+    "tokenize_pack_sequences": f"""
+        WITH base AS (
+            SELECT doc_id,
+                   CAST(CONCAT('0x', SUBSTRING(
+                       MD5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                       % {_PACK_BUCKETS} AS bucket,
+                   CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        cum AS (
+            SELECT doc_id, bucket, n_tokens,
+                   CAST(SUM(n_tokens) OVER (
+                       PARTITION BY bucket ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       - n_tokens AS cum_before
+            FROM base
+        )
+        SELECT doc_id, bucket, n_tokens,
+               cum_before // {_PACK_CTX} AS pack_id,
+               cum_before % {_PACK_CTX} AS pack_offset
+        FROM cum
+    """,
     "sample_stratified_hash": """
         WITH b AS (
             SELECT doc_id, lang, source,

@@ -71,17 +71,19 @@ def _load_modules():
 # agg_rollup+agg_cube → agg_rollup_cube, window_rank_cume+
 # window_ntile_ranks → window_ranking_suite — near-identical surfaces
 # that re-verified separately every rotation). The window fills as
-# 1 tier0 (scalar_array_map_json) + 2 tier1 (the folded queries) +
-# 12 r3-stale + 28 of the 43 r4-stale = 50; the 15-row r4 remainder
-# rotates to r7 (and leads r7's window as its oldest tier). Slack
-# spent this round: 1 tier0 (scalar_array_map_json) + 9 tier1 (2
-# folded queries + 5 TPC-H shapes q9/q13/q18/q19/q20 + text_pii_scrub
-# + dedup_decontaminate) = 10 of the 38-slot post-rotation budget,
-# inside the r5 verdict #7 slack ≥ 10 target. Steady state after
-# fold+additions: 111 registered vs a 50-slot window = 61 stale/round,
-# a permanent ~11+|tier0| 3rd-round tail of code-unchanged rows; the
-# fold bought 2 of those back and tier0 discipline (small code-change
-# fan-out) bounds the rest. Registry growth stops here for r6.
+# 1 tier0 (scalar_array_map_json) + 18 tier1 + 12 r3-stale + 19 of
+# the 43 r4-stale = 50; the 24-row r4 remainder rotates to r7 (and
+# leads r7's window as its oldest tier — max evidence age at any
+# verdict stays 2 rounds). Slack spent this round: 1 tier0 + 18 tier1
+# (2 folded queries + 12 TPC-H shapes q9/q13/q18/q19/q20 then
+# q2/q7/q8/q11/q12/q15/q16 — the classic suite is now complete at
+# 22/22 — + text_pii_scrub + dedup_decontaminate +
+# text_repetition_filter + tokenize_pack_sequences) = 19 of the
+# 38-slot post-rotation budget. Steady state: 120 registered vs a
+# 50-slot window = 2.4-round average rotation; tier0 discipline
+# (small code-change fan-out) keeps the worst case at 3 rounds for
+# the lowest-risk code-unchanged rows only. Registry growth stops
+# here for r6.
 _CHANGED_SINCE_VERDICT = (
     # r6: props parsed as map<string,string> + try_cast per key, oracle
     # moved to TRY_CAST — NULL-aligned under non-long values (ADVICE r5)

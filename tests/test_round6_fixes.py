@@ -252,3 +252,53 @@ def test_decontaminate_flags_eval_overlap(spark, monkeypatch):
 
     assert set(rows) == {1}
     assert rows[1].n_contaminated_shingles == 4
+
+
+def test_repetition_filter_flags_planted_boilerplate(spark, monkeypatch):
+    """A token-loop doc and a bigram-loop doc are flagged; natural
+    varied text is not. Ratios are exact count divisions."""
+    import frinesis_spark.operators.text as text_mod
+    from frinesis_spark.operators.text import q_text_repetition_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam " * 9 + "spam"),  # 10x one token
+            (2, "one two " * 5 + "one two"),  # dominant bigram
+            (3, "every word here is distinct and varied enough now"),
+        ],
+        "doc_id long, text string",
+    )
+    _swap_documents(spark, monkeypatch, text_mod, docs)
+    rows = {r.doc_id: r for r in q_text_repetition_filter(spark, "x").collect()}
+
+    assert rows[1].repetitive and rows[1].top_word_ratio == 1.0
+    assert rows[1].top_bigram_ratio == 1.0  # 9 identical bigrams / 9
+    assert rows[2].repetitive
+    assert rows[2].top_bigram_ratio > 0.4  # 'one two' dominates
+    assert not rows[3].repetitive
+    assert rows[3].distinct_ratio == 1.0 and rows[3].top_word_ratio == 1 / 9
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    """Packing invariants on the real fixture: offsets live in
+    [0, CTX), pack_id is the integer cumsum chunk, and within each
+    bucket consecutive docs tile the token stream with no gaps."""
+    from frinesis_spark.operators.text import (
+        _PACK_CTX,
+        q_tokenize_pack_sequences,
+    )
+
+    rows = q_tokenize_pack_sequences(spark, sf_dir).collect()
+    assert len(rows) > 0
+    by_bucket: dict[int, list] = {}
+    for r in rows:
+        assert 0 <= r.pack_offset < _PACK_CTX
+        assert r.pack_id >= 0
+        by_bucket.setdefault(r.bucket, []).append(r)
+    for bucket_rows in by_bucket.values():
+        bucket_rows.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in bucket_rows:
+            assert r.pack_id == cum // _PACK_CTX  # chunk of cumsum-before
+            assert r.pack_offset == cum % _PACK_CTX
+            cum += r.n_tokens

@@ -49,3 +49,51 @@ def test_q21_double_exists_becomes_semi_plus_anti(spark, sf_dir):
 def test_q22_not_exists_becomes_anti_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "sql_tpch_q22")
     assert "LeftAnti" in plan
+
+
+# --- r6 completion shapes (Q2/Q7/Q8/Q11/Q12/Q15/Q16) ---------------------
+
+
+def _no_per_row_subquery(plan):
+    # The first physical node must not be a Subquery re-execution; all
+    # subqueries decorrelate to joins/scalar-broadcasts.
+    return "Subquery" not in plan.split("== Physical Plan ==")[1].split("(1)")[0]
+
+
+def test_q2_correlated_min_becomes_preagg_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "sql_tpch_q2")
+    # min-per-partkey is computed ONCE as an aggregate and joined back
+    # (lineitem appears at least twice), never re-run per outer row.
+    assert plan.count("Scan parquet") >= 2
+    assert "HashAggregate" in plan
+    assert _no_per_row_subquery(plan)
+
+
+def test_q11_having_scalar_becomes_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "sql_tpch_q11")
+    # The HAVING threshold is one scalar computed once; the dims
+    # broadcast into both copies of the chain.
+    assert "BroadcastHashJoin" in plan
+    assert _no_per_row_subquery(plan)
+
+
+def test_q15_max_revenue_scalar_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "sql_tpch_q15")
+    assert "BroadcastHashJoin" in plan
+    assert "HashAggregate" in plan
+    assert _no_per_row_subquery(plan)
+
+
+def test_q16_not_in_becomes_anti_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "sql_tpch_q16")
+    assert "LeftAnti" in plan
+
+
+def test_tpch_suite_complete_22():
+    """The classic 22-query TPC-H suite is fully covered, every query
+    with a DuckDB oracle on the identical ANSI text."""
+    from frinesis_spark.operators import sqlapi
+
+    expected = {f"sql_tpch_q{i}" for i in range(1, 23)}
+    assert expected <= set(sqlapi.QUERIES)
+    assert expected <= set(sqlapi.ORACLE)
