@@ -69,6 +69,15 @@ HEADLINE = [
     # Q19's OR-of-ANDs is the disjunctive-pushdown guard.
     "sql_tpch_q18",
     "sql_tpch_q19",
+    # r6 suite completion: Q2 is the heaviest decorrelation of the new
+    # seven (correlated MIN with its own 4-table join chain), Q8 the
+    # widest join tree (8 tables, nation twice).
+    "sql_tpch_q2",
+    "sql_tpch_q8",
+    # r6 LLM-pipeline additions: repetition filter (two token-keyed
+    # partial-agg shuffles) and sequence packing (bucket window).
+    "text_repetition_filter",
+    "tokenize_pack_sequences",
 ]
 
 # Queries served from the per-(session, corpus) derived-artifact caches

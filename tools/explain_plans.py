@@ -103,6 +103,22 @@ AUDITED = [
     # projection; decontaminate a broadcast join + one count shuffle
     "text_pii_scrub",
     "dedup_decontaminate",
+    # r6 TPC-H completion (22/22): q2 correlated-min pre-agg join, q7
+    # symmetric two-nation disjunction, q8 double-nation 8-table chain,
+    # q11 scalar-in-HAVING, q12 pivoted conditional counts, q15 CTE +
+    # scalar MAX broadcast, q16 NOT IN anti join under COUNT DISTINCT
+    "sql_tpch_q2",
+    "sql_tpch_q7",
+    "sql_tpch_q8",
+    "sql_tpch_q11",
+    "sql_tpch_q12",
+    "sql_tpch_q15",
+    "sql_tpch_q16",
+    # r6 LLM-pipeline additions (2nd batch): repetition filter is two
+    # doc_id-keyed partial-agg shuffles + a co-partitioned join-back;
+    # sequence packing is ONE bucket shuffle + a running-sum window
+    "text_repetition_filter",
+    "tokenize_pack_sequences",
 ]
 
 
