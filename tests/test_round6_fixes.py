@@ -302,3 +302,25 @@ def test_pack_sequences_invariants(spark, sf_dir):
             assert r.pack_id == cum // _PACK_CTX  # chunk of cumsum-before
             assert r.pack_offset == cum % _PACK_CTX
             cum += r.n_tokens
+
+
+def test_pack_sequences_reshard_deterministic(spark, monkeypatch):
+    """The packing claim that matters in production: (bucket, pack_id,
+    offset) is a pure function of the corpus CONTENT — re-sharding the
+    input (different partitioning, different row order) changes
+    nothing. md5 bucketing + the doc_id-ordered window guarantee it."""
+    import frinesis_spark.operators.text as text_mod
+    from frinesis_spark.operators.text import q_tokenize_pack_sequences
+
+    rows = [(i, "tok " * (i % 37 + 1) + "end") for i in range(200)]
+    outs = []
+    for nparts in (1, 7):
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).repartition(nparts)
+        _swap_documents(spark, monkeypatch, text_mod, docs)
+        outs.append(
+            sorted(map(tuple, q_tokenize_pack_sequences(spark, "x").collect()))
+        )
+        monkeypatch.undo()
+    assert outs[0] == outs[1]
