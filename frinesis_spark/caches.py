@@ -16,10 +16,17 @@ from __future__ import annotations
 def clear_derived_caches(unpersist: bool = True) -> int:
     """Drop all derived-artifact caches; returns #entries dropped.
 
-    ``unpersist`` also releases the cached/checkpointed blocks the
-    cached DataFrames pin in the block manager (async, best-effort) —
-    without it a bench loop that repeatedly goes cold would accumulate
-    dead blocks until the LRU evicts them.
+    Block reclamation: most cached values are ``localCheckpoint``-backed
+    DataFrames, whose blocks ``Dataset.unpersist()`` does NOT release
+    (it only uncaches ``persist()``/``cache()`` state tracked by the
+    CacheManager — a checkpointed RDD's persist lives outside it). The
+    actual release path is dropping the LAST reference here: clearing
+    the dicts frees the Python handle → py4j GC releases the JVM
+    Dataset → the checkpointed RDD becomes unreachable → Spark's
+    ContextCleaner unpersists its blocks asynchronously. The
+    ``unpersist`` flag still covers any plain ``persist()``-cached
+    values and is harmless elsewhere (r6 review fix: the old comment
+    credited ``unpersist()`` with the release it doesn't perform).
     """
     from frinesis_spark.operators import dedup, similarity
 
@@ -39,7 +46,8 @@ def clear_derived_caches(unpersist: bool = True) -> int:
                 continue
             # Values are DataFrames, or tuples containing one (IVF's
             # (cells DataFrame, centroids ndarray)). unpersist() is a
-            # no-op on never-persisted frames and raises nothing.
+            # no-op on never-persisted AND localCheckpointed frames
+            # (see docstring — those free via d.clear() + GC below).
             frames = value if isinstance(value, tuple) else (value,)
             for f in frames:
                 if hasattr(f, "unpersist"):

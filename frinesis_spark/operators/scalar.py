@@ -12,7 +12,7 @@ than row-at-a-time Python UDFs).
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -71,18 +71,25 @@ def q_scalar_array_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     # long-valued parse nulls the ENTIRE map if ANY props value is not a
     # long (string, nested object), which would null n_keys/k_map while
     # the oracle's JSON_KEYS still counts keys and its per-key extract
-    # still extracts. String values are lossless for key counting, and
-    # the per-key try_cast (TRY_CAST in the oracle) nulls only that
-    # key on a non-numeric value — identical NULL semantics on both
-    # engines, and no ANSI-mode cast error on malformed input. One
-    # Jackson pass, JVM codegen throughout.
+    # still extracts. String values are lossless for key counting. The
+    # per-key long conversion is guarded by an INTEGER-LITERAL regex on
+    # both engines before the cast: bare try_cast/TRY_CAST disagree on
+    # non-integral numeric strings (Spark try_cast('3.5' as long) =
+    # NULL, DuckDB TRY_CAST('3.5' AS BIGINT) = 4 — it rounds), so the
+    # regex gate makes "digits only, else NULL" the contract by
+    # construction; try_cast after the gate still turns BIGINT overflow
+    # into NULL identically. One Jackson pass, JVM codegen throughout.
     props_map = F.from_json(
         F.col("props"), T.MapType(T.StringType(), T.StringType())
     )
+
+    def _strict_long(c: Column) -> Column:
+        return F.when(c.rlike("^[+-]?[0-9]+$"), c).try_cast("long")
+
     event_side = e.select(
         F.col("event_id").alias("row_id"),
-        F.get_json_object(F.col("props"), "$.k").try_cast("long").alias("k_json"),
-        F.element_at(props_map, "k").try_cast("long").alias("k_map"),
+        _strict_long(F.get_json_object(F.col("props"), "$.k")).alias("k_json"),
+        _strict_long(F.element_at(props_map, "k")).alias("k_map"),
         F.size(F.map_keys(props_map)).cast("long").alias("n_keys"),
     )
     # Two differently-shaped scalar exercises, one per source table.
@@ -334,10 +341,18 @@ ORACLE = {
             FROM documents
         ), event_side AS (
             SELECT event_id AS row_id,
-                   -- TRY_CAST, matching Spark's try_cast: a non-numeric
-                   -- k nulls that key only on BOTH engines (ADVICE r5)
-                   TRY_CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k_json,
-                   TRY_CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k_map,
+                   -- Integer-literal regex gate before the cast on
+                   -- BOTH engines (nulls that key only, ADVICE r5):
+                   -- bare TRY_CAST would ROUND '3.5' to 4 here while
+                   -- Spark's try_cast nulls it (r6 review fix)
+                   TRY_CAST(CASE WHEN REGEXP_MATCHES(
+                       JSON_EXTRACT_STRING(props, '$.k'), '^[+-]?[0-9]+$')
+                       THEN JSON_EXTRACT_STRING(props, '$.k') END
+                       AS BIGINT) AS k_json,
+                   TRY_CAST(CASE WHEN REGEXP_MATCHES(
+                       JSON_EXTRACT_STRING(props, '$.k'), '^[+-]?[0-9]+$')
+                       THEN JSON_EXTRACT_STRING(props, '$.k') END
+                       AS BIGINT) AS k_map,
                    -- derived from the JSON itself (ADVICE r4), not a
                    -- literal 1: fixture-schema drift now shows up as a
                    -- value diff here, not a confusing hash mismatch

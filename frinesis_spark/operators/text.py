@@ -297,15 +297,20 @@ def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     Map-only projection: every regexp_replace/regexp_count is a
     Catalyst expression inside whole-stage codegen — zero shuffles,
     zero Python, so at 100 TB this is a pure scan-speed pass (and the
-    natural place to fuse with other per-row scalar stages). Counts
-    are computed on the original text; replacements chain in pattern
-    order.
+    natural place to fuse with other per-row scalar stages).
+    Replacements chain in pattern order and each pattern's count is
+    taken on the text AFTER the earlier patterns' replacements (not on
+    the original), so overlapping matches are never double-counted:
+    'customer@x.com' is one EMAIL redaction, not EMAIL + TERM —
+    n_redactions equals the number of substitutions actually applied
+    (r6 review fix). The '<TAG>' markers cannot themselves match any
+    pattern, so chained counting introduces no phantom matches.
     """
     d = table(spark, sf_dir, "documents")
     clean = F.col("text")
     n_red = F.lit(0)
     for tag, pat in _PII_PATTERNS:
-        n_red = n_red + F.regexp_count(F.col("text"), F.lit(pat))
+        n_red = n_red + F.regexp_count(clean, F.lit(pat))
         clean = F.regexp_replace(clean, pat, f"<{tag}>")
     return d.select(
         "doc_id",
@@ -321,12 +326,21 @@ def q_text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     training (Rae et al. 2021 'Scaling Language Models', repetition
     rules C.2).
 
-    Plan: one scan → explode words / construct bigrams via a Catalyst
-    ``transform(sequence(...))`` (no Python) → two partial-aggregated
-    shuffles keyed on (doc_id, token), both map-side combined, then a
-    co-partitioned join back on doc_id. Shuffle volume is bounded by
-    the distinct-(doc, token) count, not total tokens, and at 100 TB
-    each doc's tokens stay in one task (doc_id keying) so no hot keys.
+    Plan: two scan branches (word and bigram; bigrams built by a
+    Catalyst ``transform(sequence(...))`` — no Python), each exploding
+    into a partial-aggregated shuffle keyed on (doc_id, token) with
+    map-side combine, then re-aggregated per doc_id. n_words/n_bigrams
+    are derived from those same aggregates (SUM of the per-token
+    counts), so no third scan joins the base table back. Shuffle
+    volume is bounded by the distinct-(doc, token) count, not total
+    tokens, and at 100 TB each doc's tokens stay in one task (doc_id
+    keying) so no hot keys.
+
+    Docs with fewer than 2 words have no bigrams: the word side LEFT
+    JOINs the bigram side, their bigram metrics are NULL, and the flag
+    coalesces the bigram rule to false — every document gets a
+    verdict (a quality gate that silently drops rows would delete the
+    very docs it cannot judge).
 
     The flag compares with INTEGER cross-multiplication
     (``top*100 > n*30``) instead of float thresholds, so the decision
@@ -335,17 +349,14 @@ def q_text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = table(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
-    base = d.select(
-        "doc_id",
-        words.alias("ws"),
-        F.size(words).cast("long").alias("n_words"),
-    )
+    base = d.select("doc_id", words.alias("ws"))
     wcnt = (
         base.select("doc_id", F.explode("ws").alias("w"))
         .groupBy("doc_id", "w")
         .count()
     )
     wagg = wcnt.groupBy("doc_id").agg(
+        F.sum("count").alias("n_words"),
         F.count(F.lit(1)).alias("n_distinct"),
         F.max("count").alias("top_word_n"),
     )
@@ -358,24 +369,25 @@ def q_text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "b")
         .count()
     )
-    bagg = bcnt.groupBy("doc_id").agg(F.max("count").alias("top_bigram_n"))
+    bagg = bcnt.groupBy("doc_id").agg(
+        F.sum("count").alias("n_bigrams"),
+        F.max("count").alias("top_bigram_n"),
+    )
     n_w = F.col("n_words")
     top_w = F.col("top_word_n")
     top_b = F.col("top_bigram_n")
-    return (
-        base.select("doc_id", "n_words")
-        .join(wagg, "doc_id")
-        .join(bagg, "doc_id")
-        .select(
-            "doc_id",
-            "n_words",
-            (F.col("n_distinct").cast("double") / n_w).alias("distinct_ratio"),
-            (top_w.cast("double") / n_w).alias("top_word_ratio"),
-            (top_b.cast("double") / (n_w - 1)).alias("top_bigram_ratio"),
-            ((top_w * 100 > n_w * 30) | (top_b * 100 > (n_w - 1) * 18)).alias(
-                "repetitive"
-            ),
-        )
+    return wagg.join(bagg, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        (F.col("n_distinct").cast("double") / n_w).alias("distinct_ratio"),
+        (top_w.cast("double") / n_w).alias("top_word_ratio"),
+        (top_b.cast("double") / F.col("n_bigrams")).alias("top_bigram_ratio"),
+        (
+            (top_w * 100 > n_w * 30)
+            | F.coalesce(
+                top_b * 100 > F.col("n_bigrams") * 18, F.lit(False)
+            )
+        ).alias("repetitive"),
     )
 
 
@@ -471,11 +483,13 @@ _PRED_SQL = (
 _STOP_LIST = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
 
 def _pii_scrub_sql() -> str:
-    """Same patterns, DuckDB RE2 side ('g' flag for replace-all)."""
+    """Same patterns, DuckDB RE2 side ('g' flag for replace-all).
+    Counts mirror the Spark side: each pattern counts on the text
+    after the earlier replacements (no overlap double-count)."""
     clean = "text"
     counts = []
     for tag, pat in _PII_PATTERNS:
-        counts.append(f"LEN(REGEXP_EXTRACT_ALL(text, '{pat}'))")
+        counts.append(f"LEN(REGEXP_EXTRACT_ALL({clean}, '{pat}'))")
         clean = f"REGEXP_REPLACE({clean}, '{pat}', '<{tag}>', 'g')"
     return f"""
         SELECT doc_id,
@@ -493,9 +507,7 @@ ORACLE = {
     # widening); ratios are the same single IEEE divisions.
     "text_repetition_filter": """
         WITH base AS (
-            SELECT doc_id, STRING_SPLIT(text, ' ') AS ws,
-                   CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_words
-            FROM documents
+            SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents
         ),
         wcnt AS (
             SELECT doc_id, w, COUNT(*) AS c
@@ -503,7 +515,8 @@ ORACLE = {
             GROUP BY doc_id, w
         ),
         wagg AS (
-            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+            SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct,
                    CAST(MAX(c) AS BIGINT) AS top_word_n
             FROM wcnt GROUP BY doc_id
         ),
@@ -516,19 +529,19 @@ ORACLE = {
             GROUP BY doc_id, b
         ),
         bagg AS (
-            SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bigram_n
+            SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+                   CAST(MAX(c) AS BIGINT) AS top_bigram_n
             FROM bcnt GROUP BY doc_id
         )
-        SELECT base.doc_id, n_words,
+        SELECT doc_id, n_words,
                CAST(n_distinct AS DOUBLE) / n_words AS distinct_ratio,
                CAST(top_word_n AS DOUBLE) / n_words AS top_word_ratio,
-               CAST(top_bigram_n AS DOUBLE) / (n_words - 1)
-                   AS top_bigram_ratio,
+               CAST(top_bigram_n AS DOUBLE) / n_bigrams AS top_bigram_ratio,
                (top_word_n * 100 > n_words * 30
-                OR top_bigram_n * 100 > (n_words - 1) * 18) AS repetitive
-        FROM base
-        JOIN wagg USING (doc_id)
-        JOIN bagg USING (doc_id)
+                OR COALESCE(top_bigram_n * 100 > n_bigrams * 18, FALSE))
+                   AS repetitive
+        FROM wagg
+        LEFT JOIN bagg USING (doc_id)
     """,
     # Window SUM over BIGINT widens to HUGEINT in DuckDB — cast back
     # before the integer div/mod so dtypes match Spark's BIGINT.

@@ -123,8 +123,12 @@ def test_n_keys_counts_keys_with_non_long_values(spark, monkeypatch):
             (1, '{"k": 3, "s": "str", "o": {"n": 1}}'),  # mixed value types
             (2, '{"k": "notanumber"}'),  # non-numeric k
             (3, '{"k": 7}'),  # all-long (the fixture shape)
+            (4, '{"k": 3.5}'),  # non-integral numeric (r6 review fix)
         ],
         "event_id long, props string",
+    )
+    docs = docs.unionByName(
+        spark.createDataFrame([(4, "pad row")], "doc_id long, text string")
     )
     real_table = catalog.table
 
@@ -143,6 +147,22 @@ def test_n_keys_counts_keys_with_non_long_values(spark, monkeypatch):
     assert rows[2].n_keys == 1
     assert rows[2].k_map is None  # per-key cast nulls, not whole-map
     assert rows[3].n_keys == 1 and rows[3].k_map == 7
+    # '3.5' must NULL (not round): the regex gate pins the semantics
+    # bare TRY_CAST would break — DuckDB rounds '3.5' to 4.
+    assert rows[4].k_map is None and rows[4].k_json is None
+    import duckdb
+
+    gated = (
+        "TRY_CAST(CASE WHEN REGEXP_MATCHES(v, '^[+-]?[0-9]+$') "
+        "THEN v END AS BIGINT)"
+    )
+    for v, want in [("3.5", None), ("3.0", None), ("4", 4), ("+5", 5),
+                    ("-6", -6), ("notanumber", None),
+                    ("99999999999999999999999", None)]:
+        got = duckdb.sql(
+            f"SELECT {gated} FROM (SELECT '{v}' AS v)"
+        ).fetchone()[0]
+        assert got == want, (v, got)
 
 
 def test_clear_derived_caches_resets_and_rebuilds(spark, sf_dir):
@@ -181,6 +201,12 @@ def test_bench_compact_line_fits_driver_capture():
     regressions = {n: 99.99 for n in bench.HEADLINE}
     line = bench.compact_line(timings, regressions, 0.1, 999999.999)
     assert len(line) < 1900  # driver captures the last 2000 chars
+    # The regression alarm must survive truncation (r6 review fix:
+    # queries are dropped first, regressions only capped at 20).
+    import json as _json
+
+    worst = _json.loads(line)
+    assert len(worst.get("regressions", {})) >= min(20, len(regressions))
     # And the normal case keeps the full per-query map intact.
     import json
 
@@ -214,6 +240,8 @@ def test_pii_scrub_redacts_and_counts(spark, monkeypatch):
             (1, "contact me at jane.doe@example.com or 555-123-4567 ok"),
             (2, "the customer emailed the customer twice"),
             (3, "nothing sensitive here at all"),
+            # overlap: 'customer' sits inside the email — ONE redaction
+            (4, "customer@example.com wrote this"),
         ],
         "doc_id long, text string",
     )
@@ -228,6 +256,10 @@ def test_pii_scrub_redacts_and_counts(spark, monkeypatch):
     assert rows[2].clean_text == "the <TERM> emailed the <TERM> twice"
     assert rows[3].n_redactions == 0
     assert rows[3].clean_text == docs.collect()[2].text
+    # r6 review fix: counts follow the chained replacements, so the
+    # TERM inside the already-redacted email is not double-counted.
+    assert rows[4].n_redactions == 1
+    assert rows[4].clean_text == "<EMAIL> wrote this"
 
 
 def test_decontaminate_flags_eval_overlap(spark, monkeypatch):
@@ -265,6 +297,7 @@ def test_repetition_filter_flags_planted_boilerplate(spark, monkeypatch):
             (1, "spam " * 9 + "spam"),  # 10x one token
             (2, "one two " * 5 + "one two"),  # dominant bigram
             (3, "every word here is distinct and varied enough now"),
+            (4, "solo"),  # < 2 words: no bigrams, must still get a verdict
         ],
         "doc_id long, text string",
     )
@@ -277,6 +310,10 @@ def test_repetition_filter_flags_planted_boilerplate(spark, monkeypatch):
     assert rows[2].top_bigram_ratio > 0.4  # 'one two' dominates
     assert not rows[3].repetitive
     assert rows[3].distinct_ratio == 1.0 and rows[3].top_word_ratio == 1 / 9
+    # The single-word doc is present (r6 review fix: the old inner
+    # join-back silently dropped it), judged by the word rule alone.
+    assert rows[4].top_bigram_ratio is None
+    assert rows[4].repetitive  # 1 word / 1 occurrence → ratio 1.0
 
 
 def test_pack_sequences_invariants(spark, sf_dir):
