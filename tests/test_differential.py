@@ -1,0 +1,141 @@
+"""Adversarial dual-engine differential tests.
+
+The driver's oracle check runs on the benign synthetic fixture (ASCII
+prose, all-long JSON values, single spaces). These tests re-run the
+SAME oracle SQL contract on a crafted corpus that the fixture never
+exercises — empty strings, single words, runs of spaces, unicode,
+boilerplate repetition, PII overlaps, and the whole zoo of JSON value
+shapes — so an engine-semantics divergence (the class the r6 review
+found in TRY_CAST rounding) surfaces here before fixture drift ever
+could.
+
+Known shared assumption (both engines, documented not tested):
+``events.props`` is well-formed JSON — DuckDB's JSON_KEYS raises on
+malformed input where Spark's from_json yields NULL, so the contract
+starts at valid JSON.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from tests.parity import assert_frames_match
+
+# Adversarial documents: (doc_id, text)
+_DOCS = [
+    (1, "plain words that look entirely ordinary here"),
+    (2, ""),  # empty text → one empty-string token on both engines
+    (3, "solo"),  # single word: no bigrams
+    (4, "double  space   runs       collapse nowhere"),  # empty tokens
+    (5, "héllo wörld naïve café crème"),  # latin unicode
+    (6, "数据 处理 管道 数据 处理"),  # CJK tokens
+    (7, "spam spam spam spam spam spam spam spam"),  # pure boilerplate
+    (8, "contact jane.doe@example.com or 555-123-4567 now"),  # PII
+    (9, "customer@example.com emailed the customer again"),  # overlap
+    (10, "tok " * 600 + "tail"),  # 601 tokens: straddles pack slots
+    (11, "a b a b a b a b a b a b"),  # dominant bigram
+    (12, "MiXeD CaSe MiXeD case tokens"),  # case-sensitive counting
+]
+
+# Adversarial events: (event_id, props) — every JSON value shape the
+# per-key long conversion must treat identically on both engines.
+_EVENTS = [
+    (1, '{"k": 3}'),  # plain long
+    (2, '{"k": "7"}'),  # long-as-string
+    (3, '{"k": 3.5}'),  # non-integral: NULL (DuckDB TRY_CAST would round)
+    (4, '{"k": 3.0}'),  # integral float literal: still NULL by the gate
+    (5, '{"k": 1e3}'),  # exponent form: NULL
+    (6, '{"k": "+5", "j": 1}'),  # signed string
+    (7, '{"k": -6}'),  # negative long
+    (8, '{"k": 99999999999999999999999}'),  # BIGINT overflow → NULL
+    (9, '{"k": "notanumber"}'),
+    (10, '{"k": true}'),  # boolean: NULL
+    (11, '{"k": null, "m": 2}'),  # null value: key still counts
+    (12, '{"k": {"nested": 1}}'),  # object value: NULL, key counts
+    (13, "{}"),  # empty object: zero keys
+    (14, '{"other": 1}'),  # k absent
+]
+
+
+@pytest.fixture()
+def crafted(spark, monkeypatch):
+    """Route every module's catalog.table to the crafted frames and
+    register the same data as DuckDB views."""
+    import frinesis_spark.operators.scalar as scalar_mod
+    import frinesis_spark.operators.text as text_mod
+    from frinesis_spark import catalog
+
+    docs = spark.createDataFrame(_DOCS, "doc_id long, text string")
+    events = spark.createDataFrame(_EVENTS, "event_id long, props string")
+    real_table = catalog.table
+
+    def fake_table(s, d, n):
+        if n == "documents":
+            return docs
+        if n == "events":
+            return events
+        return real_table(s, d, n)
+
+    for mod in (scalar_mod, text_mod):
+        monkeypatch.setattr(mod, "table", fake_table)
+
+    duck = duckdb.connect()
+    duck.register("documents", docs.toPandas())
+    duck.register("events", events.toPandas())
+    return duck
+
+
+def _diff(spark, duck, queries, oracle, name):
+    spark_pdf = queries[name](spark, "crafted://").toPandas()
+    duck_pdf = duck.sql(oracle[name]).df()
+    assert len(spark_pdf) > 0
+    assert_frames_match(spark_pdf, duck_pdf, name)
+    return spark_pdf
+
+
+def test_repetition_filter_adversarial(spark, crafted):
+    from frinesis_spark.operators import text
+
+    pdf = _diff(spark, crafted, text.QUERIES, text.ORACLE,
+                "text_repetition_filter")
+    # Every crafted doc gets a verdict — including empty + single-word.
+    assert set(pdf["doc_id"]) == {d[0] for d in _DOCS}
+
+
+def test_pii_scrub_adversarial(spark, crafted):
+    from frinesis_spark.operators import text
+
+    pdf = _diff(spark, crafted, text.QUERIES, text.ORACLE, "text_pii_scrub")
+    by_id = pdf.set_index("doc_id")
+    assert by_id.loc[8, "n_redactions"] == 2  # email + phone
+    # 1 email + 1 standalone term; the 'customer' INSIDE the email is
+    # not double-counted (counts follow the chained replacements).
+    assert by_id.loc[9, "n_redactions"] == 2
+
+
+def test_pack_sequences_adversarial(spark, crafted):
+    from frinesis_spark.operators import text
+
+    pdf = _diff(spark, crafted, text.QUERIES, text.ORACLE,
+                "tokenize_pack_sequences")
+    # The 601-token doc participates like any other (concat-and-chunk
+    # allows straddling), and every offset is in range.
+    assert (pdf["pack_offset"] < text._PACK_CTX).all()
+    assert (pdf["pack_offset"] >= 0).all()
+
+
+def test_scalar_array_map_json_adversarial(spark, crafted):
+    from frinesis_spark.operators import scalar
+
+    pdf = _diff(spark, crafted, scalar.QUERIES, scalar.ORACLE,
+                "scalar_array_map_json")
+    by_id = pdf.set_index("row_id")
+    # The value-shape zoo, by the shared integer-literal-gate contract:
+    assert by_id.loc[1, "k_map"] == 3
+    assert by_id.loc[2, "k_map"] == 7  # long-as-string converts
+    for rid in (3, 4, 5, 8, 9, 10, 11, 12):
+        assert by_id.loc[rid, ["k_map", "k_json"]].isna().all(), rid
+    assert by_id.loc[6, "k_map"] == 5 and by_id.loc[7, "k_map"] == -6
+    assert by_id.loc[11, "n_keys"] == 2  # null-valued key still counts
+    assert by_id.loc[12, "n_keys"] == 1
