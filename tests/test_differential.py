@@ -139,3 +139,103 @@ def test_scalar_array_map_json_adversarial(spark, crafted):
     assert by_id.loc[6, "k_map"] == 5 and by_id.loc[7, "k_map"] == -6
     assert by_id.loc[11, "n_keys"] == 2  # null-valued key still counts
     assert by_id.loc[12, "n_keys"] == 1
+
+
+# --- dedup operators on a crafted near-dup corpus -------------------------
+
+_BOILER = "the quick brown fox jumps over the lazy dog near the river bank"
+_DEDUP_DOCS = [
+    # exact-duplicate family (3 copies)
+    (1, _BOILER + " one extra"),
+    (2, _BOILER + " one extra"),
+    (3, _BOILER + " one extra"),
+    # near-dup family: long shared prefix, short distinct tails
+    (4, _BOILER + " alpha beta gamma delta epsilon"),
+    (5, _BOILER + " alpha beta gamma delta zeta"),
+    # unrelated docs
+    (6, "completely different content goes in this document body here"),
+    (7, "yet another unrelated piece of text with its own words"),
+    # shorter than one shingle (2 words) — zero pair potential
+    (8, "two words"),
+    # unicode near-dups
+    (9, "héllo wörld naïve café crème brûlée déjà vu encore une fois"),
+    (10, "héllo wörld naïve café crème brûlée déjà vu encore une minute"),
+    # eval docs (doc_id % 100 == 0) for decontamination
+    (100, _BOILER + " alpha beta gamma delta epsilon"),
+    (200, "completely unrelated eval prompt that matches nothing else"),
+]
+
+
+@pytest.fixture()
+def crafted_dedup(spark, monkeypatch):
+    import frinesis_spark.operators.dedup as dedup_mod
+    from frinesis_spark import catalog
+    from frinesis_spark.caches import clear_derived_caches
+
+    clear_derived_caches()
+    docs = spark.createDataFrame(_DEDUP_DOCS, "doc_id long, text string")
+    real_table = catalog.table
+    monkeypatch.setattr(
+        dedup_mod,
+        "table",
+        lambda s, d, n: docs if n == "documents" else real_table(s, d, n),
+    )
+    duck = duckdb.connect()
+    duck.register("documents", docs.toPandas())
+    yield duck
+    clear_derived_caches()
+
+
+def _diff_dedup(spark, duck, name, sf_dir):
+    from frinesis_spark.operators import dedup
+
+    spark_pdf = dedup.QUERIES[name](spark, sf_dir).toPandas()
+    duck_pdf = duck.sql(dedup.ORACLE[name]).df()
+    assert_frames_match(spark_pdf, duck_pdf, name)
+    return spark_pdf
+
+
+def test_dedup_exact_adversarial(spark, crafted_dedup):
+    pdf = _diff_dedup(spark, crafted_dedup, "dedup_exact", "diff://exact")
+    by_min = pdf.set_index("doc_id")
+    assert by_min.loc[1, "n_copies"] == 3  # the triplet collapses to min id
+    assert by_min.loc[4, "n_copies"] == 2  # doc 4 ≡ eval doc 100 (planted)
+    assert (pdf["n_copies"] == 1).sum() == len(_DEDUP_DOCS) - 5
+
+
+def test_dedup_ngram_jaccard_adversarial(spark, crafted_dedup):
+    pdf = _diff_dedup(spark, crafted_dedup, "dedup_ngram_jaccard",
+                      "diff://ngram")
+    pairs = {tuple(r) for r in pdf[["doc_a", "doc_b"]].itertuples(index=False)}
+    # The exact triplet yields all three jaccard-1.0 pairs; the tailed
+    # near-dups and unicode near-dups cross the 0.5 threshold too.
+    assert {(1, 2), (1, 3), (2, 3)} <= pairs
+    assert (4, 5) in pairs and (9, 10) in pairs
+    # Unrelated and sub-shingle docs pair with nothing.
+    flat = {d for p in pairs for d in p}
+    assert not {6, 7, 8} & flat
+
+
+def test_dedup_cluster_cc_adversarial(spark, crafted_dedup):
+    pdf = _diff_dedup(spark, crafted_dedup, "dedup_cluster_cc",
+                      "diff://cc")
+    by_doc = pdf.set_index("doc_id")
+    # One component per family, labeled by its min doc_id. Note docs 4/5
+    # share their prefix with eval doc 100 AND the triplet's boiler
+    # opening, so components reflect the 0.5-threshold graph exactly as
+    # the oracle's recursive reachability computes it.
+    assert by_doc.loc[2, "cluster_id"] == by_doc.loc[1, "cluster_id"]
+    assert by_doc.loc[3, "cluster_id"] == by_doc.loc[1, "cluster_id"]
+    assert by_doc.loc[5, "cluster_id"] == by_doc.loc[4, "cluster_id"]
+    assert by_doc.loc[10, "cluster_id"] == by_doc.loc[9, "cluster_id"]
+
+
+def test_dedup_decontaminate_adversarial(spark, crafted_dedup):
+    pdf = _diff_dedup(spark, crafted_dedup, "dedup_decontaminate",
+                      "diff://decon")
+    flagged = set(pdf["doc_id"])
+    # Eval doc 100 contaminates the shared-prefix family (1-5 all carry
+    # ≥3 of its shingles); eval doc 200 matches nothing; eval docs
+    # themselves and unrelated docs never appear.
+    assert {4, 5} <= flagged
+    assert not {100, 200, 6, 7, 8} & flagged
