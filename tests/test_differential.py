@@ -239,3 +239,101 @@ def test_dedup_decontaminate_adversarial(spark, crafted_dedup):
     # themselves and unrelated docs never appear.
     assert {4, 5} <= flagged
     assert not {100, 200, 6, 7, 8} & flagged
+
+
+# --- timeseries operators on crafted edge-case events ---------------------
+
+from datetime import datetime as _dt  # noqa: E402
+
+
+def _ev(eid, ts, uid, value):
+    return (eid, ts, uid, "click", value, "{}")
+
+
+_TS_EVENTS = [
+    # user 7 (gapfill-eligible: 7 % 7 == 0): a 30-hour silence inside
+    # the span → LOCF must carry one hourly sum across 29 empty hours.
+    _ev(1, _dt(2000, 1, 1, 0, 5), 7, 10.0),
+    _ev(2, _dt(2000, 1, 1, 0, 40), 7, 2.5),
+    _ev(3, _dt(2000, 1, 2, 6, 15), 7, -4.0),  # negative value
+    # user 14 (also gapfill-eligible): single event → 1-hour span,
+    # one session of duration 0.
+    _ev(4, _dt(2000, 1, 1, 12, 0), 14, 0.0),
+    # user 3 (NOT gapfill-eligible — must be absent from gapfill):
+    # gap of EXACTLY 30 minutes (stays in one session: the split is
+    # strictly greater-than), then 30 minutes + 1 µs (splits).
+    _ev(5, _dt(2000, 1, 1, 9, 0, 0), 3, 1.0),
+    _ev(6, _dt(2000, 1, 1, 9, 30, 0), 3, 1.0),
+    _ev(7, _dt(2000, 1, 1, 10, 0, 0, 1), 3, 1.0),
+    # user 5: two events with IDENTICAL timestamps (event_id breaks
+    # the tie deterministically), plus a null value the sums skip.
+    _ev(8, _dt(2000, 1, 8, 8, 0), 5, 3.0),
+    _ev(9, _dt(2000, 1, 8, 8, 0), 5, None),
+    # retention: user 5 first-seen week of 2000-01-03, active again
+    # exactly three weeks later.
+    _ev(10, _dt(2000, 1, 24, 9, 0), 5, 1.0),
+]
+
+
+@pytest.fixture()
+def crafted_events(spark, monkeypatch):
+    import frinesis_spark.operators.timeseries as ts_mod
+    from frinesis_spark import catalog
+
+    events = spark.createDataFrame(
+        _TS_EVENTS,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+    real_table = catalog.table
+    monkeypatch.setattr(
+        ts_mod,
+        "table",
+        lambda s, d, n: events if n == "events" else real_table(s, d, n),
+    )
+    duck = duckdb.connect()
+    duck.register("events", events.toPandas())
+    return duck
+
+
+def _diff_ts(spark, duck, name):
+    from frinesis_spark.operators import timeseries
+
+    spark_pdf = timeseries.QUERIES[name](spark, "crafted://ts").toPandas()
+    duck_pdf = duck.sql(timeseries.ORACLE[name]).df()
+    assert_frames_match(spark_pdf, duck_pdf, name)
+    return spark_pdf
+
+
+def test_gapfill_locf_adversarial(spark, crafted_events):
+    pdf = _diff_ts(spark, crafted_events, "time_gapfill_locf")
+    assert set(pdf["user_id"]) == {7, 14}  # mod-7 filter applied
+    u7 = pdf[pdf["user_id"] == 7].sort_values("hour")
+    assert len(u7) == 31  # hours 00:00 Jan 1 .. 06:00 Jan 2 inclusive
+    # The empty hours exist (n_events 0) and carry the LOCF sum forward.
+    empty = u7[u7["n_events"] == 0]
+    assert len(empty) == 29
+    assert (empty["locf_value_sum"] == 12.5).all()  # 10.0 + 2.5 carried
+    assert empty["value_sum"].isna().all()  # raw observation stays null
+
+
+def test_session_islands_adversarial(spark, crafted_events):
+    pdf = _diff_ts(spark, crafted_events, "window_session_islands")
+    u3 = pdf[pdf["user_id"] == 3].sort_values("session_seq")
+    # Exactly-30-minute gap does NOT split; 30 min + 1 µs DOES.
+    assert list(u3["n_events"]) == [2, 1]
+    u5 = pdf[pdf["user_id"] == 5]
+    # Identical-timestamp events share one session; the null value is
+    # skipped by the sum but counted as an event.
+    first = u5.sort_values("session_seq").iloc[0]
+    assert first["n_events"] == 2 and first["value_sum"] == 3.0
+    u14 = pdf[pdf["user_id"] == 14]
+    assert len(u14) == 1 and u14.iloc[0]["duration_seconds"] == 0.0
+
+
+def test_retention_cohort_adversarial(spark, crafted_events):
+    pdf = _diff_ts(spark, crafted_events, "analytics_retention_cohort")
+    u5_cohort = pdf[(pdf["week_offset"] == 3)]
+    # User 5 returns exactly three weeks after first sight.
+    assert len(u5_cohort) == 1
+    assert u5_cohort.iloc[0]["retention_rate"] == 1.0
