@@ -71,23 +71,29 @@ def _load_modules():
 # agg_rollup+agg_cube → agg_rollup_cube, window_rank_cume+
 # window_ntile_ranks → window_ranking_suite — near-identical surfaces
 # that re-verified separately every rotation). The window fills as
-# 1 tier0 (scalar_array_map_json) + 18 tier1 + 12 r3-stale + 19 of
-# the 43 r4-stale = 50; the 24-row r4 remainder rotates to r7 (and
-# leads r7's window as its oldest tier — max evidence age at any
-# verdict stays 2 rounds). Slack spent this round: 1 tier0 + 18 tier1
+# 2 tier0 (scalar_array_map_json, stream_session_window) + 18 tier1
+# + 12 r3-stale + 18 of the 43 r4-stale = 50; the 25-row r4 remainder
+# rotates to r7 (and leads r7's window as its oldest tier — max
+# evidence age at any verdict stays 2 rounds). Slack spent this
+# round: 2 tier0 + 18 tier1
 # (2 folded queries + 12 TPC-H shapes q9/q13/q18/q19/q20 then
 # q2/q7/q8/q11/q12/q15/q16 — the classic suite is now complete at
 # 22/22 — + text_pii_scrub + dedup_decontaminate +
-# text_repetition_filter + tokenize_pack_sequences) = 19 of the
+# text_repetition_filter + tokenize_pack_sequences) = 20 of the
 # 38-slot post-rotation budget. Steady state: 120 registered vs a
 # 50-slot window = 2.4-round average rotation; tier0 discipline
 # (small code-change fan-out) keeps the worst case at 3 rounds for
 # the lowest-risk code-unchanged rows only. Registry growth stops
 # here for r6.
 _CHANGED_SINCE_VERDICT = (
-    # r6: props parsed as map<string,string> + try_cast per key, oracle
-    # moved to TRY_CAST — NULL-aligned under non-long values (ADVICE r5)
+    # r6: props parsed as map<string,string> + regex-gated try_cast per
+    # key on both engines — NULL-aligned under non-long values (ADVICE
+    # r5 + the r6 review's TRY_CAST-rounds-'3.5' divergence)
     "scalar_array_map_json",
+    # r6: oracle split condition corrected >= → > (Spark session_window
+    # merges an event landing exactly at the prior session's end — the
+    # adversarial differential test caught the boundary divergence)
+    "stream_session_window",
 )
 
 _STALE_EVIDENCE = {

@@ -77,9 +77,15 @@ def q_stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user session windows with a 30-minute inactivity gap.
 
-    Spark semantics: session end = last event + gap; events merge while
-    the inter-event gap is strictly less than the gap duration. The
-    oracle reproduces this with lag()+cumsum sessionization.
+    Spark semantics: session end = last event + gap; an event arriving
+    EXACTLY at the previous session's end still merges (probed: windows
+    [10:00,10:30) + an event at 10:30 form one session) — a session
+    splits only when the inter-event gap STRICTLY exceeds the gap
+    duration. The oracle reproduces this with lag()+cumsum
+    sessionization on a strict `>` split; the r6 adversarial
+    differential test caught the original `>=` oracle diverging on an
+    exactly-30:00.000000 gap, a boundary the fixture's timestamps
+    never hit.
     """
     e = _events_batch(spark, sf_dir)
     return (
@@ -329,8 +335,12 @@ ORACLE = {
     "stream_session_window": f"""
         WITH flagged AS (
             SELECT user_id, ts, value,
+                   -- STRICT >: an event landing exactly at the prior
+                   -- session's end merges in Spark's session_window
+                   -- (r6 differential-test fix; >= split here diverged
+                   -- on exact-gap boundaries the fixture never hits)
                    CASE WHEN LAG(ts) OVER w IS NULL
-                             OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                             OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
                         THEN 1 ELSE 0 END AS new_session
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts)

@@ -337,3 +337,87 @@ def test_retention_cohort_adversarial(spark, crafted_events):
     # User 5 returns exactly three weeks after first sight.
     assert len(u5_cohort) == 1
     assert u5_cohort.iloc[0]["retention_rate"] == 1.0
+
+
+# --- streaming operators on a crafted out-of-order replay -----------------
+
+# One hour-boundary event, a microsecond-before-boundary event, an
+# exactly-30-minute session gap, duplicate event_ids, an inclusive
+# interval-join boundary, and events inside the final watermark horizon
+# — written OUT OF ORDER into a single replay file (one micro-batch).
+_STREAM_EVENTS = [
+    # (event_id, ts, user_id, event_type, value, props)
+    (6, _dt(2000, 3, 1, 12, 0, 0), 1, "click", -1.0, "{}"),  # max ts
+    (1, _dt(2000, 3, 1, 10, 0, 0), 1, "view", 1.0, "{}"),  # hour boundary
+    (100, _dt(2000, 3, 1, 10, 20, 0), 3, "click", 2.0, "{}"),  # dup id
+    (2, _dt(2000, 3, 1, 10, 30, 0), 1, "purchase", 5.0, "{}"),
+    (4, _dt(2000, 3, 1, 9, 59, 59, 999999), 2, "click", 1.5, "{}"),
+    (3, _dt(2000, 3, 1, 10, 5, 0), 2, "view", 2.0, "{}"),
+    (100, _dt(2000, 3, 1, 10, 10, 0), 3, "click", 1.0, "{}"),  # dup id
+    (5, _dt(2000, 3, 1, 11, 0, 0), 2, "purchase", 0.5, "{}"),
+    (7, _dt(2000, 3, 1, 11, 55, 0), 4, "click", 3.0, "{}"),  # in wm horizon
+]
+
+
+@pytest.fixture(scope="module")
+def crafted_stream_dir(tmp_path_factory):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("stream_events")
+    pdf = pd.DataFrame(
+        _STREAM_EVENTS,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    pq.write_table(pa.Table.from_pandas(pdf), str(d / "events.parquet"))
+    duck = duckdb.connect()
+    duck.register("events", pdf)
+    return str(d), duck
+
+
+def _diff_stream(spark, name, sf_dir, duck):
+    from frinesis_spark.streaming import windows
+
+    spark_pdf = windows.QUERIES[name](spark, sf_dir).toPandas()
+    duck_pdf = duck.sql(windows.ORACLE[name]).df()
+    assert_frames_match(spark_pdf, duck_pdf, name)
+    return spark_pdf
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "stream_tumbling_agg",
+        "stream_sliding_agg",
+        "stream_session_window",
+        "stream_watermark_late",
+        "stream_dedup_stateful",
+        "stream_stream_join",
+        "stream_foreach_batch_upsert",
+    ],
+)
+def test_streaming_adversarial(spark, crafted_stream_dir, name):
+    sf_dir, duck = crafted_stream_dir
+    pdf = _diff_stream(spark, name, sf_dir, duck)
+    if name == "stream_dedup_stateful":
+        # the duplicated id 100 is emitted exactly once
+        assert sorted(pdf["event_id"]) == [1, 2, 3, 4, 5, 6, 7, 100]
+    if name == "stream_stream_join":
+        # ONE pair: the exactly-30-minute purchase is inclusive; the
+        # 55-minute one is out of the interval.
+        assert len(pdf) == 1 and pdf.iloc[0]["user_id"] == 1
+    if name == "stream_session_window":
+        # user 1's exactly-30-minute gap MERGES (probed Spark
+        # semantics: a session splits only when the gap STRICTLY
+        # exceeds the threshold — this test originally carried the >=
+        # assumption and caught the oracle diverging); the 12:00 event
+        # opens the second session.
+        assert (pdf["user_id"] == 1).sum() == 2
+        assert (pdf["user_id"] == 3).sum() == 1  # 10-min gap merges
+    if name == "stream_watermark_late":
+        # watermark = 12:00 - 10min: the [11:00, 12:00) and [12:00, …)
+        # windows are suppressed; the 09:xx and 10:xx windows emit.
+        starts = set(pdf["window_start"].dt.hour)
+        assert 9 in starts and 10 in starts
+        assert 11 not in starts and 12 not in starts
