@@ -33,5 +33,16 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    """Cosine similarity between two array<numeric> columns (double)."""
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine similarity between two array<numeric> columns (double).
+
+    Zero-norm policy: NULL. A zero vector (a padding row, a failed
+    encode — real embedding corpora contain them) makes the divisor 0,
+    and under Spark's default ANSI mode a plain ``/`` would KILL the
+    whole job with DIVIDE_BY_ZERO on that one row (caught by the r6
+    adversarial differential test). ``try_divide`` yields NULL
+    instead, which is bit-for-bit what DuckDB's ``/`` already returns
+    for x/0 — so the oracle needs no change, NULL cosines rank last
+    under both engines' default DESC NULLS LAST, and threshold filters
+    (``cos >= t``) exclude them identically.
+    """
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))

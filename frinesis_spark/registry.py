@@ -71,15 +71,16 @@ def _load_modules():
 # agg_rollup+agg_cube → agg_rollup_cube, window_rank_cume+
 # window_ntile_ranks → window_ranking_suite — near-identical surfaces
 # that re-verified separately every rotation). The window fills as
-# 2 tier0 (scalar_array_map_json, stream_session_window) + 18 tier1
-# + 12 r3-stale + 18 of the 43 r4-stale = 50; the 25-row r4 remainder
+# 5 tier0 (scalar_array_map_json, stream_session_window, and the
+# three Catalyst-cosine consumers of the try_divide fix) + 18 tier1
+# + 12 r3-stale + 15 of the 43 r4-stale = 50; the 28-row r4 remainder
 # rotates to r7 (and leads r7's window as its oldest tier — max
 # evidence age at any verdict stays 2 rounds). Slack spent this
-# round: 2 tier0 + 18 tier1
+# round: 5 tier0 + 18 tier1
 # (2 folded queries + 12 TPC-H shapes q9/q13/q18/q19/q20 then
 # q2/q7/q8/q11/q12/q15/q16 — the classic suite is now complete at
 # 22/22 — + text_pii_scrub + dedup_decontaminate +
-# text_repetition_filter + tokenize_pack_sequences) = 20 of the
+# text_repetition_filter + tokenize_pack_sequences) = 23 of the
 # 38-slot post-rotation budget. Steady state: 120 registered vs a
 # 50-slot window = 2.4-round average rotation; tier0 discipline
 # (small code-change fan-out) keeps the worst case at 3 rounds for
@@ -94,6 +95,12 @@ _CHANGED_SINCE_VERDICT = (
     # merges an event landing exactly at the prior session's end — the
     # adversarial differential test caught the boundary divergence)
     "stream_session_window",
+    # r6: cosine_similarity → try_divide (a zero-norm embedding used to
+    # kill the whole job with ANSI DIVIDE_BY_ZERO; NULL now, matching
+    # DuckDB's x/0). Every Catalyst-cosine consumer re-verifies.
+    "similarity_topk_cosine",
+    "similarity_ann_lsh",
+    "similarity_ann_ivf",
 )
 
 _STALE_EVIDENCE = {

@@ -421,3 +421,104 @@ def test_streaming_adversarial(spark, crafted_stream_dir, name):
         starts = set(pdf["window_start"].dt.hour)
         assert 9 in starts and 10 in starts
         assert 11 not in starts and 12 not in starts
+
+
+# --- embedding operators with a zero-norm vector --------------------------
+
+# Real embedding corpora contain zero vectors (padding rows, failed
+# encodes). vec_id < 10 forms the query set; vec 1 is the all-zero
+# query, vec 20 the all-zero candidate. Identical/negated/orthogonal
+# vectors pin the exact cosine values ±1/0.
+_EMB = [
+    (0, [1.0, 0.0, 0.0], 0),
+    (1, [0.0, 0.0, 0.0], 0),  # zero-norm QUERY
+    (2, [0.6, 0.8, 0.0], 0),
+    (20, [0.0, 0.0, 0.0], 1),  # zero-norm candidate
+    (21, [1.0, 0.0, 0.0], 1),  # identical to query 0 → cos 1.0
+    (22, [-1.0, 0.0, 0.0], 1),  # negated → cos -1.0
+    (23, [0.0, 1.0, 0.0], 1),  # orthogonal to query 0 → cos 0.0
+    (24, [0.6, 0.8, 0.0], 1),
+    (25, [3.0, 4.0, 0.0], 1),  # same direction as 2/24, longer
+]
+
+
+@pytest.fixture()
+def crafted_embeddings(spark, monkeypatch):
+    import frinesis_spark.operators.dedup as dedup_mod
+    import frinesis_spark.operators.similarity as sim_mod
+    from frinesis_spark import catalog
+
+    emb = spark.createDataFrame(
+        _EMB, "vec_id long, embedding array<float>, label int"
+    )
+    real_table = catalog.table
+    for mod in (sim_mod, dedup_mod):
+        monkeypatch.setattr(
+            mod,
+            "table",
+            lambda s, d, n: emb if n == "embeddings" else real_table(s, d, n),
+        )
+    duck = duckdb.connect()
+    duck.register("embeddings", emb.toPandas())
+    return duck
+
+
+def test_topk_cosine_zero_norm_adversarial(spark, crafted_embeddings):
+    """Before the r6 try_divide fix this CRASHED the whole job with
+    ANSI DIVIDE_BY_ZERO on the zero-norm rows; now zero-norm cosines
+    are NULL on both engines and rank last deterministically."""
+    from frinesis_spark.operators import similarity
+
+    spark_pdf = similarity.QUERIES["similarity_topk_cosine"](
+        spark, "crafted://emb"
+    ).toPandas()
+    duck_pdf = crafted_embeddings.sql(
+        similarity.ORACLE["similarity_topk_cosine"]
+    ).df()
+    assert_frames_match(spark_pdf, duck_pdf, "similarity_topk_cosine")
+    q0 = spark_pdf[spark_pdf["query_id"] == 0].sort_values("rank")
+    assert q0.iloc[0]["neighbor_id"] == 21  # identical vector wins
+    assert q0.iloc[0]["cos_sim"] == 1.0
+    # The zero-norm query emits only NULL cosines, ordered by id.
+    q1 = spark_pdf[spark_pdf["query_id"] == 1]
+    assert len(q1) == _TOPK_EXPECTED and q1["cos_sim"].isna().all()
+
+
+_TOPK_EXPECTED = 5
+
+
+def test_embedding_cosine_pairs_zero_norm_adversarial(
+    spark, crafted_embeddings
+):
+    """The numpy block-pair path yields NaN rows for the zero vector,
+    the oracle NULL — both exclude them from the ≥ 0.45 pair set."""
+    from frinesis_spark.operators import dedup
+
+    spark_pdf = dedup.QUERIES["dedup_embedding_cosine"](
+        spark, "crafted://emb"
+    ).toPandas()
+    duck_pdf = crafted_embeddings.sql(
+        dedup.ORACLE["dedup_embedding_cosine"]
+    ).df()
+    assert_frames_match(spark_pdf, duck_pdf, "dedup_embedding_cosine")
+    pairs = {tuple(r) for r in spark_pdf[["a_id", "b_id"]].itertuples(
+        index=False)}
+    assert (2, 24) in pairs and (2, 25) in pairs  # same-direction family
+    flat = {v for p in pairs for v in p}
+    # Zero vectors never pair (NaN/NULL fails the threshold on both
+    # engines); the negated vector's cosines are all ≤ 0.
+    assert not {1, 20, 22} & flat
+
+
+def test_quantize_int8_zero_vector_adversarial(spark, crafted_embeddings):
+    from frinesis_spark.operators import similarity
+
+    spark_pdf = similarity.QUERIES["embedding_quantize_int8"](
+        spark, "crafted://emb"
+    ).toPandas()
+    duck_pdf = crafted_embeddings.sql(
+        similarity.ORACLE["embedding_quantize_int8"]
+    ).df()
+    assert_frames_match(spark_pdf, duck_pdf, "embedding_quantize_int8")
+    z = spark_pdf[spark_pdf["vec_id"] == 1].iloc[0]
+    assert z["q_scale"] == 0.0 and z["q_min"] == 0 and z["q_max"] == 0
