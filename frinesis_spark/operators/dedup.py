@@ -802,6 +802,15 @@ def q_dedup_fuzzy_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pairs within the declared blocking" (mirrored exactly by the
     oracle), so the hash check is exact even though blocking, like all
     dedup blocking, trades recall for sub-quadratic cost.
+
+    Unicode contract (r6 differential finding): Spark's levenshtein
+    counts CODEPOINT edits — the correct semantic for text
+    ('café'→'cafe' = 1) — while DuckDB's counts BYTES ('café'→'cafe'
+    = 2), so the oracle is exact only on single-byte text. The
+    fixture is ASCII by construction, keeping the driver check exact;
+    on unicode corpora Spark's codepoint distance is the defined
+    behavior (pinned with the divergence itself in
+    tests/test_differential.py).
     """
     d = table(spark, sf_dir, "documents").select(
         "doc_id",
@@ -1007,6 +1016,10 @@ ORACLE = {
                COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
         FROM labels
     """,
+    # NOTE: DuckDB LEVENSHTEIN is byte-based vs Spark's codepoint-based
+    # — identical on the ASCII fixture, divergent on multi-byte text
+    # (declared unicode contract in the query docstring; differential-
+    # tested). Do not point this oracle at a non-ASCII corpus.
     "dedup_fuzzy_editdist": f"""
         WITH d AS (
             SELECT doc_id, text,

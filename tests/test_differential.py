@@ -522,3 +522,65 @@ def test_quantize_int8_zero_vector_adversarial(spark, crafted_embeddings):
     assert_frames_match(spark_pdf, duck_pdf, "embedding_quantize_int8")
     z = spark_pdf[spark_pdf["vec_id"] == 1].iloc[0]
     assert z["q_scale"] == 0.0 and z["q_min"] == 0 and z["q_max"] == 0
+
+
+# --- fuzzy edit-distance: blocking boundaries + the unicode contract ------
+
+_PFX = "SAMEPRFX "  # 8-char blocking prefix (+1 space)
+_FUZZY_DOCS = [
+    # Same prefix + same length bucket, distances straddling the ≤25 bar
+    (1, _PFX + "a" * 50),
+    (2, _PFX + "a" * 25 + "b" * 25),  # distance 25 → IN (≤ _EDIT_MAX)
+    (3, _PFX + "a" * 24 + "b" * 26),  # distance 26 from doc 1 → OUT
+    # Length-bucket boundary: distance 1 from doc 5, but len 79 vs 80
+    # falls in different ÷10 buckets → blocked apart BY CONTRACT.
+    (5, _PFX + "c" * 70),  # len 79
+    (6, _PFX + "c" * 71),  # len 80
+    # Different first-8 prefix, otherwise identical → blocked apart.
+    (7, "OTHRPRFX " + "a" * 50),
+]
+
+
+def test_fuzzy_editdist_blocking_adversarial(spark, monkeypatch):
+    import frinesis_spark.operators.dedup as dedup_mod
+    from frinesis_spark import catalog
+
+    docs = spark.createDataFrame(_FUZZY_DOCS, "doc_id long, text string")
+    real_table = catalog.table
+    monkeypatch.setattr(
+        dedup_mod,
+        "table",
+        lambda s, d, n: docs if n == "documents" else real_table(s, d, n),
+    )
+    duck = duckdb.connect()
+    duck.register("documents", docs.toPandas())
+
+    from frinesis_spark.operators import dedup
+
+    spark_pdf = dedup.QUERIES["dedup_fuzzy_editdist"](
+        spark, "crafted://fuzzy"
+    ).toPandas()
+    duck_pdf = duck.sql(dedup.ORACLE["dedup_fuzzy_editdist"]).df()
+    assert_frames_match(spark_pdf, duck_pdf, "dedup_fuzzy_editdist")
+    pairs = {
+        tuple(r)
+        for r in spark_pdf[["doc_a", "doc_b"]].itertuples(index=False)
+    }
+    assert (1, 2) in pairs  # distance exactly at the threshold
+    assert (1, 3) not in pairs  # one past it
+    assert (5, 6) not in pairs  # length-bucket blocking contract
+    assert not any(7 in p for p in pairs)  # prefix blocking contract
+    by_pair = spark_pdf.set_index(["doc_a", "doc_b"])
+    assert by_pair.loc[(1, 2), "edit_dist"] == 25
+
+
+def test_levenshtein_unicode_contract():
+    """Pin the DECLARED divergence: Spark counts codepoint edits (the
+    text-dedup semantic this engine defines), DuckDB counts bytes —
+    which is why the fuzzy oracle is only run on ASCII corpora. If
+    either engine changes, this test fails and the contract note in
+    dedup.py must be revisited."""
+    d = duckdb.sql(
+        "SELECT levenshtein('café', 'cafe'), levenshtein('数据', '数理')"
+    ).fetchone()
+    assert d == (2, 3)  # byte edits
