@@ -584,3 +584,95 @@ def test_levenshtein_unicode_contract():
         "SELECT levenshtein('café', 'cafe'), levenshtein('数据', '数理')"
     ).fetchone()
     assert d == (2, 3)  # byte edits
+
+
+# --- as-of join ties and histogram bucket edges ---------------------------
+
+
+def test_join_asof_tie_semantics_adversarial(spark, monkeypatch):
+    """A view at EXACTLY the purchase timestamp matches (inclusive
+    as-of); multiple same-ts views are deterministic; purchases with
+    no prior view drop out."""
+    import frinesis_spark.operators.relational as rel_mod
+    from frinesis_spark import catalog
+
+    E = [
+        # user 1: view at exactly the purchase ts → inclusive match
+        (1, _dt(2001, 1, 1, 10, 0, 0), 1, "view", 1.0, "{}"),
+        (2, _dt(2001, 1, 1, 10, 0, 0), 1, "purchase", 9.0, "{}"),
+        # user 2: two views at the same ts, then a later purchase
+        (3, _dt(2001, 1, 1, 9, 0, 0), 2, "view", 1.0, "{}"),
+        (4, _dt(2001, 1, 1, 9, 0, 0), 2, "view", 1.0, "{}"),
+        (5, _dt(2001, 1, 1, 11, 0, 0), 2, "purchase", 5.0, "{}"),
+        # user 3: purchase BEFORE any view → excluded
+        (6, _dt(2001, 1, 1, 8, 0, 0), 3, "purchase", 2.0, "{}"),
+        (7, _dt(2001, 1, 1, 9, 0, 0), 3, "view", 1.0, "{}"),
+    ]
+    events = spark.createDataFrame(
+        E,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+    real_table = catalog.table
+    monkeypatch.setattr(
+        rel_mod,
+        "table",
+        lambda s, d, n: events if n == "events" else real_table(s, d, n),
+    )
+    duck = duckdb.connect()
+    duck.register("events", events.toPandas())
+
+    from frinesis_spark.operators import relational
+
+    spark_pdf = relational.QUERIES["join_asof"](
+        spark, "crafted://asof"
+    ).toPandas()
+    duck_pdf = duck.sql(relational.ORACLE["join_asof"]).df()
+    assert_frames_match(spark_pdf, duck_pdf, "join_asof")
+    by_id = spark_pdf.set_index("event_id")
+    assert by_id.loc[2, "view_ts"] == by_id.loc[2, "purchase_ts"]  # inclusive
+    assert by_id.loc[5, "view_ts"] == _dt(2001, 1, 1, 9, 0, 0)
+    assert 6 not in by_id.index  # no prior view → dropped
+
+
+def test_histogram_bucket_edges_adversarial(spark, monkeypatch):
+    """Orders priced exactly ON bucket boundaries, at the range limits,
+    and outside the range — width_bucket must agree across engines."""
+    import frinesis_spark.operators.relational as rel_mod
+    from frinesis_spark import catalog
+
+    prices = [0.0, 59999.99, 60000.0, 120000.0, 599999.99, 600000.0,
+              700000.0, -5.0, 0.01]
+    O = [
+        (i, i, "F", p, _dt(2001, 1, 1), "1-URGENT")
+        for i, p in enumerate(prices)
+    ]
+    orders = spark.createDataFrame(
+        O,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    real_table = catalog.table
+    monkeypatch.setattr(
+        rel_mod,
+        "table",
+        lambda s, d, n: orders if n == "orders" else real_table(s, d, n),
+    )
+    duck = duckdb.connect()
+    duck.register("orders", orders.toPandas())
+
+    from frinesis_spark.operators import relational
+
+    spark_pdf = relational.QUERIES["agg_histogram"](
+        spark, "crafted://hist"
+    ).toPandas()
+    duck_pdf = duck.sql(relational.ORACLE["agg_histogram"]).df()
+    assert_frames_match(spark_pdf, duck_pdf, "agg_histogram")
+    buckets = dict(
+        zip(
+            spark_pdf["bucket_min"], spark_pdf["price_bucket"], strict=False
+        )
+    )
+    assert buckets[60000.0] == 2  # boundary value opens the NEXT bucket
+    assert buckets[600000.0] == 11  # upper limit → overflow bucket
+    assert buckets[-5.0] == 0  # below range → underflow bucket
