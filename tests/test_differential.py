@@ -676,3 +676,94 @@ def test_histogram_bucket_edges_adversarial(spark, monkeypatch):
     assert buckets[60000.0] == 2  # boundary value opens the NEXT bucket
     assert buckets[600000.0] == 11  # upper limit → overflow bucket
     assert buckets[-5.0] == 0  # below range → underflow bucket
+
+
+# --- OHLC tie-breaks and CDC-merge edge keys ------------------------------
+
+
+def test_ohlc_tie_break_adversarial(spark, monkeypatch):
+    """Same-timestamp events inside a bar: open/close resolve by the
+    (ts, event_id) struct key deterministically; a bar-boundary event
+    at exactly :15:00 opens the NEXT bar."""
+    import frinesis_spark.operators.relational as rel_mod
+    from frinesis_spark import catalog
+
+    E = [
+        # user 1, bar 10:00-10:15: two events at the same instant —
+        # event_id 1 is open, event_id 2 is close; extremes from id 3.
+        (1, _dt(2001, 5, 1, 10, 0, 0), 1, "tick", 5.0, "{}"),
+        (2, _dt(2001, 5, 1, 10, 0, 0), 1, "tick", 7.0, "{}"),
+        (3, _dt(2001, 5, 1, 10, 7, 0), 1, "tick", -2.0, "{}"),
+        # exactly on the bar boundary → next bar's open AND close
+        (4, _dt(2001, 5, 1, 10, 15, 0), 1, "tick", 9.0, "{}"),
+    ]
+    events = spark.createDataFrame(
+        E,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+    real_table = catalog.table
+    monkeypatch.setattr(
+        rel_mod,
+        "table",
+        lambda s, d, n: events if n == "events" else real_table(s, d, n),
+    )
+    duck = duckdb.connect()
+    duck.register("events", events.toPandas())
+
+    from frinesis_spark.operators import relational
+
+    spark_pdf = relational.QUERIES["time_ohlc_bars"](
+        spark, "crafted://ohlc"
+    ).toPandas()
+    duck_pdf = duck.sql(relational.ORACLE["time_ohlc_bars"]).df()
+    assert_frames_match(spark_pdf, duck_pdf, "time_ohlc_bars")
+    bars = spark_pdf.set_index("bar_start")
+    b1 = bars.loc[_dt(2001, 5, 1, 10, 0, 0)]
+    assert b1["open"] == 5.0 and b1["close"] == -2.0
+    assert b1["high"] == 7.0 and b1["low"] == -2.0
+    b2 = bars.loc[_dt(2001, 5, 1, 10, 15, 0)]
+    assert b2["open"] == 9.0 and b2["close"] == 9.0 and b2["n_events"] == 1
+
+
+def test_merge_upsert_edge_keys_adversarial(spark, monkeypatch):
+    """Key 91 (7·13) is BOTH re-priced and key-offset-inserted from the
+    same row, and a pre-existing row at an insert's target key
+    (13 + 10M) is overwritten by the insert — both engines agree."""
+    import frinesis_spark.operators.relational as rel_mod
+    from frinesis_spark import catalog
+
+    O = [
+        (7, 1, "F", 100.0, _dt(2001, 1, 1), "1-URGENT"),  # update only
+        (13, 2, "F", 200.0, _dt(2001, 1, 1), "1-URGENT"),  # insert only
+        (91, 3, "F", 300.0, _dt(2001, 1, 1), "1-URGENT"),  # both classes
+        (3, 4, "F", 400.0, _dt(2001, 1, 1), "1-URGENT"),  # untouched
+        (10_000_013, 5, "O", 999.0, _dt(2001, 1, 1), "1-URGENT"),  # collides
+    ]
+    orders = spark.createDataFrame(
+        O,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    real_table = catalog.table
+    monkeypatch.setattr(
+        rel_mod,
+        "table",
+        lambda s, d, n: orders if n == "orders" else real_table(s, d, n),
+    )
+    duck = duckdb.connect()
+    duck.register("orders", orders.toPandas())
+
+    from frinesis_spark.operators import relational
+
+    spark_pdf = relational.QUERIES["merge_upsert"](
+        spark, "crafted://merge"
+    ).toPandas()
+    duck_pdf = duck.sql(relational.ORACLE["merge_upsert"]).df()
+    assert_frames_match(spark_pdf, duck_pdf, "merge_upsert")
+    by_key = spark_pdf.set_index("o_orderkey")
+    assert by_key.loc[7, "o_totalprice"] == 110.0  # re-priced
+    assert by_key.loc[91, "o_orderstatus"] == "U"  # updated in place…
+    assert by_key.loc[10_000_091, "o_totalprice"] == 300.0  # …and inserted
+    assert by_key.loc[10_000_013, "o_totalprice"] == 200.0  # overwritten
+    assert by_key.loc[3, "o_totalprice"] == 400.0  # untouched passthrough
