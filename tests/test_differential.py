@@ -767,3 +767,49 @@ def test_merge_upsert_edge_keys_adversarial(spark, monkeypatch):
     assert by_key.loc[10_000_091, "o_totalprice"] == 300.0  # …and inserted
     assert by_key.loc[10_000_013, "o_totalprice"] == 200.0  # overwritten
     assert by_key.loc[3, "o_totalprice"] == 400.0  # untouched passthrough
+
+
+# --- exact-percentile interpolation edges ---------------------------------
+
+
+def test_percentile_interpolation_adversarial(spark, monkeypatch):
+    """Interpolation at its trickiest: 2-row and 3-row groups, a group
+    where p95 falls strictly between the top two values, a
+    single-row group, and duplicated values. F.percentile and
+    QUANTILE_CONT must interpolate identically (to 6-dp rounding)."""
+    import frinesis_spark.operators.relational as rel_mod
+    from frinesis_spark import catalog
+
+    rows = []
+    # group A: two rows → every percentile is a straight interpolation
+    rows += [("A", 10.0), ("A", 20.0)]
+    # group N: three rows incl. a duplicate value
+    rows += [("N", 1.0), ("N", 1.0), ("N", 100.0)]
+    # group R: 21 rows 0..200 step 10 → p95 = 190.0 exactly? no:
+    # 0.95*(21-1)=19 → element 19 = 190.0 (exact index hit)
+    rows += [("R", float(i * 10)) for i in range(21)]
+    li = spark.createDataFrame(
+        [(i, rf, v) for i, (rf, v) in enumerate(rows)],
+        "l_orderkey long, l_returnflag string, l_extendedprice double",
+    )
+    real_table = catalog.table
+    monkeypatch.setattr(
+        rel_mod,
+        "table",
+        lambda s, d, n: li if n == "lineitem" else real_table(s, d, n),
+    )
+    duck = duckdb.connect()
+    duck.register("lineitem", li.toPandas())
+
+    from frinesis_spark.operators import relational
+
+    spark_pdf = relational.QUERIES["agg_percentile"](
+        spark, "crafted://pct"
+    ).toPandas()
+    duck_pdf = duck.sql(relational.ORACLE["agg_percentile"]).df()
+    assert_frames_match(spark_pdf, duck_pdf, "agg_percentile")
+    by_g = spark_pdf.set_index("l_returnflag")
+    assert by_g.loc["A", "p50"] == 15.0  # midpoint interpolation
+    assert by_g.loc["A", "p95"] == 19.5  # 10 + 0.95*10
+    assert by_g.loc["N", "p50"] == 1.0  # duplicate value holds the median
+    assert by_g.loc["R", "p95"] == 190.0  # exact index hit
