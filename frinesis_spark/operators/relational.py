@@ -700,10 +700,15 @@ def q_agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = table(spark, sf_dir, "lineitem")
     x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    # + 0.0 normalizes IEEE negative zero: a perfectly-fit group's
+    # intercept is exactly zero, and the engines' different
+    # accumulation orders can land on opposite zero signs — repr-based
+    # hash compares distinguish -0.0 from 0.0 (r6 differential
+    # finding; the oracle applies the same normalization).
     return li.groupBy("l_returnflag").agg(
-        F.round(F.regr_slope(y, x), 6).alias("slope"),
-        F.round(F.regr_intercept(y, x), 4).alias("intercept"),
-        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        (F.round(F.regr_slope(y, x), 6) + F.lit(0.0)).alias("slope"),
+        (F.round(F.regr_intercept(y, x), 4) + F.lit(0.0)).alias("intercept"),
+        (F.round(F.regr_r2(y, x), 6) + F.lit(0.0)).alias("r2"),
         F.regr_count(y, x).alias("n_pairs"),
     )
 
@@ -717,10 +722,23 @@ def q_agg_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     so they scale exactly like SUM: partial per partition, one merge.
     Results are doubles from non-associative accumulation — rounded to
     absorb engine-order ulps (magnitudes here leave ≥6 stable digits).
+
+    Zero-variance policy (r6 differential finding): ``F.corr`` THROWS
+    ANSI DIVIDE_BY_ZERO when either column is constant within a group
+    — one degenerate group kills the whole job — while DuckDB's corr
+    returns NULL. The correlation is therefore composed from its
+    non-throwing mergeable pieces, covar_pop / (σ_pop·σ_pop), with
+    ``try_divide``: NULL on zero variance, matching DuckDB exactly
+    (the regr_* family and stddev/covar need no guard — probed NULL
+    on both engines at their degenerate inputs).
     """
     li = table(spark, sf_dir, "lineitem")
+    corr = F.try_divide(
+        F.covar_pop("l_quantity", "l_extendedprice"),
+        F.stddev_pop("l_quantity") * F.stddev_pop("l_extendedprice"),
+    )
     return li.groupBy("l_returnflag").agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(corr, 6).alias("qty_price_corr"),
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
             "qty_price_covar"
         ),
@@ -1166,11 +1184,13 @@ ORACLE = {
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
     "agg_regression": """
+        -- + 0.0 mirrors the Spark side's negative-zero normalization
         SELECT l_returnflag,
-               ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 6) AS slope,
-               ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 4)
+               ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 6) + 0.0
+                   AS slope,
+               ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 4) + 0.0
                    AS intercept,
-               ROUND(REGR_R2(l_extendedprice, l_quantity), 6) AS r2,
+               ROUND(REGR_R2(l_extendedprice, l_quantity), 6) + 0.0 AS r2,
                CAST(REGR_COUNT(l_extendedprice, l_quantity) AS BIGINT)
                    AS n_pairs
         FROM lineitem

@@ -813,3 +813,54 @@ def test_percentile_interpolation_adversarial(spark, monkeypatch):
     assert by_g.loc["A", "p95"] == 19.5  # 10 + 0.95*10
     assert by_g.loc["N", "p50"] == 1.0  # duplicate value holds the median
     assert by_g.loc["R", "p95"] == 190.0  # exact index hit
+
+
+# --- statistical aggregates on degenerate (zero-variance) groups ----------
+
+
+def test_stats_corr_zero_variance_adversarial(spark, monkeypatch):
+    """A constant column inside one group used to KILL the whole job
+    (F.corr throws ANSI DIVIDE_BY_ZERO); the composed
+    covar_pop/(σ·σ) form yields NULL, matching DuckDB. Single-row
+    groups NULL their sample stats on both engines."""
+    import frinesis_spark.operators.relational as rel_mod
+    from frinesis_spark import catalog
+
+    rows = [
+        # group A: constant quantity → corr NULL, stddev fine
+        (1, "A", 5.0, 10.0),
+        (2, "A", 5.0, 30.0),
+        # group N: healthy correlated pair
+        (3, "N", 1.0, 10.0),
+        (4, "N", 2.0, 20.0),
+        (5, "N", 3.0, 30.0),
+        # group R: single row → corr/covar/stddev all NULL
+        (6, "R", 4.0, 40.0),
+    ]
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_returnflag string, "
+        "l_quantity double, l_extendedprice double",
+    )
+    real_table = catalog.table
+    monkeypatch.setattr(
+        rel_mod,
+        "table",
+        lambda s, d, n: li if n == "lineitem" else real_table(s, d, n),
+    )
+    duck = duckdb.connect()
+    duck.register("lineitem", li.toPandas())
+
+    from frinesis_spark.operators import relational
+
+    for name in ("agg_stats_corr", "agg_regression"):
+        spark_pdf = relational.QUERIES[name](
+            spark, "crafted://stats"
+        ).toPandas()
+        duck_pdf = duck.sql(relational.ORACLE[name]).df()
+        assert_frames_match(spark_pdf, duck_pdf, name)
+        if name == "agg_stats_corr":
+            by_g = spark_pdf.set_index("l_returnflag")
+            assert by_g.loc["A", :].isna()["qty_price_corr"]
+            assert by_g.loc["N", "qty_price_corr"] == 1.0
+            assert by_g.loc["R", :].isna()["price_stddev"]
