@@ -95,6 +95,15 @@ def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     All ratios are single double divisions of exact integers →
     bit-deterministic; the composite is rounded at 6 dp.
+
+    Empty-document policy (r6 differential finding): an empty text has
+    ``length(text) = 0``, and a plain ``/`` would kill the job with
+    ANSI DIVIDE_BY_ZERO on that one row (real corpora contain empty
+    docs — failed extractions). ``try_divide`` yields NULL for
+    alpha_ratio and (by propagation) quality_score, exactly matching
+    DuckDB's 0/0 → NULL. The token-keyed ratios need no guard:
+    ``split`` returns at least one (empty-string) token, so
+    ``n_tokens >= 1`` always.
     """
     d = table(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
@@ -111,7 +120,7 @@ def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     mean_tok_len = (n_chars - (n_tokens - 1)) / n_tokens  # chars minus separators
     stop_ratio = stop_hits / n_tokens
-    alpha_ratio = alpha_chars / n_chars
+    alpha_ratio = F.try_divide(alpha_chars, n_chars)
     score = F.round(
         0.4 * alpha_ratio
         + 0.3 * F.least(stop_ratio * 5.0, F.lit(1.0))

@@ -71,13 +71,14 @@ def _load_modules():
 # agg_rollup+agg_cube → agg_rollup_cube, window_rank_cume+
 # window_ntile_ranks → window_ranking_suite — near-identical surfaces
 # that re-verified separately every rotation). The window fills as
-# 7 tier0 (scalar_array_map_json, stream_session_window, the three
+# 8 tier0 (scalar_array_map_json, stream_session_window, the three
 # Catalyst-cosine consumers of the try_divide fix, agg_stats_corr,
-# agg_regression — the last was r3-stale anyway, so tier0 promotion
-# costs no extra slot) + 18 tier1 + 11 r3-stale + 14 of the 43
-# r4-stale = 50; the 29-row r4 remainder rotates to r7 (and leads
-# r7's window as its oldest tier — max evidence age at any verdict
-# stays 2 rounds). Slack spent this round: 7 tier0 + 18 tier1
+# agg_regression, text_quality_score — agg_regression was r3-stale
+# and text_quality_score r4-stale anyway, so those two promotions
+# cost at most one extra slot) + 18 tier1 + 11 r3-stale + 13 of the
+# 43 r4-stale = 50; the ~29-row r4 remainder rotates to r7 (and
+# leads r7's window as its oldest tier — max evidence age at any
+# verdict stays 2 rounds). Slack spent this round: 8 tier0 + 18 tier1
 # (2 folded queries + 12 TPC-H shapes q9/q13/q18/q19/q20 then
 # q2/q7/q8/q11/q12/q15/q16 — the classic suite is now complete at
 # 22/22 — + text_pii_scrub + dedup_decontaminate +
@@ -108,6 +109,9 @@ _CHANGED_SINCE_VERDICT = (
     # an exactly-zero intercept, which repr-hashing distinguishes).
     "agg_stats_corr",
     "agg_regression",
+    # r6: alpha_ratio → try_divide (an EMPTY document — length 0 —
+    # killed the job with ANSI DIVIDE_BY_ZERO; NULL now, like DuckDB)
+    "text_quality_score",
 )
 
 _STALE_EVIDENCE = {

@@ -66,7 +66,10 @@ def crafted(spark, monkeypatch):
     import frinesis_spark.operators.text as text_mod
     from frinesis_spark import catalog
 
-    docs = spark.createDataFrame(_DOCS, "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(i, t, "en", f"src{i % 3}", len(t)) for i, t in _DOCS],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
     events = spark.createDataFrame(_EVENTS, "event_id long, props string")
     real_table = catalog.table
 
@@ -864,3 +867,21 @@ def test_stats_corr_zero_variance_adversarial(spark, monkeypatch):
             assert by_g.loc["A", :].isna()["qty_price_corr"]
             assert by_g.loc["N", "qty_price_corr"] == 1.0
             assert by_g.loc["R", :].isna()["price_stddev"]
+
+
+def test_text_scoring_suite_adversarial(spark, crafted):
+    """quality_score / language_id / fingerprint over the adversarial
+    corpus — including the EMPTY document, which used to kill
+    quality_score with ANSI DIVIDE_BY_ZERO on length(text) = 0
+    (try_divide now NULLs alpha_ratio + score, matching DuckDB)."""
+    from frinesis_spark.operators import text
+
+    pdf = _diff(spark, crafted, text.QUERIES, text.ORACLE,
+                "text_quality_score")
+    empty = pdf[pdf["doc_id"] == 2].iloc[0]
+    assert empty["n_tokens"] == 1  # split('') → one empty token
+    import math
+
+    assert math.isnan(empty["alpha_ratio"]) or empty["alpha_ratio"] is None
+    _diff(spark, crafted, text.QUERIES, text.ORACLE, "text_language_id")
+    _diff(spark, crafted, text.QUERIES, text.ORACLE, "text_fingerprint")
