@@ -885,3 +885,50 @@ def test_text_scoring_suite_adversarial(spark, crafted):
     assert math.isnan(empty["alpha_ratio"]) or empty["alpha_ratio"] is None
     _diff(spark, crafted, text.QUERIES, text.ORACLE, "text_language_id")
     _diff(spark, crafted, text.QUERIES, text.ORACLE, "text_fingerprint")
+
+
+def test_time_range_frame_boundary_adversarial(spark, monkeypatch):
+    """RANGE frame boundaries: an event exactly one hour earlier is
+    INSIDE the trailing frame (inclusive PRECEDING bound), one
+    microsecond past it is outside, and same-instant peers count each
+    other (RANGE, not ROWS)."""
+    import frinesis_spark.operators.relational as rel_mod
+    from frinesis_spark import catalog
+
+    E = [
+        (1, _dt(2001, 7, 1, 9, 0, 0), 1, "tick", 1.0, "{}"),
+        # exactly one hour later → event 1 is inside its frame
+        (2, _dt(2001, 7, 1, 10, 0, 0), 1, "tick", 2.0, "{}"),
+        # one microsecond past the hour from event 1 → event 1 outside
+        (3, _dt(2001, 7, 1, 10, 0, 0, 1), 1, "tick", 4.0, "{}"),
+        # same-instant peers: RANGE frames include BOTH at that ts
+        (4, _dt(2001, 7, 1, 12, 0, 0), 2, "tick", 8.0, "{}"),
+        (5, _dt(2001, 7, 1, 12, 0, 0), 2, "tick", 16.0, "{}"),
+    ]
+    events = spark.createDataFrame(
+        E,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+    real_table = catalog.table
+    monkeypatch.setattr(
+        rel_mod,
+        "table",
+        lambda s, d, n: events if n == "events" else real_table(s, d, n),
+    )
+    duck = duckdb.connect()
+    duck.register("events", events.toPandas())
+
+    from frinesis_spark.operators import relational
+
+    spark_pdf = relational.QUERIES["window_time_range"](
+        spark, "crafted://range"
+    ).toPandas()
+    duck_pdf = duck.sql(relational.ORACLE["window_time_range"]).df()
+    assert_frames_match(spark_pdf, duck_pdf, "window_time_range")
+    by_id = spark_pdf.set_index("event_id")
+    assert by_id.loc[2, "n_events_1h"] == 2  # exactly-1h event included
+    assert by_id.loc[3, "n_events_1h"] == 2  # event 1 aged out, 2 inside
+    assert by_id.loc[4, "n_events_1h"] == 2  # same-instant peer counted
+    assert by_id.loc[4, "value_sum_1h"] == 24.0
+    assert by_id.loc[5, "value_sum_1h"] == 24.0
