@@ -32,7 +32,10 @@ def _load_modules():
         "frinesis_spark.operators.multimodal",
         "frinesis_spark.streaming.windows",
         "frinesis_spark.streaming.stateful",
-        "frinesis_spark.streaming.tws",
+        # streaming.tws is NOT registered: transformWithStateInPandas
+        # needs protobuf, broken in this container for six straight
+        # rounds — demoted to an optional module per the r6 verdict
+        # (see its module docstring; tests/test_tws.py stays env-gated)
         "frinesis_spark.sinks.kinesis_query",
         "frinesis_spark.sources.kinesis_query",
         "frinesis_spark.sources.files",
@@ -58,75 +61,39 @@ def _load_modules():
 
 
 # The driver checks ~50 queries per round in registration order, so the
-# order is a verification budget. Four tiers (refreshed at r6 start from
-# CORRECTNESS_r05.json via tools/refresh_tiers.py):
-#   0. changed since the r5 verdict — operators whose code this round
-#      touched, so their green r5 rows no longer cover them;
-#   1. never driver-verified (new r6 registrations, if any);
+# order is a verification budget. Four tiers (refreshed at r7 start from
+# CORRECTNESS_r06.json via tools/refresh_tiers.py):
+#   0. changed since the r6 verdict — operators whose code this round
+#      touched, so their green r6 rows no longer cover them;
+#   1. never driver-verified (none — every registered query has driver
+#      evidence as of r6);
 #   2. stale evidence, ordered OLDEST ROUND FIRST within the tier:
-#      the 12 r3-green rows the r5 verdict flagged for rotation, then
-#      the 44 r4-green rows absent from the r5 window;
-#   3. green in CORRECTNESS_r05 (freshest evidence, cheapest to skip).
-# Window arithmetic (r6): registry folded 106 → 104 (r5 verdict #7:
-# agg_rollup+agg_cube → agg_rollup_cube, window_rank_cume+
-# window_ntile_ranks → window_ranking_suite — near-identical surfaces
-# that re-verified separately every rotation). The window fills as
-# 8 tier0 (scalar_array_map_json, stream_session_window, the three
-# Catalyst-cosine consumers of the try_divide fix, agg_stats_corr,
-# agg_regression, text_quality_score — agg_regression was r3-stale
-# and text_quality_score r4-stale anyway, so those two promotions
-# cost at most one extra slot) + 18 tier1 + 11 r3-stale + 13 of the
-# 43 r4-stale = 50; the ~29-row r4 remainder rotates to r7 (and
-# leads r7's window as its oldest tier — max evidence age at any
-# verdict stays 2 rounds). Slack spent this round: 8 tier0 + 18 tier1
-# (2 folded queries + 12 TPC-H shapes q9/q13/q18/q19/q20 then
-# q2/q7/q8/q11/q12/q15/q16 — the classic suite is now complete at
-# 22/22 — + text_pii_scrub + dedup_decontaminate +
-# text_repetition_filter + tokenize_pack_sequences) = 23 of the
-# 38-slot post-rotation budget. Steady state: 120 registered vs a
-# 50-slot window = 2.4-round average rotation; tier0 discipline
-# (small code-change fan-out) keeps the worst case at 3 rounds for
-# the lowest-risk code-unchanged rows only. Registry growth stops
-# here for r6.
+#      the 29 r4-green rows the r6 verdict flagged as the backlog,
+#      then the 41 r5-green rows absent from the r6 window;
+#   3. green in CORRECTNESS_r06 (freshest evidence, cheapest to skip).
+# Window arithmetic (r7): 120 registered, 0 never-verified, 70 stale
+# (29 r4 + 41 r5). The window fills as |tier0| + 29 r4-stale + the
+# oldest r5-stale rows up to 50; r5 rows displaced to r8 lead r8's
+# window, so max evidence age at any verdict stays 2 rounds (the
+# 120-query surface cycles in ⌈120/50⌉ = 3 windows with the check
+# always landing in the visiting round). Registry growth stays
+# stopped; tier0 this round is the foreachBatch-upsert rework, the
+# decontaminate eval-set cap, and the TPC-H Q7/Q8 half-open date
+# rewrite (ADVICE r6).
 _CHANGED_SINCE_VERDICT = (
-    # r6: props parsed as map<string,string> + regex-gated try_cast per
-    # key on both engines — NULL-aligned under non-long values (ADVICE
-    # r5 + the r6 review's TRY_CAST-rounds-'3.5' divergence)
-    "scalar_array_map_json",
-    # r6: oracle split condition corrected >= → > (Spark session_window
-    # merges an event landing exactly at the prior session's end — the
-    # adversarial differential test caught the boundary divergence)
-    "stream_session_window",
-    # r6: cosine_similarity → try_divide (a zero-norm embedding used to
-    # kill the whole job with ANSI DIVIDE_BY_ZERO; NULL now, matching
-    # DuckDB's x/0). Every Catalyst-cosine consumer re-verifies.
-    "similarity_topk_cosine",
-    "similarity_ann_lsh",
-    "similarity_ann_ivf",
-    # r6: corr composed from covar_pop/(σ·σ) with try_divide (F.corr
-    # throws on a zero-variance group — same ANSI job-kill class);
-    # regr_* outputs +0.0-normalized (engines disagree on the SIGN of
-    # an exactly-zero intercept, which repr-hashing distinguishes).
-    "agg_stats_corr",
-    "agg_regression",
-    # r6: alpha_ratio → try_divide (an EMPTY document — length 0 —
-    # killed the job with ANSI DIVIDE_BY_ZERO; NULL now, like DuckDB)
-    "text_quality_score",
+    # r7: snapshot store bucket-partitioned by pmod(hash(user_id), N);
+    # micro-batches rewrite only touched buckets (VERDICT r6 item 4)
+    "stream_foreach_batch_upsert",
+    # r7: stand-in eval set capped at a fixed absolute size so the
+    # broadcast no longer grows with the corpus (ADVICE r6)
+    "dedup_decontaminate",
+    # r7: BETWEEN midnight-cutoff rewritten to half-open >= / < range
+    # on both engines, consistent with Q12/Q15/Q20 (ADVICE r6)
+    "sql_tpch_q7",
+    "sql_tpch_q8",
 )
 
 _STALE_EVIDENCE = {
-    "agg_filtered_conditional": 3,
-    "agg_regression": 3,
-    "dedup_embedding_cosine": 3,
-    "dedup_exact": 3,
-    "dedup_fuzzy_editdist": 3,
-    "funnel_conversion": 3,
-    "join_asof_tolerance": 3,
-    "scalar_conditional_regex": 3,
-    "scalar_string_date_math": 3,
-    "time_ohlc_bars": 3,
-    "udf_python": 3,
-    "window_lag_lead": 3,
     "agg_approx_distinct": 4,
     "agg_distinct": 4,
     "agg_group_sum": 4,
@@ -142,17 +109,10 @@ _STALE_EVIDENCE = {
     "join_multiway_star": 4,
     "join_semi": 4,
     "merge_scd2": 4,
-    "multimodal_decode": 4,
-    "multimodal_frame_sample": 4,
-    "multimodal_join": 4,
-    "multimodal_resize": 4,
-    "pipeline_llm_prep": 4,
     "project_filter": 4,
     "scan_parquet": 4,
     "sink_compacted_parquet": 4,
     "sink_partitioned_parquet": 4,
-    "source_csv_roundtrip": 4,
-    "source_json_roundtrip": 4,
     "source_text_lines_roundtrip": 4,
     "sql_tpch_q1": 4,
     "sql_tpch_q14": 4,
@@ -161,66 +121,103 @@ _STALE_EVIDENCE = {
     "sql_tpch_q22": 4,
     "sql_tpch_q3": 4,
     "sql_tpch_q4": 4,
-    "stream_foreach_batch_upsert": 4,
-    "stream_user_profile": 4,
-    "text_analysis_stats": 4,
-    "text_fingerprint": 4,
-    "text_language_id": 4,
-    "text_quality_score": 4,
-    "text_token_count": 4,
     "time_gapfill_locf": 4,
     "window_session_islands": 4,
+    "agg_bool_bitwise": 5,
+    "agg_collect_sorted": 5,
+    "agg_histogram": 5,
+    "agg_percentile": 5,
+    "agg_pivot": 5,
+    "agg_string_concat": 5,
+    "dedup_cluster_cc": 5,
+    "dedup_incremental_jaccard": 5,
+    "dedup_near_minhash": 5,
+    "dedup_ngram_jaccard": 5,
+    "dedup_simhash": 5,
+    "explode_token_freq": 5,
+    "join_asof": 5,
+    "join_cross_dims": 5,
+    "join_range_theta": 5,
+    "join_salted_skew": 5,
+    "merge_upsert": 5,
+    "sample_stratified_hash": 5,
+    "scalar_variant_shred": 5,
+    "set_union_except_intersect": 5,
+    "sink_kinesis_batched": 5,
+    "sort_limit": 5,
+    "source_kinesis_datasource": 5,
+    "source_kinesis_read": 5,
+    "source_orc_roundtrip": 5,
+    "sql_tpch_q10": 5,
+    "sql_tpch_q5": 5,
+    "sql_tpch_q6": 5,
+    "stream_custom_sessionize": 5,
+    "stream_dedup_stateful": 5,
+    "stream_sliding_agg": 5,
+    "stream_stream_join": 5,
+    "stream_tumbling_agg": 5,
+    "stream_watermark_late": 5,
+    "text_ngram_profile": 5,
+    "time_rollup_hypertable": 5,
+    "udtf_table_chunks": 5,
+    "window_first_last": 5,
+    "window_rank_topk": 5,
+    "window_running_frame": 5,
+    "window_time_range": 5,
 }
 
 _VERIFIED_LAST = frozenset(
     {
-        "agg_bool_bitwise",
-        "agg_collect_sorted",
-        "agg_histogram",
-        "agg_percentile",
-        "agg_pivot",
+        "agg_filtered_conditional",
+        "agg_regression",
+        "agg_rollup_cube",
         "agg_stats_corr",
-        "agg_string_concat",
-        "dedup_cluster_cc",
-        "dedup_incremental_jaccard",
-        "dedup_near_minhash",
-        "dedup_ngram_jaccard",
-        "dedup_simhash",
-        "explode_token_freq",
-        "join_asof",
-        "join_cross_dims",
-        "join_range_theta",
-        "join_salted_skew",
-        "merge_upsert",
-        "sample_stratified_hash",
+        "dedup_decontaminate",
+        "dedup_embedding_cosine",
+        "dedup_exact",
+        "dedup_fuzzy_editdist",
+        "funnel_conversion",
+        "join_asof_tolerance",
+        "multimodal_decode",
+        "multimodal_frame_sample",
+        "multimodal_join",
+        "multimodal_resize",
+        "pipeline_llm_prep",
         "scalar_array_map_json",
-        "scalar_variant_shred",
-        "set_union_except_intersect",
+        "scalar_conditional_regex",
+        "scalar_string_date_math",
         "similarity_ann_ivf",
         "similarity_ann_lsh",
         "similarity_topk_cosine",
-        "sink_kinesis_batched",
-        "sort_limit",
-        "source_kinesis_datasource",
-        "source_kinesis_read",
-        "source_orc_roundtrip",
-        "sql_tpch_q10",
-        "sql_tpch_q5",
-        "sql_tpch_q6",
-        "stream_custom_sessionize",
-        "stream_dedup_stateful",
+        "source_csv_roundtrip",
+        "source_json_roundtrip",
+        "sql_tpch_q11",
+        "sql_tpch_q12",
+        "sql_tpch_q13",
+        "sql_tpch_q15",
+        "sql_tpch_q16",
+        "sql_tpch_q18",
+        "sql_tpch_q19",
+        "sql_tpch_q2",
+        "sql_tpch_q20",
+        "sql_tpch_q7",
+        "sql_tpch_q8",
+        "sql_tpch_q9",
+        "stream_foreach_batch_upsert",
         "stream_session_window",
-        "stream_sliding_agg",
-        "stream_stream_join",
-        "stream_tumbling_agg",
-        "stream_watermark_late",
-        "text_ngram_profile",
-        "time_rollup_hypertable",
-        "udtf_table_chunks",
-        "window_first_last",
-        "window_rank_topk",
-        "window_running_frame",
-        "window_time_range",
+        "stream_user_profile",
+        "text_analysis_stats",
+        "text_fingerprint",
+        "text_language_id",
+        "text_pii_scrub",
+        "text_quality_score",
+        "text_repetition_filter",
+        "text_token_count",
+        "time_ohlc_bars",
+        "tokenize_pack_sequences",
+        "udf_python",
+        "window_lag_lead",
+        "window_ranking_suite",
     }
 )
 

@@ -91,44 +91,34 @@ def q_stream_tws_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_append_to_files(out, spark)
 
 
+# OPTIONAL MODULE — not part of the registered driver surface.
+#
 # transformWithStateInPandas drives its Python worker over a
-# protobuf-based protocol; this container's protobuf install is broken
-# (``google.protobuf.descriptor`` unimportable), which crashes the
-# TransformWithStateInPySpark driver worker at query start. Gate the
-# registration so the operator ships and registers wherever the
-# dependency is healthy (tests skip likewise).
+# protobuf-based protocol, and ``google.protobuf`` has been
+# unimportable in this container for six consecutive rounds (probed
+# each round; see BUILDLOG r2–r7), which crashes the
+# TransformWithStateInPySpark driver worker at query start. Per the
+# r6 verdict the query is DEMOTED from the registry (registry.py no
+# longer imports this module), so the registered surface carries no
+# evidence-free entries. The operator remains fully implemented and
+# importable: the ``applyInPandasWithState`` sibling
+# (``stream_user_profile``, streaming/stateful.py) carries the same
+# semantics in the driver contract, and ``tests/test_tws.py`` runs
+# this path end-to-end (env-gated on HAVE_TWS_DEPS) wherever the
+# dependency is healthy. ``ORACLE_SQL`` below is the reference oracle
+# for that test, kept with the operator rather than the registry.
 try:
     from google.protobuf import descriptor  # noqa: F401
 
     HAVE_TWS_DEPS = True
 except ImportError:  # pragma: no cover - environment-dependent
     HAVE_TWS_DEPS = False
-    import sys
 
-    # Loud, grep-able marker so every round's driver log shows WHY this
-    # query has no correctness row (probed each round; auto-registers
-    # the moment the container's protobuf install is fixed).
-    sys.stderr.write(
-        "GATED OFF: stream_tws_user_profile — google.protobuf "
-        "unimportable in this environment; transformWithStateInPandas "
-        "worker protocol needs it (frinesis_spark/streaming/tws.py)\n"
-    )
-
-QUERIES = (
-    {"stream_tws_user_profile": q_stream_tws_user_profile}
-    if HAVE_TWS_DEPS
-    else {}
-)
-
-_ORACLE_ALL = {
-    "stream_tws_user_profile": """
-        SELECT user_id,
-               COUNT(*) AS n_events,
-               COUNT(DISTINCT event_type) AS n_types,
-               MAX(value) AS max_value
-        FROM events
-        GROUP BY user_id
-    """,
-}
-
-ORACLE = _ORACLE_ALL if HAVE_TWS_DEPS else {}
+ORACLE_SQL = """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT event_type) AS n_types,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY user_id
+"""

@@ -17,5 +17,5 @@ def test_tws_user_profile_matches_batch(spark, sf_dir, duck):
     from tests.parity import assert_frames_match
 
     s = tws.q_stream_tws_user_profile(spark, sf_dir).toPandas()
-    d = duck.execute(tws._ORACLE_ALL["stream_tws_user_profile"]).fetchdf()
+    d = duck.execute(tws.ORACLE_SQL).fetchdf()
     assert_frames_match(s, d, "stream_tws_user_profile")
