@@ -273,7 +273,15 @@ def compact_line(
                 regressions.items(), key=lambda kv: -kv[1]
             )[:20]
         }
-        compact["regressions_truncated"] = len(regressions) - 20
+        if len(regressions) > 20:
+            compact["regressions_truncated"] = len(regressions) - 20
+        line = json.dumps(compact)
+    if len(line) > 1800:
+        # Hard fallback (pathological query names): the queries map is
+        # reconstructible from BENCH_full.json, the regression alarm
+        # is not — drop the map, keep the alarm.
+        compact["queries"] = {}
+        compact["queries_dropped"] = len(timings)
         line = json.dumps(compact)
     return line
 

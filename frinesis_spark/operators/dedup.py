@@ -847,6 +847,13 @@ def q_dedup_fuzzy_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
 # overlap" bar for n-gram decontamination.
 _DECON_MIN_HITS = 3
 
+# Absolute cap on stand-in eval-set size (docs). The modulus alone
+# grows the eval set linearly with the corpus (~1%), which at 100 TB
+# would blow the broadcast (ADVICE r6); real deployments pass a real
+# benchmark suite whose size is fixed, so the stand-in must be too.
+# 10k docs ≈ a few MB of distinct shingles — always broadcastable.
+_DECON_EVAL_CAP = 10_000
+
 
 def q_dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag training documents that share
@@ -855,17 +862,22 @@ def q_dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     training pipeline runs (the n-gram-overlap method used by public
     corpus-prep pipelines).
 
-    The eval set stands in as ``doc_id % 100 == 0`` (deterministic,
-    ~1% of the corpus — real deployments pass the actual benchmark
-    suite). Scale shape: eval sets are TINY next to a 100 TB corpus,
-    so the eval shingle set builds once and BROADCASTS; the corpus
-    side is a map-only explode joined against the broadcast hash set
-    followed by one partial-agg count shuffle on doc_id — never an
-    all-pairs or corpus-side index build. Output: the contaminated
-    doc_ids with their overlap counts (the drop list).
+    The eval set stands in as ``doc_id % 100 == 0`` capped at
+    ``_DECON_EVAL_CAP`` docs (deterministic — real deployments pass
+    the actual benchmark suite, whose size is FIXED, so the stand-in
+    is bounded absolutely rather than as a corpus fraction). Scale
+    shape: eval sets are TINY next to a 100 TB corpus, so the eval
+    shingle set builds once and BROADCASTS — the cap is what keeps
+    that premise true at any corpus size; the corpus side is a
+    map-only explode joined against the broadcast hash set followed
+    by one partial-agg count shuffle on doc_id — never an all-pairs
+    or corpus-side index build. Output: the contaminated doc_ids with
+    their overlap counts (the drop list).
     """
     docs = table(spark, sf_dir, "documents")
-    is_eval = F.col("doc_id") % 100 == 0
+    is_eval = (F.col("doc_id") % 100 == 0) & (
+        F.col("doc_id") < 100 * _DECON_EVAL_CAP
+    )
     eval_shingles = (
         docs.where(is_eval)
         .select(F.explode(_shingles()).alias("shingle"))
@@ -924,11 +936,13 @@ ORACLE = {
         WITH sets AS ({_SHINGLE_SQL}),
         eval_sh AS (
             SELECT DISTINCT UNNEST(sh) AS shingle
-            FROM sets WHERE doc_id % 100 = 0
+            FROM sets
+            WHERE doc_id % 100 = 0 AND doc_id < 100 * {_DECON_EVAL_CAP}
         ),
         corpus_sh AS (
             SELECT doc_id, UNNEST(sh) AS shingle
-            FROM sets WHERE doc_id % 100 <> 0
+            FROM sets
+            WHERE NOT (doc_id % 100 = 0 AND doc_id < 100 * {_DECON_EVAL_CAP})
         )
         SELECT doc_id,
                CAST(COUNT(*) AS BIGINT) AS n_contaminated_shingles

@@ -357,8 +357,8 @@ _Q7 = f"""
         JOIN nation n2 ON c_nationkey = n2.n_nationkey
         WHERE ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
             OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
-          AND l_shipdate BETWEEN TIMESTAMP '1996-01-01'
-                             AND TIMESTAMP '1997-12-31'
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
     ) shipping
     GROUP BY supp_nation, cust_nation, l_year
     ORDER BY supp_nation, cust_nation, l_year
@@ -387,8 +387,8 @@ _Q8 = f"""
         JOIN region   ON n1.n_regionkey = r_regionkey
         JOIN nation n2 ON s_nationkey = n2.n_nationkey
         WHERE r_name = 'AMERICA'
-          AND o_orderdate BETWEEN TIMESTAMP '1996-01-01'
-                              AND TIMESTAMP '1997-12-31'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
           AND p_type = 'ECONOMY'
     ) all_nations
     GROUP BY o_year

@@ -231,7 +231,10 @@ def _swap_documents(spark, monkeypatch, module, docs):
 
 def test_pii_scrub_redacts_and_counts(spark, monkeypatch):
     """Emails/phones/denylist terms are replaced with their tags and
-    counted from the ORIGINAL text; clean text passes untouched."""
+    counted in CHAIN order — each pattern is counted on the text after
+    the earlier patterns' replacements, so a term swallowed by an
+    earlier redaction (e.g. 'customer' inside an email address) is not
+    double-counted; clean text passes untouched."""
     import frinesis_spark.operators.text as text_mod
     from frinesis_spark.operators.text import q_text_pii_scrub
 
