@@ -78,6 +78,25 @@ HEADLINE = [
     # partial-agg shuffles) and sequence packing (bucket window).
     "text_repetition_filter",
     "tokenize_pack_sequences",
+    # r7 (VERDICT r6 #5): the REST of the TPC-H 22, so the whole SQL
+    # suite — the most user-visible surface — is under the driver's
+    # per-query regression check every round, not just PLANS.md diffs.
+    # (q2/q3/q8/q17/q18/q19/q21 already appear above.)
+    "sql_tpch_q1",
+    "sql_tpch_q4",
+    "sql_tpch_q5",
+    "sql_tpch_q6",
+    "sql_tpch_q7",
+    "sql_tpch_q9",
+    "sql_tpch_q10",
+    "sql_tpch_q11",
+    "sql_tpch_q12",
+    "sql_tpch_q13",
+    "sql_tpch_q14",
+    "sql_tpch_q15",
+    "sql_tpch_q16",
+    "sql_tpch_q20",
+    "sql_tpch_q22",
 ]
 
 # Queries served from the per-(session, corpus) derived-artifact caches
@@ -202,11 +221,17 @@ def main() -> None:
         spreads[name] = round(max(samples) / max(min(samples), 1e-9), 2)
 
     total = round(sum(timings.values()), 3)
+    # Suite rollup (r6 verdict #5): one number for the full TPC-H 22 so
+    # a regression anywhere on the SQL path moves a tracked metric.
+    tpch_total = round(
+        sum(t for n, t in timings.items() if n.startswith("sql_tpch_q")), 3
+    )
     full = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "tpch_total": tpch_total,
         "cold": cold,
         "rep_spread": spreads,
         "reps": reps,
@@ -251,6 +276,10 @@ def compact_line(
         "value": total,
         "unit": "sec",
         "queries": {n: round(t, 2) for n, t in timings.items()},
+        "tpch_total": round(
+            sum(t for n, t in timings.items() if n.startswith("sql_tpch_q")),
+            3,
+        ),
         "sf": sf,
         "regressions": regressions,
         "full": "BENCH_full.json",
