@@ -59,7 +59,9 @@ def test_caches_are_keyed_by_session_key(spark, sf_dir):
     from frinesis_spark.operators import dedup
 
     dedup._cached_shingle_index(spark, sf_dir)
-    assert (session_key(spark), sf_dir) in dedup._INDEX_CACHE
+    # r7: the key grew a corpus-fingerprint slot ("" when the index
+    # store is off) so store mode can see corpus refreshes mid-session.
+    assert (session_key(spark), sf_dir, "") in dedup._INDEX_CACHE
 
 
 def test_minhash_hash_cap_matches_string_cap_stop_set(spark):

@@ -100,6 +100,154 @@ def test_bucketed_upsert_superseded_dirs_reclaimed(spark, tmp_path):
     assert len(live) == len(set(live))
 
 
+def test_star_join_survives_planted_skew(spark, sf_dir, monkeypatch):
+    """Skew-resilience proof for the flagship star join (VERDICT r6
+    item 6): with a planted hot custkey on 40% of orders and the
+    customer broadcast disabled (the 100 TB condition — customer
+    exceeds the broadcast threshold there), AQE's skew-join split must
+    kick in (`skew=true` in the final adaptive plan) and the result
+    must equal the default broadcast plan's, which is skew-immune by
+    construction."""
+    import frinesis_spark.operators.relational as rel
+
+    # sf0.01 (not the tiny default fixture): the hot partition must be
+    # big enough to clear even a lowered skew threshold.
+    sf_dir = "/root/testdata/sf0.01"
+    real_table = rel.table
+
+    def skewed_table(s, d, name):
+        df = real_table(s, d, name)
+        if name == "orders":
+            hot = F.lit(7).cast(df.schema["o_custkey"].dataType)
+            df = df.withColumn(
+                "o_custkey",
+                F.when(F.col("o_orderkey") % 10 < 4, hot).otherwise(
+                    F.col("o_custkey")
+                ),
+            )
+        return df
+
+    monkeypatch.setattr(rel, "table", skewed_table)
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # Fixture-scale thresholds: the hot partition is a few hundred
+        # KB here, not the production 256 MB default.
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4k",
+        # The split target is max(advisory, minPartitionSize); the
+        # default 1 MB floor refuses to split a fixture-scale (~300 KB)
+        # hot partition, silently yielding zero skew splits.
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "4k",
+        # Enough reduce partitions that the hot key's partition towers
+        # over the median (the default 5x skew factor then detects it —
+        # the test session's tiny shuffle.partitions would flatten the
+        # ratio to ~4x and mask the skew).
+        "spark.sql.shuffle.partitions": "16",
+        # The 100 TB condition: customer does not broadcast.
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k in confs:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        out = rel.q_join_multiway_star(spark, sf_dir)
+        skew_rows = {tuple(r) for r in out.collect()}
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, (
+            "AQE skew-join split did not trigger on the planted hot key:\n"
+            + plan
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    # Same skewed data, default plan (customer broadcasts → skew-immune):
+    # both physical strategies must agree exactly (decimal-exact sums).
+    base_rows = {
+        tuple(r) for r in rel.q_join_multiway_star(spark, sf_dir).collect()
+    }
+    assert skew_rows == base_rows
+
+
+def test_index_store_mode_persists_and_avoids_recompute(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """SPARK_GRAFT_INDEX_STORE mode (VERDICT r6 #8): the shingle index
+    becomes a fingerprint-keyed persisted table — same results as the
+    session-cache mode, written once, and a fingerprint hit performs
+    ZERO recompute (proven by poisoning the build path)."""
+    from frinesis_spark.caches import clear_derived_caches
+    from frinesis_spark.operators import dedup
+
+    def rows():
+        return sorted(
+            tuple(r)
+            for r in dedup.q_dedup_incremental_jaccard(spark, sf_dir).collect()
+        )
+
+    clear_derived_caches()
+    baseline = rows()  # session-cache mode
+
+    store = tmp_path / "store"
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_STORE", str(store))
+    clear_derived_caches()
+    assert rows() == baseline  # store mode, cold: builds + writes
+    fp_dirs = list((store / "shingle_index").glob("fp=*"))
+    assert len(fp_dirs) == 1 and (fp_dirs[0] / "_SUCCESS").exists()
+
+    # Fingerprint hit: the build path must never run.
+    def _poisoned(*a, **k):
+        raise AssertionError("store hit must not rebuild the index")
+
+    monkeypatch.setattr(dedup, "_shingle_index", _poisoned)
+    clear_derived_caches()
+    assert rows() == baseline
+    monkeypatch.undo()
+    clear_derived_caches()
+
+
+def test_index_store_refreshes_on_corpus_change(spark, sf_dir, tmp_path, monkeypatch):
+    """A corpus refresh (new file mtime/size) changes the fingerprint:
+    the store rebuilds under the new fingerprint and reclaims the
+    superseded one — the 'persisted table refreshed with the corpus'
+    contract from SCALE.md."""
+    import shutil
+
+    from frinesis_spark.caches import clear_derived_caches
+    from frinesis_spark.operators import dedup
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    shutil.copy(f"{sf_dir}/documents.parquet", corpus / "documents.parquet")
+    store = tmp_path / "store"
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_STORE", str(store))
+
+    clear_derived_caches()
+    dedup._cached_shingle_index(spark, str(corpus)).count()
+    first = {d.name for d in (store / "shingle_index").glob("fp=*")}
+    assert len(first) == 1
+
+    os.utime(corpus / "documents.parquet")  # the refresh
+    clear_derived_caches()
+    dedup._cached_shingle_index(spark, str(corpus)).count()
+    second = {d.name for d in (store / "shingle_index").glob("fp=*")}
+    assert len(second) == 1 and second != first, (
+        "corpus refresh must rotate the fingerprint and reclaim the old one"
+    )
+    clear_derived_caches()
+
+
 def test_decontaminate_eval_cap_bounds_broadcast(spark, duck, sf_dir):
     """The stand-in eval set is bounded absolutely: doc_ids at/above
     100 * _DECON_EVAL_CAP never enter the eval side even when they
