@@ -488,6 +488,18 @@ def q_join_cross_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _string_agg(col, sep: str):
+    """STRING_AGG equivalent: canonical-order join of the group's
+    non-null values, and — the part a bare ``array_join`` gets wrong —
+    NULL (not ``''``) when the group has NO non-null values.
+    ``collect_list`` drops NULLs, so on an all-NULL group it yields
+    ``[]`` and ``array_join`` maps that to empty string, where SQL
+    STRING_AGG returns NULL (r7 differential find — the fixture has
+    no NULL dimension names, so only crafted data reaches this)."""
+    arr = F.sort_array(F.collect_list(col))
+    return F.when(F.size(arr) > 0, F.array_join(arr, sep))
+
+
 def q_agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String aggregation: per-region concatenated nation list.
 
@@ -495,13 +507,12 @@ def q_agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation, so the canonical form is array_join(sort_array(
     collect_list)) — same reproducibility pattern as
     ``agg_collect_sorted``, producing exactly DuckDB's
-    ``STRING_AGG(... ORDER BY ...)``.
+    ``STRING_AGG(... ORDER BY ...)`` (including NULL on all-NULL
+    groups, via :func:`_string_agg`).
     """
     n = table(spark, sf_dir, "nation")
     return n.groupBy("n_regionkey").agg(
-        F.array_join(
-            F.sort_array(F.collect_list("n_name")), ","
-        ).alias("nations_csv"),
+        _string_agg("n_name", ",").alias("nations_csv"),
         F.count(F.lit(1)).alias("n_nations"),
     )
 
@@ -540,9 +551,7 @@ def q_agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     s = table(spark, sf_dir, "supplier")
     return s.groupBy("s_nationkey").agg(
-        F.array_join(
-            F.sort_array(F.collect_list("s_name")), "|"
-        ).alias("names"),
+        _string_agg("s_name", "|").alias("names"),
         dsum("s_acctbal").alias("acctbal_sum"),
         F.count(F.lit(1)).alias("n_suppliers"),
     )
@@ -1453,12 +1462,18 @@ ORACLE = {
         FROM customer
         WHERE c_custkey IN (SELECT o_custkey FROM orders)
     """,
+    # NOT EXISTS, deliberately not NOT IN: Spark's left_anti has NOT
+    # EXISTS semantics (a NULL build-side key matches nothing), while
+    # NOT IN's three-valued logic returns ZERO rows the moment the
+    # subquery contains one NULL key (r7 differential find; the
+    # fixture's keys are non-null so both texts agree on it).
     "join_anti": """
         SELECT c_custkey, c_name, c_mktsegment
-        FROM customer
-        WHERE c_custkey NOT IN (
-            SELECT o_custkey FROM orders
-            WHERE o_orderpriority LIKE '%URGENT%'
+        FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderpriority LIKE '%URGENT%'
         )
     """,
     "join_range_theta": """

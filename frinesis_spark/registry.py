@@ -91,6 +91,12 @@ _CHANGED_SINCE_VERDICT = (
     # on both engines, consistent with Q12/Q15/Q20 (ADVICE r6)
     "sql_tpch_q7",
     "sql_tpch_q8",
+    # r7 differential finds: anti-join oracle NOT IN → NOT EXISTS (a
+    # NULL build key zeroed the oracle, not Spark's left_anti); string
+    # aggregation NULL — not '' — on all-NULL groups (_string_agg)
+    "join_anti",
+    "agg_string_concat",
+    "agg_collect_sorted",
 )
 
 _STALE_EVIDENCE = {

@@ -932,3 +932,180 @@ def test_time_range_frame_boundary_adversarial(spark, monkeypatch):
     assert by_id.loc[4, "n_events_1h"] == 2  # same-instant peer counted
     assert by_id.loc[4, "value_sum_1h"] == 24.0
     assert by_id.loc[5, "value_sum_1h"] == 24.0
+
+
+# --- NULL-key relational semantics (r7 sweep) -----------------------------
+
+
+@pytest.fixture()
+def crafted_nullkeys(spark, monkeypatch):
+    """customer/orders with NULL join keys and NULL dimension values —
+    the shapes three-valued logic and null-safe set semantics disagree
+    on, which the NULL-free fixture can never reach."""
+    import frinesis_spark.operators.relational as rel_mod
+    from frinesis_spark import catalog
+
+    customer = spark.createDataFrame(
+        [
+            (1, "alice", "BUILDING"),
+            (2, "bob", "AUTO"),
+            (3, "carol", "BUILDING"),
+            (None, "nobody", "BUILDING"),  # NULL probe key
+            (5, "dave", None),  # NULL segment (set-op side)
+        ],
+        "c_custkey long, c_name string, c_mktsegment string",
+    )
+    orders = spark.createDataFrame(
+        [
+            (10, 1, "F", 100.0, "1-URGENT"),
+            (11, None, "O", 50.0, "2-URGENT"),  # NULL build key, URGENT
+            (12, 2, "O", 70.0, "3-LOW"),
+            (13, None, "F", 30.0, "4-LOW"),  # NULL buyer key
+            (14, 1, "F", 100.0, "5-LOW"),  # duplicate buyer
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderpriority string",
+    )
+    real_table = catalog.table
+
+    def fake_table(s, d, n):
+        if n == "customer":
+            return customer
+        if n == "orders":
+            return orders
+        return real_table(s, d, n)
+
+    monkeypatch.setattr(rel_mod, "table", fake_table)
+    duck = duckdb.connect()
+    # Arrow, not pandas: pandas widens nullable long to float64, which
+    # the canonical compare would flag as a phantom 1 vs 1.0 mismatch.
+    duck.register("customer", customer.toArrow())
+    duck.register("orders", orders.toArrow())
+    return duck
+
+
+def _rel_diff(spark, duck, name, min_rows=1):
+    from frinesis_spark.operators import relational
+
+    spark_pdf = relational.QUERIES[name](spark, "crafted://nulls").toPandas()
+    duck_pdf = duck.sql(relational.ORACLE[name]).df()
+    assert len(spark_pdf) >= min_rows
+    assert_frames_match(spark_pdf, duck_pdf, name)
+    return spark_pdf
+
+
+def test_join_anti_null_build_key_adversarial(spark, crafted_nullkeys):
+    """THE NOT-IN trap: one NULL custkey among the urgent orders. The
+    old NOT IN oracle returned ZERO rows (three-valued logic); Spark's
+    left_anti — and the NOT EXISTS oracle that now pins it — keeps
+    every customer without a matching urgent order, including the
+    NULL-key customer (NULL matches nothing)."""
+    pdf = _rel_diff(spark, crafted_nullkeys, "join_anti")
+    kept = set(pdf["c_name"])
+    # alice has the only non-null URGENT order; everyone else survives.
+    assert kept == {"bob", "carol", "nobody", "dave"}
+
+
+def test_join_semi_null_keys_adversarial(spark, crafted_nullkeys):
+    """Semi join (IN oracle): a NULL probe key matches nothing on both
+    engines, and NULL build keys never produce a match."""
+    pdf = _rel_diff(spark, crafted_nullkeys, "join_semi")
+    assert set(pdf["c_name"]) == {"alice", "bob"}
+
+
+def test_join_left_outer_null_keys_adversarial(spark, crafted_nullkeys):
+    """LEFT JOIN: NULL keys on either side never match — the NULL-key
+    customer surfaces with NULL order columns, NULL-key orders vanish."""
+    pdf = _rel_diff(spark, crafted_nullkeys, "join_left_outer")
+    nobody = pdf[pdf["c_mktsegment"].notna() & pdf["c_custkey"].isna()]
+    assert len(nobody) == 1 and nobody["o_orderkey"].isna().all()
+
+
+def test_set_ops_null_member_adversarial(spark, crafted_nullkeys):
+    """Set-op NULL semantics: INTERSECT/EXCEPT/UNION-DISTINCT treat
+    NULL = NULL (null-safe set equality) on BOTH engines — a NULL
+    buyer key dedupes to one UNION row and is eligible for INTERSECT
+    membership, unlike join equality."""
+    pdf = _rel_diff(spark, crafted_nullkeys, "set_union_except_intersect")
+    union_rows = pdf[pdf["set_op"] == "union"]
+    # buyers {1, 2, NULL} ∪ building {1, 3, NULL} → {1, 2, 3, NULL}
+    assert len(union_rows) == 4
+    assert union_rows["custkey"].isna().sum() == 1
+    inter = pdf[pdf["set_op"] == "intersect"]
+    # null-safe intersect: {1, NULL}
+    assert len(inter) == 2 and inter["custkey"].isna().sum() == 1
+
+
+def test_rollup_cube_null_group_value_adversarial(spark, monkeypatch):
+    """A NULL in the DATA of a grouping column is distinguishable from
+    the rolled-up total row only via GROUPING() — both engines must
+    agree on every (value, grouping-flag) combination and on the
+    NULL-group aggregates themselves."""
+    import frinesis_spark.operators.relational as rel_mod
+    from frinesis_spark import catalog
+
+    lineitem = spark.createDataFrame(
+        [
+            ("A", "F", 1.0),
+            ("A", None, 2.0),  # NULL data value in a grouped column
+            (None, "F", 4.0),
+            (None, None, 8.0),  # both NULL: collides with 3 total rows
+            ("B", "O", 16.0),
+        ],
+        "l_returnflag string, l_linestatus string, l_quantity double",
+    )
+    real_table = catalog.table
+    monkeypatch.setattr(
+        rel_mod,
+        "table",
+        lambda s, d, n: lineitem if n == "lineitem" else real_table(s, d, n),
+    )
+    duck = duckdb.connect()
+    duck.register("lineitem", lineitem.toPandas())
+    pdf = _rel_diff(spark, duck, "agg_rollup_cube", min_rows=10)
+    # The (NULL, NULL) DATA group must exist with grouping flags (0,0)
+    # and sum 8 — distinct from the grand total (1,1) summing 31.
+    cube = pdf[pdf["gs_src"] == "cube"]
+    data_nn = cube[
+        cube["l_returnflag"].isna()
+        & cube["l_linestatus"].isna()
+        & (cube["g_flag"] == 0)
+        & (cube["g_status"] == 0)
+    ]
+    assert len(data_nn) == 1 and float(data_nn["sum_qty"].iloc[0]) == 8.0
+    total = cube[(cube["g_flag"] == 1) & (cube["g_status"] == 1)]
+    assert len(total) == 1 and float(total["sum_qty"].iloc[0]) == 31.0
+
+
+def test_string_agg_all_null_group_adversarial(spark, monkeypatch):
+    """An all-NULL group must aggregate to NULL, not '' — the
+    collect_list→array_join composition silently maps empty to
+    empty-string where SQL STRING_AGG is NULL (r7 find, fixed via
+    _string_agg)."""
+    import frinesis_spark.operators.relational as rel_mod
+    from frinesis_spark import catalog
+
+    nation = spark.createDataFrame(
+        [
+            (0, "ALGERIA", 0),
+            (1, None, 0),  # NULL name inside a mixed group
+            (2, None, 1),  # all-NULL group
+            (3, None, 1),
+        ],
+        "n_nationkey long, n_name string, n_regionkey long",
+    )
+    real_table = catalog.table
+    monkeypatch.setattr(
+        rel_mod,
+        "table",
+        lambda s, d, n: nation if n == "nation" else real_table(s, d, n),
+    )
+    duck = duckdb.connect()
+    duck.register("nation", nation.toPandas())
+    pdf = _rel_diff(spark, duck, "agg_string_concat", min_rows=2)
+    by_region = pdf.set_index("n_regionkey")
+    assert by_region.loc[0, "nations_csv"] == "ALGERIA"  # NULL dropped
+    assert by_region.loc[1, "nations_csv"] is None or (
+        by_region.loc[1, "nations_csv"] != by_region.loc[1, "nations_csv"]
+    )  # NULL (pandas NaN), never ''
+    assert int(by_region.loc[1, "n_nations"]) == 2  # COUNT(*) still 2
