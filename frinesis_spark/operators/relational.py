@@ -418,9 +418,13 @@ def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines compute the same thing.
     """
     o = table(spark, sf_dir, "orders")
+    # asc_nulls_last on the value key: Spark's bare ASC is NULLS FIRST
+    # where DuckDB/Postgres default NULLS LAST — on nullable data the
+    # first_value pick would diverge (r7 differential find; explicit
+    # on every ascending VALUE sort key, structural keys can't be null).
     w = (
         W.partitionBy("o_orderpriority")
-        .orderBy("o_totalprice", "o_orderkey")
+        .orderBy(F.col("o_totalprice").asc_nulls_last(), "o_orderkey")
         .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     )
     return o.select(
@@ -459,8 +463,15 @@ def q_window_ranking_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     stay inside WindowExec with no extra exchange over the separate
     queries they replace."""
     o = table(spark, sf_dir, "orders")
-    w_status = W.partitionBy("o_orderstatus").orderBy("o_totalprice")
-    w_prio = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    # NULLS LAST pinned on the ascending value key (see
+    # q_window_first_last — Spark ASC defaults NULLS FIRST, SQL
+    # engines NULLS LAST; rank/cume/ntile values diverge on NULLs).
+    w_status = W.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").asc_nulls_last()
+    )
+    w_prio = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc_nulls_last(), "o_orderkey"
+    )
     return o.select(
         "o_orderkey",
         "o_orderstatus",

@@ -239,16 +239,31 @@ def q_scalar_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (ADVICE r4): Spark's concat nulls the whole payload on a NULL
     # argument while DuckDB's CONCAT skips NULLs — aligning by filter
     # is exact, aligning the concat semantics is not.
-    e = e.where(k_str.isNotNull())
+    #
+    # r7 differential finds (the ANSI job-kill class again): the
+    # ``k * 2`` cast was a bare ANSI cast, so ONE non-integer k value
+    # ('3.5', 'notanumber', true) crashed the whole job; AND a raw
+    # signed/zero-padded string k ('+5', '007') interpolated into the
+    # payload produced MALFORMED JSON ('"k":+5'), crashing parse_json.
+    # The contract is the integer-literal gate scalar_array_map_json
+    # established — only integral-k rows participate, on both
+    # engines — plus a doubling-safe magnitude bound (|k| < 2^62) so
+    # the *2 can't overflow BIGINT on either engine (both would
+    # raise), and the payload interpolates the NORMALIZED integer
+    # (k_norm), never the raw string, so it is valid JSON by
+    # construction.
+    k_long = F.when(k_str.rlike("^[+-]?[0-9]+$"), k_str).try_cast("long")
+    e = e.where(k_long.isNotNull() & (F.abs(k_long) < F.lit(2**62)))
+    k_norm = k_long.cast("string")
     payload = F.concat(
         F.lit('{"meta":{"type":"'),
         F.col("event_type"),
         F.lit('"},"k":'),
-        k_str,
+        k_norm,
         F.lit(',"ks":['),
-        k_str,
+        k_norm,
         F.lit(","),
-        (k_str.cast("long") * 2).cast("string"),
+        (k_long * 2).cast("string"),
         F.lit("]}"),
     )
     v = F.parse_json(payload)
@@ -295,14 +310,29 @@ ORACLE = {
     """,
     "scalar_variant_shred": """
         WITH payloads AS (
+            -- k_norm mirrors the Spark side: the NORMALIZED integer is
+            -- interpolated (raw '+5'/'007' would be malformed JSON)
             SELECT CONCAT('{"meta":{"type":"', event_type, '"},"k":',
-                          json_extract_string(props, '$.k'),
-                          ',"ks":[', json_extract_string(props, '$.k'), ',',
-                          CAST(CAST(json_extract_string(props, '$.k')
-                                    AS BIGINT) * 2 AS VARCHAR),
+                          CAST(TRY_CAST(json_extract_string(props, '$.k')
+                                        AS BIGINT) AS VARCHAR),
+                          ',"ks":[',
+                          CAST(TRY_CAST(json_extract_string(props, '$.k')
+                                        AS BIGINT) AS VARCHAR),
+                          ',',
+                          CAST(TRY_CAST(json_extract_string(props, '$.k')
+                                        AS BIGINT) * 2 AS VARCHAR),
                           ']}') AS payload
             FROM events
+            -- integer-literal gate + doubling-safe bound, mirroring
+            -- the Spark side (r7): non-integral k must drop the row,
+            -- never crash the job or round through TRY_CAST
             WHERE json_extract_string(props, '$.k') IS NOT NULL
+              AND REGEXP_MATCHES(json_extract_string(props, '$.k'),
+                                 '^[+-]?[0-9]+$')
+              AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                  IS NOT NULL
+              AND ABS(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+                  < 4611686018427387904
         )
         SELECT json_extract_string(payload, '$.meta.type') AS vtype,
                COUNT(*) AS n_events,

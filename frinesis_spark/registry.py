@@ -97,6 +97,15 @@ _CHANGED_SINCE_VERDICT = (
     "join_anti",
     "agg_string_concat",
     "agg_collect_sorted",
+    # r7: ascending value sort keys pinned asc_nulls_last (Spark ASC
+    # defaults NULLS FIRST; the oracles' engines default NULLS LAST)
+    "window_ranking_suite",
+    "window_first_last",
+    # r7: two job-kill finds in one operator — bare ANSI cast on the
+    # k*2 doubling (one '3.5' kills the job) and raw '+5'/'007'
+    # interpolation producing malformed payload JSON; now gated +
+    # normalized on both engines
+    "scalar_variant_shred",
 )
 
 _STALE_EVIDENCE = {

@@ -1109,3 +1109,124 @@ def test_string_agg_all_null_group_adversarial(spark, monkeypatch):
         by_region.loc[1, "nations_csv"] != by_region.loc[1, "nations_csv"]
     )  # NULL (pandas NaN), never ''
     assert int(by_region.loc[1, "n_nations"]) == 2  # COUNT(*) still 2
+
+
+def test_ranking_null_value_ordering_adversarial(spark, monkeypatch):
+    """Spark's bare ASC sorts NULLS FIRST; DuckDB (and the SQL
+    convention the oracles rely on) sorts NULLS LAST — on a nullable
+    price every ranking value diverges unless the operator pins
+    asc_nulls_last, which it now does. A NULL-price order must rank
+    LAST within its partition on both engines, and first_value must
+    never pick it as 'cheapest'."""
+    import frinesis_spark.operators.relational as rel_mod
+    from frinesis_spark import catalog
+
+    orders = spark.createDataFrame(
+        [
+            (1, 1, "F", 10.0, "1-URGENT"),
+            (2, 1, "F", None, "1-URGENT"),  # NULL price, same partition
+            (3, 1, "F", 30.0, "1-URGENT"),
+            (4, 2, "O", None, "2-HIGH"),  # NULL price alone in partition
+            (5, 2, "O", 5.0, "2-HIGH"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderpriority string",
+    )
+    real_table = catalog.table
+    monkeypatch.setattr(
+        rel_mod,
+        "table",
+        lambda s, d, n: orders if n == "orders" else real_table(s, d, n),
+    )
+    duck = duckdb.connect()
+    duck.register("orders", orders.toArrow())
+
+    from frinesis_spark.operators import relational
+
+    for name in ("window_ranking_suite", "window_first_last"):
+        spark_pdf = relational.QUERIES[name](spark, "crafted://").toPandas()
+        duck_pdf = duck.sql(relational.ORACLE[name]).df()
+        assert_frames_match(spark_pdf, duck_pdf, name)
+
+    suite = (
+        relational.QUERIES["window_ranking_suite"](spark, "crafted://")
+        .toPandas()
+        .set_index("o_orderkey")
+    )
+    assert suite.loc[2, "price_rank"] == 3  # NULL price ranks LAST
+    fl = (
+        relational.QUERIES["window_first_last"](spark, "crafted://")
+        .toPandas()
+        .set_index("o_orderkey")
+    )
+    assert fl.loc[1, "cheapest_key"] == 1  # not the NULL-price row
+    assert fl.loc[1, "priciest_key"] == 2  # NULLS LAST → frame end
+    assert fl.loc[4, "cheapest_key"] == 5
+
+
+def test_variant_shred_value_zoo_adversarial(spark, monkeypatch):
+    """One non-integer $.k used to CRASH the whole job (bare ANSI cast
+    in the payload doubling — the r6 divide-by-zero job-kill class).
+    The integer-literal gate now drops non-integral/overflow k rows on
+    both engines; surviving rows shred identically."""
+    import frinesis_spark.operators.scalar as scalar_mod
+    from frinesis_spark import catalog
+    from frinesis_spark.operators import scalar
+
+    events = spark.createDataFrame(
+        [(i, props, f"t{i % 2}") for i, props in _EVENTS],
+        "event_id long, props string, event_type string",
+    )
+    real_table = catalog.table
+    monkeypatch.setattr(
+        scalar_mod,
+        "table",
+        lambda s, d, n: events if n == "events" else real_table(s, d, n),
+    )
+    duck = duckdb.connect()
+    duck.register("events", events.toArrow())
+    spark_pdf = scalar.QUERIES["scalar_variant_shred"](
+        spark, "crafted://"
+    ).toPandas()
+    duck_pdf = duck.sql(scalar.ORACLE["scalar_variant_shred"]).df()
+    assert_frames_match(spark_pdf, duck_pdf, "scalar_variant_shred")
+    # Survivors of the _EVENTS zoo: plain/stringy/signed integer ks
+    # (ids 1, 2, 6, 7); 3.5 / 3.0 / 1e3 / overflow / notanumber /
+    # true / null / nested / absent are all gated out, not crashes.
+    assert int(spark_pdf["n_events"].sum()) == 4
+
+
+def test_pivot_null_dimension_adversarial(spark, monkeypatch):
+    """NULL pivot values fall into no bucket (zero counts after the
+    coalesce) and a NULL groupBy key forms its own row — identically
+    on both engines."""
+    import frinesis_spark.operators.relational as rel_mod
+    from frinesis_spark import catalog
+
+    orders = spark.createDataFrame(
+        [
+            (1, 1, "O", 10.0, "1-URGENT"),
+            (2, 1, None, 20.0, "1-URGENT"),  # NULL status: no bucket
+            (3, 2, "F", 40.0, None),  # NULL priority: its own group row
+            (4, 3, None, 80.0, None),  # both NULL
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderpriority string",
+    )
+    real_table = catalog.table
+    monkeypatch.setattr(
+        rel_mod,
+        "table",
+        lambda s, d, n: orders if n == "orders" else real_table(s, d, n),
+    )
+    duck = duckdb.connect()
+    duck.register("orders", orders.toArrow())
+    from frinesis_spark.operators import relational
+
+    spark_pdf = relational.QUERIES["agg_pivot"](spark, "crafted://").toPandas()
+    duck_pdf = duck.sql(relational.ORACLE["agg_pivot"]).df()
+    assert_frames_match(spark_pdf, duck_pdf, "agg_pivot")
+    by_prio = spark_pdf.set_index("o_orderpriority")
+    assert int(by_prio.loc["1-URGENT", "O_n"]) == 1  # NULL status uncounted
+    null_row = spark_pdf[spark_pdf["o_orderpriority"].isna()]
+    assert len(null_row) == 1 and int(null_row["F_n"].iloc[0]) == 1
