@@ -27,11 +27,19 @@ guarantee — documented, not fought.
 
 from __future__ import annotations
 
+import logging
 import os
 import time
 import uuid
 from collections.abc import Callable, Iterable, Iterator
 from dataclasses import dataclass, field
+
+# Task-local logger mirroring the reference's zap logger surface
+# (batchproducer.go logs alongside the Events channel; its observed-
+# logger tests pin the message text — batchproducer_test.go:573-657).
+# The three pinned messages below keep the same key phrases so an
+# operator grepping either engine's logs finds the same lines.
+_LOG = logging.getLogger(__name__)
 
 # Kinesis hard API cap, mirrored by the reference
 # (batchproducer.go:15, validated :143-145).
@@ -281,6 +289,9 @@ class BatchProducer:
             self.stats.kinesis_errors += 1
             self.consecutive_errors += 1
             self.stats.events.append(f"put_records error: {exc}")
+            # ≙ TestReturnEventWhenKinesisReturnsError (test:592-607):
+            # the failure surfaces on the event/log channel, verbatim.
+            _LOG.error("PutRecords request failed: %s", exc)
             # A9: shed the in-flight batch under persistent failure with
             # a (nearly) full buffer (batchproducer.go:354-357, :387-389).
             # Fullness counts the in-flight batch — it came out of the
@@ -303,6 +314,13 @@ class BatchProducer:
         records = resp.get("Records", [])
         if not failed:
             self.stats.records_sent += len(batch)
+            # ≙ TestLogMessageWhenKinesisSucceeds (test:573-589)
+            _LOG.info(
+                "PutRecords request succeeded: sent %d records to "
+                "Kinesis stream %s",
+                len(batch),
+                self.stream_name,
+            )
             return len(batch)
 
         # API contract guard: PutRecords must answer one result per
@@ -323,6 +341,14 @@ class BatchProducer:
         # A6/A8: partial failure — split success/failed, requeue failed
         # with attempt accounting, drop at max attempts
         # (batchproducer.go:370-381, :438-456).
+        # ≙ TestLogMessageWhenSomeRecordsFail (test:609-642)
+        _LOG.warning(
+            "Partial success when sending a PutRecords request: "
+            "%d succeeded, %d failed (stream %s)",
+            len(batch) - failed,
+            failed,
+            self.stream_name,
+        )
         done = 0
         requeue: list[tuple[bytes, str, int]] = []
         for (data, pk, attempts), result in zip(batch, records):

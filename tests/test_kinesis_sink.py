@@ -23,6 +23,7 @@ from frinesis_spark.sinks.kinesis import (
     KinesisSinkConfig,
 )
 from frinesis_spark.sinks.mock import (
+    FAIL_KEY,
     MockClientFactory,
     MockKinesisClient,
     read_back,
@@ -380,3 +381,67 @@ def test_malformed_response_requeues_batch():
     assert any("malformed" in e for e in prod.stats.events)
     sent, remaining = prod.flush()
     assert (sent, remaining) == (5, 0)  # healthy retry delivers all
+
+
+# -- observed-log assertions (batchproducer_test.go:573-657) -----------
+# The reference pins its zap log text with an observed logger; the
+# Python port pins the same three messages through caplog on the
+# frinesis_spark.sinks.kinesis logger (r6 verdict "missing" #4).
+
+
+def test_log_message_when_kinesis_succeeds(caplog):
+    """≙ TestLogMessageWhenKinesisSucceeds (test:573-589)."""
+    import logging
+
+    prod, client, _ = make_producer()
+    for _ in range(20):
+        prod.add(b"payload")
+    with caplog.at_level(logging.INFO, logger="frinesis_spark.sinks.kinesis"):
+        sent, remaining = prod.flush(timeout_s=5)
+    assert sent == 20 and remaining == 0
+    assert any(
+        "PutRecords request succeeded: sent 20 records to Kinesis stream"
+        in r.message
+        for r in caplog.records
+    ), [r.message for r in caplog.records]
+
+
+def test_log_message_when_kinesis_errors(caplog):
+    """≙ TestReturnEventWhenKinesisReturnsError (test:592-607): the
+    'oh noes' failure surfaces on BOTH channels — the stats events
+    list (already covered elsewhere) and the log line pinned here."""
+    import logging
+
+    prod, client, _ = make_producer(
+        client=MockKinesisClient(should_err=True),
+        max_attempts_per_record=1,
+        flush_timeout_s=1,
+    )
+    prod.add(b"payload")
+    with caplog.at_level(logging.ERROR, logger="frinesis_spark.sinks.kinesis"):
+        prod.flush(timeout_s=1)
+    assert any(
+        "PutRecords request failed" in r.message and "oh noes" in r.message
+        for r in caplog.records
+    ), [r.message for r in caplog.records]
+
+
+def test_log_message_when_some_records_fail(caplog):
+    """≙ TestLogMessageWhenSomeRecordsFail (test:609-642): a batch with
+    one magic fail-key record logs the partial-success line with the
+    split counts."""
+    import logging
+
+    prod, client, _ = make_producer(max_attempts_per_record=2)
+    for _ in range(19):
+        prod.add(b"payload")
+    prod.add(b"payload", partition_key=FAIL_KEY)
+    with caplog.at_level(
+        logging.WARNING, logger="frinesis_spark.sinks.kinesis"
+    ):
+        prod.flush(timeout_s=5)
+    assert any(
+        "Partial success when sending a PutRecords request" in r.message
+        and "19 succeeded, 1 failed" in r.message
+        for r in caplog.records
+    ), [r.message for r in caplog.records]
