@@ -1230,3 +1230,67 @@ def test_pivot_null_dimension_adversarial(spark, monkeypatch):
     assert int(by_prio.loc["1-URGENT", "O_n"]) == 1  # NULL status uncounted
     null_row = spark_pdf[spark_pdf["o_orderpriority"].isna()]
     assert len(null_row) == 1 and int(null_row["F_n"].iloc[0]) == 1
+
+
+def test_join_asof_tolerance_boundary_adversarial(spark, monkeypatch):
+    """The 30-minute lookback at its exact boundary: a view EXACTLY
+    30 minutes before the purchase matches (<= tolerance, inclusive);
+    one second older falls out — identically on both engines."""
+    import frinesis_spark.operators.relational as rel_mod
+    from frinesis_spark import catalog
+
+    E = [
+        # user 1: view exactly 30:00 before purchase → INCLUDED
+        (1, _dt(2001, 1, 1, 9, 30, 0), 1, "view", 1.0, "{}"),
+        (2, _dt(2001, 1, 1, 10, 0, 0), 1, "purchase", 9.0, "{}"),
+        # user 2: view 30:01 before purchase → EXCLUDED (row drops)
+        (3, _dt(2001, 1, 1, 9, 29, 59), 2, "view", 1.0, "{}"),
+        (4, _dt(2001, 1, 1, 10, 0, 0), 2, "purchase", 5.0, "{}"),
+        # user 3: stale view, then a fresh one inside the window — the
+        # fresh one wins (latest-at-or-before, then tolerance filter)
+        (5, _dt(2001, 1, 1, 8, 0, 0), 3, "view", 1.0, "{}"),
+        (6, _dt(2001, 1, 1, 9, 45, 0), 3, "view", 1.0, "{}"),
+        (7, _dt(2001, 1, 1, 10, 0, 0), 3, "purchase", 2.0, "{}"),
+    ]
+    events = spark.createDataFrame(
+        E,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+    real_table = catalog.table
+    monkeypatch.setattr(
+        rel_mod,
+        "table",
+        lambda s, d, n: events if n == "events" else real_table(s, d, n),
+    )
+    duck = duckdb.connect()
+    duck.register("events", events.toPandas())
+
+    from frinesis_spark.operators import relational
+
+    spark_pdf = relational.QUERIES["join_asof_tolerance"](
+        spark, "crafted://asof_tol"
+    ).toPandas()
+    duck_pdf = duck.sql(relational.ORACLE["join_asof_tolerance"]).df()
+    assert_frames_match(spark_pdf, duck_pdf, "join_asof_tolerance")
+    matched_users = set(spark_pdf["user_id"])
+    assert matched_users == {1, 3}
+    u3 = spark_pdf[spark_pdf["user_id"] == 3]
+    assert u3["view_ts"].iloc[0] == _dt(2001, 1, 1, 9, 45, 0)
+
+
+def test_case_folding_unicode_contract(spark):
+    """Pin the DECLARED case-folding divergence (the levenshtein
+    pattern): Java/Spark lowercases 'İ' to 'i' + COMBINING DOT ABOVE
+    and uppercases 'ß' to 'SS', where DuckDB maps them to 'i' and 'ẞ'.
+    The engine's only case-folding operator (scalar_string_date_math's
+    UPPER on o_orderstatus) runs on single ASCII chars, so oracle
+    parity is exact; any future operator case-folding USER text must
+    either declare Spark's semantics or restrict to ASCII. If either
+    engine changes, this test fails and the contract note moves."""
+    s = spark.sql(
+        "SELECT lower('İ') AS l, upper('ß') AS u"
+    ).collect()[0]
+    assert s.l == "i̇" and s.u == "SS"  # Java semantics
+    d = duckdb.sql("SELECT LOWER('İ'), UPPER('ß')").fetchone()
+    assert d == ("i", "ẞ")  # DuckDB semantics — deliberately different
