@@ -50,7 +50,16 @@ FORMAT_NAME = "kinesis_frinesis"
 
 
 def _client_factory(options: dict):
-    """Picklable client factory per the A17 config rules."""
+    """Picklable client factory per the A17 config rules.
+
+    Client selection precedence: ``mock_store_dir`` option → file-
+    backed mock; ``endpoint`` option (+ optional ``region``) → real
+    boto3 against that HTTP endpoint — options serialize to the Python
+    workers, so this is the deterministic way to point EXECUTOR-side
+    clients at a test/localstack endpoint (worker processes may have
+    forked before a driver-side env var was set); otherwise boto3 from
+    the ambient env (``AWS_REGION_NAME``, ``KINESIS_ENDPOINT``).
+    """
     store = options.get("mock_store_dir")
     if store:
         from frinesis_spark.sinks.mock import MockClientFactory
@@ -58,6 +67,14 @@ def _client_factory(options: dict):
         return MockClientFactory(store_dir=store)
     from frinesis_spark.sinks.kinesis import make_boto3_client_factory
 
+    endpoint = options.get("endpoint")
+    if endpoint:
+        return make_boto3_client_factory(
+            {
+                "AWS_REGION_NAME": options.get("region", "us-east-1"),
+                "KINESIS_ENDPOINT": endpoint,
+            }
+        )
     return make_boto3_client_factory()
 
 
