@@ -106,6 +106,10 @@ _CHANGED_SINCE_VERDICT = (
     # interpolation producing malformed payload JSON; now gated +
     # normalized on both engines
     "scalar_variant_shred",
+    # r7: CSV writer/reader pair made lossless (whitespace preserved,
+    # \\N null sentinel so '' ≠ NULL, multiLine reader for embedded
+    # newlines — three silent-corruption finds)
+    "source_csv_roundtrip",
 )
 
 _STALE_EVIDENCE = {

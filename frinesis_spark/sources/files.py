@@ -33,18 +33,49 @@ def _roundtrip_dir(fmt: str) -> str:
     return os.path.join(base, fmt)
 
 
+# Lossless CSV round-trip contract (r7 differential finds — the bare
+# writer/reader pair silently corrupted three value classes):
+#   - Spark's CSV WRITER trims cell whitespace by default
+#     (ignoreLeading/TrailingWhiteSpace default TRUE on write) —
+#     ' pad ' came back 'pad';
+#   - empty string and NULL both serialized to an empty cell — ''
+#     came back NULL; the '\\N' null sentinel (the Hive/Postgres COPY
+#     convention) disambiguates;
+#   - embedded newlines need multiLine on the reader or the row SPLITS
+#     ('line\\nbreak' came back as two rows). multiLine makes each
+#     file single-task (unsplittable) — the documented trade: for
+#     newline-free big-data CSV drop it and the scan is splittable.
+# Reserved literal: a real '\\N' string reads back as NULL (the same
+# limitation Postgres/DuckDB COPY have for their NULLSTR; quoteAll
+# cannot fix it — the writer backslash-escapes the sentinel itself).
+_CSV_WRITE_OPTS = {
+    "header": "true",
+    "ignoreLeadingWhiteSpace": "false",
+    "ignoreTrailingWhiteSpace": "false",
+    "nullValue": "\\N",
+}
+_CSV_READ_OPTS = {
+    "header": "true",
+    "multiLine": "true",
+    "nullValue": "\\N",
+}
+
+
 def q_source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV connector: write `nation` as headered CSV, read it back with
     an explicit schema, aggregate nations per region.
 
-    Quoting/escaping is exercised by the writer→reader pair; the
-    explicit schema (taken from the parquet copy) makes the reader a
-    single splittable pass with typed columns — no inference scan.
+    Quoting/escaping is exercised by the writer→reader pair with the
+    LOSSLESS option set (see ``_CSV_WRITE_OPTS`` — whitespace
+    preserved, NULL vs '' disambiguated by the ``\\N`` sentinel,
+    embedded newlines survive); the explicit schema (taken from the
+    parquet copy) makes the reader a typed single pass — no inference
+    scan.
     """
     n = table(spark, sf_dir, "nation")
     path = _roundtrip_dir("csv")
-    n.write.mode("overwrite").option("header", "true").csv(path)
-    back = spark.read.schema(n.schema).option("header", "true").csv(path)
+    n.write.mode("overwrite").options(**_CSV_WRITE_OPTS).csv(path)
+    back = spark.read.schema(n.schema).options(**_CSV_READ_OPTS).csv(path)
     return back.groupBy("n_regionkey").agg(
         F.count(F.lit(1)).alias("n_nations"),
         F.min("n_name").alias("first_nation"),

@@ -1294,3 +1294,48 @@ def test_case_folding_unicode_contract(spark):
     assert s.l == "i̇" and s.u == "SS"  # Java semantics
     d = duckdb.sql("SELECT LOWER('İ'), UPPER('ß')").fetchone()
     assert d == ("i", "ẞ")  # DuckDB semantics — deliberately different
+
+
+def test_csv_roundtrip_lossless_adversarial(spark, monkeypatch):
+    """The CSV writer/reader pair must be LOSSLESS on hostile values:
+    empty string vs NULL (the '\\N' sentinel), embedded commas,
+    quotes, newlines, and padded whitespace (the bare defaults
+    corrupted three of these — r7 finds). The oracle reads the
+    ORIGINAL table, so parity == losslessness."""
+    import frinesis_spark.sources.files as files_mod
+    from frinesis_spark import catalog
+
+    nation = spark.createDataFrame(
+        [
+            (0, "plain", 0),
+            (1, "", 0),  # empty ≠ NULL
+            (2, None, 0),
+            (3, "with,comma", 1),
+            (4, 'quo"te', 1),
+            (5, "line\nbreak", 1),
+            (6, " pad ", 2),
+        ],
+        "n_nationkey long, n_name string, n_regionkey long",
+    )
+    real_table = catalog.table
+    monkeypatch.setattr(
+        files_mod,
+        "table",
+        lambda s, d, n: nation if n == "nation" else real_table(s, d, n),
+    )
+    duck = duckdb.connect()
+    duck.register("nation", nation.toArrow())
+    from frinesis_spark.sources import files
+
+    spark_pdf = files.QUERIES["source_csv_roundtrip"](
+        spark, "crafted://csv"
+    ).toPandas()
+    duck_pdf = duck.sql(files.ORACLE["source_csv_roundtrip"]).df()
+    assert_frames_match(spark_pdf, duck_pdf, "source_csv_roundtrip")
+    by_region = spark_pdf.set_index("n_regionkey")
+    # region 0's MIN over {'plain', '', NULL} is '' — NULL ignored,
+    # empty NOT conflated to NULL (the value the old defaults lost)
+    assert by_region.loc[0, "first_nation"] == ""
+    assert by_region.loc[2, "first_nation"] == " pad "  # not trimmed
+    # region 1 keeps all 3 rows: the newline row did NOT split
+    assert int(by_region.loc[1, "n_nations"]) == 3
