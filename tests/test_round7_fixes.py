@@ -265,3 +265,38 @@ def test_decontaminate_eval_cap_bounds_broadcast(spark, duck, sf_dir):
     )
     got = sorted(r[0] for r in df.where(is_eval).collect())
     assert got == [0, 100]
+
+
+def test_connector_roundtrip_edge_contracts(spark, tmp_path):
+    """Pin the connector edge behaviors probed in r7 that were ALREADY
+    lossless (the CSV pair was not — see test_differential's CSV
+    test): text lines keep empty/whitespace lines; JSONL round-trips
+    NaN/Infinity (Spark's own non-standard tokens — self-consistent,
+    an interop caveat for foreign readers); partition directories
+    escape '/', ' ', '=' and spell NULL as the Hive default partition."""
+    import math
+
+    txt = spark.createDataFrame([("plain",), ("",), ("  ",)], "value string")
+    p = str(tmp_path / "txt")
+    txt.write.mode("overwrite").text(p)
+    assert sorted(r.value for r in spark.read.text(p).collect()) == [
+        "", "  ", "plain"
+    ]
+
+    js = spark.createDataFrame(
+        [(1, float("nan")), (2, float("inf")), (3, 1.5)], "k long, v double"
+    )
+    pj = str(tmp_path / "json")
+    js.write.mode("overwrite").json(pj)
+    got = {r.k: r.v for r in spark.read.schema(js.schema).json(pj).collect()}
+    assert math.isnan(got[1]) and math.isinf(got[2]) and got[3] == 1.5
+
+    pt = spark.createDataFrame(
+        [(1, "1-URGENT"), (2, "a/b"), (3, "sp ace"), (4, "eq=ual"), (5, None)],
+        "k long, part string",
+    )
+    pp = str(tmp_path / "part")
+    pt.write.mode("overwrite").partitionBy("part").parquet(pp)
+    assert sorted(
+        (r.k, r.part) for r in spark.read.parquet(pp).collect()
+    ) == [(1, "1-URGENT"), (2, "a/b"), (3, "sp ace"), (4, "eq=ual"), (5, None)]
