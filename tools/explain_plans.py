@@ -95,6 +95,7 @@ AUDITED = [
     # disjunctive pushdown, q20 stacked semi-joins, q13 predicate-in-
     # join-condition outer join, q9 LIKE-dim broadcast 5-join)
     "sql_tpch_q9",
+    "sql_tpch_q10",  # r7: completes plan evidence for all 22
     "sql_tpch_q13",
     "sql_tpch_q18",
     "sql_tpch_q19",
