@@ -97,6 +97,13 @@ HEADLINE = [
     "sql_tpch_q16",
     "sql_tpch_q20",
     "sql_tpch_q22",
+    # r7 additions: chunk-hash substring dedup (two chunk_hash
+    # shuffles over ~|corpus|/64 rows — the heaviest new scan shape),
+    # M4 downsampling (scan-bound single agg), and the deterministic
+    # shuffle-shard export (one shard_id shuffle + per-shard window).
+    "dedup_substring_chunks",
+    "time_downsample_m4",
+    "pipeline_shuffle_shard",
 ]
 
 # Queries served from the per-(session, corpus) derived-artifact caches

@@ -56,8 +56,13 @@ _MAX_DF = 256
 
 # Largest stop-shingle set inlined as an array literal for the
 # map-only filter path in _minhash_signatures; beyond this the
-# distributed anti-join takes over.
+# distinct anti-join takes over.
 _STOP_LIT_CAP = 4096
+
+# Aligned chunk width for substring-level dedup: 64 chars ≈ one
+# sentence — wide enough that a shared chunk is a real repeated span,
+# narrow enough that partial-document boilerplate still registers.
+_CHUNK_CHARS = 64
 
 
 def _shingles(text_col: str = "text") -> F.Column:
@@ -967,6 +972,66 @@ def q_dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_substring_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span detection at fixed chunk
+    granularity — the Spark-expressible analog of suffix-array
+    substring dedup (Lee et al. 2021, "Deduplicating Training Data
+    Makes Language Models Better"): a suffix array finds *any*
+    repeated span; hashing aligned ``_CHUNK_CHARS``-char chunks finds
+    the aligned repeats, which covers the dominant case (verbatim
+    boilerplate, mirrored pages, quoted passages) at linear cost.
+
+    Per document: total chunks, chunks whose hash occurs in >1
+    DISTINCT document, and the duplicated fraction — the per-doc
+    "how much of this text exists elsewhere" score a pipeline
+    thresholds to strip or drop.
+
+    Declared contract: chunking is aligned (a one-char insertion
+    shifts every later boundary, so un-aligned repeats go uncounted)
+    and within-doc repeats don't count (distinct-doc frequency).
+    Scale shape: explode is map-side; the chunk-frequency aggregate
+    and the frequency⋈chunks join shuffle on ``chunk_hash`` (both
+    sides co-partitioned — one Exchange feeds both), then one
+    partial-agg shuffle on ``doc_id``. Chunk volume ≈ corpus size /
+    ``_CHUNK_CHARS`` rows of 32-byte hashes — the same order as the
+    suffix-array sort a native engine would run, but expressed as two
+    hash shuffles instead of a global sort. No all-pairs anywhere;
+    a boilerplate chunk shared by k docs costs k index rows, not k².
+    """
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, int(greatest(ceil(length(text)"
+                f" / {_CHUNK_CHARS}), 1)) - 1),"
+                f" i -> md5(substring(text, i * {_CHUNK_CHARS} + 1,"
+                f" {_CHUNK_CHARS})))"
+            )
+        ).alias("chunk_hash"),
+    )
+    freq = chunks.groupBy("chunk_hash").agg(
+        F.countDistinct("doc_id").alias("chunk_df")
+    )
+    dup = F.sum(F.when(F.col("chunk_df") > 1, 1).otherwise(0)).cast("long")
+    return (
+        chunks.join(freq, "chunk_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            dup.alias("dup_chunks"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "dup_chunks",
+            F.round(
+                F.col("dup_chunks").cast("double") / F.col("n_chunks"), 6
+            ).alias("dup_frac"),
+        )
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_near_minhash": q_dedup_near_minhash,
@@ -977,6 +1042,7 @@ QUERIES = {
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_fuzzy_editdist": q_dedup_fuzzy_editdist,
     "dedup_decontaminate": q_dedup_decontaminate,
+    "dedup_substring_chunks": q_dedup_substring_chunks,
 }
 
 _SHINGLE_SQL = """
@@ -1029,6 +1095,32 @@ ORACLE = {
                LENGTH(text) AS text_len
         FROM documents
         GROUP BY text
+    """,
+    # Same aligned-chunk/md5 construction: DuckDB's lateral
+    # UNNEST(range(...)) mirrors Spark's explode(transform(sequence)).
+    # greatest(..., 1) gives empty text one '' chunk on both engines.
+    "dedup_substring_chunks": f"""
+        WITH chunks AS (
+            SELECT doc_id,
+                   md5(substr(text, CAST(i * {_CHUNK_CHARS} + 1 AS BIGINT),
+                              {_CHUNK_CHARS})) AS chunk_hash
+            FROM documents,
+                 UNNEST(range(0, greatest(
+                     CAST(ceil(length(text) / {_CHUNK_CHARS}.0) AS BIGINT),
+                     1))) AS t(i)
+        ),
+        freq AS (
+            SELECT chunk_hash, COUNT(DISTINCT doc_id) AS chunk_df
+            FROM chunks GROUP BY chunk_hash
+        )
+        SELECT c.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(CASE WHEN f.chunk_df > 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS dup_chunks,
+               ROUND(CAST(SUM(CASE WHEN f.chunk_df > 1 THEN 1 ELSE 0 END)
+                          AS DOUBLE) / COUNT(*), 6) AS dup_frac
+        FROM chunks c JOIN freq f USING (chunk_hash)
+        GROUP BY c.doc_id
     """,
     # dedup_near_minhash / dedup_simhash: intentionally no oracle —
     # xxhash64/murmur3 hash families are not reproducible in DuckDB SQL

@@ -406,6 +406,14 @@ def q_text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PACK_CTX = 512
 _PACK_BUCKETS = 8
 
+# Target docs per source for mixture resampling, and the bucket
+# resolution of the hash-threshold keep rule (1/10000 rate steps).
+_MIX_TARGET = 8
+_MIX_RES = 10_000
+
+# Training-export shard count for the deterministic global shuffle.
+_N_SHARDS = 8
+
 
 def q_tokenize_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for LLM pretraining: assign every document a
@@ -453,6 +461,78 @@ def q_tokenize_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-mixture resampling: rebalance an over/under-represented
+    corpus so every source contributes ≈ ``_MIX_TARGET`` documents in
+    expectation — the domain-mixing step of corpus assembly (web dumps
+    dwarf books/code; the training mix wants controlled proportions).
+
+    Two passes: (1) per-source counts — a partial-agg shuffle whose
+    output is |sources| rows, broadcast back; (2) a map-only keep rule
+    ``bucket(doc) × n_source < target × resolution`` over a
+    content-independent md5 bucket of doc_id. The comparison is PURE
+    INTEGER (no per-row float rate), so the decision is bit-identical
+    across engines/runs/re-shards, and the keep rate self-adjusts as
+    the corpus grows: 10× more docs in a source → 1/10 the keep rate,
+    constant expected output per source. At 100 TB the counts pass is
+    a metadata-scale aggregate and the sample pass is one scan with
+    the filter pushed down to the join output — no global sort, no
+    per-source repartition.
+    """
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_source"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % _MIX_RES
+    )
+    return (
+        d.select("doc_id", "lang", "source", bucket.alias("mix_bucket"))
+        .join(F.broadcast(counts), "source")
+        .where(
+            F.col("mix_bucket") * F.col("n_source")
+            < F.lit(_MIX_TARGET * _MIX_RES)
+        )
+        .select("doc_id", "source", "lang", "n_source", "mix_bucket")
+    )
+
+
+def q_pipeline_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + shard assignment for training
+    export: every document gets a content-independent pseudo-random
+    key (md5 of a salted doc_id), a shard by key-prefix bucket, and a
+    dense position within its shard — the "shuffle the corpus and
+    write N shard files" step every pretraining run needs, made
+    reproducible (same corpus → same order, no RNG seed plumbing).
+
+    Scale shape: shard assignment is map-only; ONE shuffle partitions
+    by shard_id and the per-shard ``row_number`` orders each shard by
+    the md5 key (uniformly distributed → shards are balanced to
+    ~±sqrt). There is deliberately NO global row_number — a total
+    order over 100 TB is a single-reducer bottleneck; per-shard order
+    + shard id is exactly what a sharded data loader consumes. At
+    scale, shard count scales with the cluster and the write side is
+    ``partitionBy(shard_id)`` with files emitted in position order.
+    """
+    d = table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string")))
+    shard = (
+        F.conv(F.substring(F.col("shuffle_key"), 1, 8), 16, 10).cast("long")
+        % _N_SHARDS
+    )
+    w = W.partitionBy("shard_id").orderBy("shuffle_key")
+    return (
+        d.select("doc_id", key.alias("shuffle_key"))
+        .select("doc_id", "shuffle_key", shard.alias("shard_id"))
+        .select(
+            "doc_id",
+            "shard_id",
+            (F.row_number().over(w) - 1).cast("long").alias("pos_in_shard"),
+            "shuffle_key",
+        )
+    )
+
+
 QUERIES = {
     "explode_token_freq": q_explode_token_freq,
     "text_repetition_filter": q_text_repetition_filter,
@@ -466,6 +546,8 @@ QUERIES = {
     "text_token_count": q_text_token_count,
     "text_fingerprint": q_text_fingerprint,
     "pipeline_llm_prep": q_pipeline_llm_prep,
+    "pipeline_source_mixture": q_pipeline_source_mixture,
+    "pipeline_shuffle_shard": q_pipeline_shuffle_shard,
 }
 
 
@@ -575,6 +657,45 @@ ORACLE = {
                cum_before // {_PACK_CTX} AS pack_id,
                cum_before % {_PACK_CTX} AS pack_offset
         FROM cum
+    """,
+    # Integer keep rule (bucket × n_source < target × resolution):
+    # COUNT(*) stays BIGINT on both engines, so no float rate exists
+    # anywhere in the decision — exact row-level parity by design.
+    "pipeline_source_mixture": f"""
+        WITH c AS (
+            SELECT source, COUNT(*) AS n_source
+            FROM documents GROUP BY source
+        ),
+        b AS (
+            SELECT doc_id, lang, source,
+                   CAST(CONCAT('0x', SUBSTRING(
+                       MD5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                       % {_MIX_RES} AS mix_bucket
+            FROM documents
+        )
+        SELECT doc_id, b.source, lang, n_source, mix_bucket
+        FROM b JOIN c ON b.source = c.source
+        WHERE mix_bucket * n_source < {_MIX_TARGET * _MIX_RES}
+    """,
+    "pipeline_shuffle_shard": f"""
+        WITH k AS (
+            SELECT doc_id,
+                   MD5(CONCAT('shard:', CAST(doc_id AS VARCHAR)))
+                       AS shuffle_key
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id, shuffle_key,
+                   CAST(CONCAT('0x', SUBSTRING(shuffle_key, 1, 8)) AS BIGINT)
+                       % {_N_SHARDS} AS shard_id
+            FROM k
+        )
+        SELECT doc_id, shard_id,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY shard_id ORDER BY shuffle_key) - 1
+                   AS BIGINT) AS pos_in_shard,
+               shuffle_key
+        FROM s
     """,
     "sample_stratified_hash": """
         WITH b AS (

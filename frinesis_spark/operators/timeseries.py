@@ -204,13 +204,88 @@ def retention_cohorts(e: DataFrame) -> DataFrame:
     )
 
 
+# M4 downsampling bucket width in seconds (15-minute pixels).
+_M4_BUCKET_S = 900
+
+
+def q_time_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 time-series downsampling (Jugel et al., VLDB 2014): per
+    (series, time-bucket) keep min, max, first and last values — the
+    four anchor points that make a line chart of the reduced series
+    pixel-identical to the raw one. The canonical "render a year of
+    ticks in a dashboard" operator of every time-series engine.
+
+    One hash aggregate: map-side partials reduce each partition's
+    events to ≤ |series × buckets| rows before the shuffle, so the
+    raw event volume never crosses the wire — the same scan-bound
+    shape as ``agg_group_sum``, which is why M4 holds at 100 TB.
+    First/last use ``min_by``/``max_by`` over a fixed-width
+    ``timestamp‖event_id`` string key: µs-precision chronological
+    order, total (event_id breaks ts ties), and identical on both
+    engines (DuckDB's arg_min/arg_max need a scalar SQL-orderable
+    key, so a struct is out).
+
+    NULL measurements are dropped up front — a NULL isn't a
+    renderable point, and the explicit filter pins the one spot where
+    the engines' arg-min conventions would otherwise diverge (Spark's
+    ``min_by`` returns the min-key row's value even when NULL;
+    DuckDB's ``arg_min`` skips NULL-valued rows).
+    """
+    e = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    bucket = F.timestamp_seconds(
+        (F.unix_timestamp("ts") / _M4_BUCKET_S).cast("long") * _M4_BUCKET_S
+    )
+    ord_key = F.concat(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        e.select(
+            "event_type",
+            bucket.alias("bucket_ts"),
+            "value",
+            ord_key.alias("ord_key"),
+        )
+        .groupBy("event_type", "bucket_ts")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min("value").alias("v_min"),
+            F.max("value").alias("v_max"),
+            F.min_by("value", "ord_key").alias("v_first"),
+            F.max_by("value", "ord_key").alias("v_last"),
+        )
+    )
+
+
 QUERIES = {
     "time_gapfill_locf": q_time_gapfill_locf,
     "window_session_islands": q_window_session_islands,
     "analytics_retention_cohort": q_analytics_retention_cohort,
+    "time_downsample_m4": q_time_downsample_m4,
 }
 
 ORACLE = {
+    # epoch_us // 1_000_000 floors to whole seconds (a DOUBLE-epoch
+    # CAST would ROUND in DuckDB — off-by-one bucket at x.5+ fractions,
+    # where Spark's unix_timestamp truncates). to_timestamp returns
+    # TIMESTAMP WITH TIME ZONE in DuckDB; the CAST pins the naive type
+    # Spark has.
+    "time_downsample_m4": f"""
+        SELECT event_type,
+               CAST(to_timestamp(epoch_us(ts) // 1000000
+                    // {_M4_BUCKET_S} * {_M4_BUCKET_S}) AS TIMESTAMP)
+                   AS bucket_ts,
+               COUNT(*) AS n_points,
+               MIN(value) AS v_min,
+               MAX(value) AS v_max,
+               arg_min(value, strftime(ts, '%Y-%m-%d %H:%M:%S.%f')
+                       || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS v_first,
+               arg_max(value, strftime(ts, '%Y-%m-%d %H:%M:%S.%f')
+                       || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS v_last
+        FROM events
+        WHERE value IS NOT NULL
+        GROUP BY 1, 2
+    """,
     "time_gapfill_locf": f"""
         WITH hourly AS (
             SELECT user_id, date_trunc('hour', ts) AS hour,

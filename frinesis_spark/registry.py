@@ -71,15 +71,20 @@ def _load_modules():
 #      the 29 r4-green rows the r6 verdict flagged as the backlog,
 #      then the 41 r5-green rows absent from the r6 window;
 #   3. green in CORRECTNESS_r06 (freshest evidence, cheapest to skip).
-# Window arithmetic (r7): 120 registered, 0 never-verified, 70 stale
-# (29 r4 + 41 r5). The window fills as |tier0| + 29 r4-stale + the
-# oldest r5-stale rows up to 50; r5 rows displaced to r8 lead r8's
-# window, so max evidence age at any verdict stays 2 rounds (the
-# 120-query surface cycles in ⌈120/50⌉ = 3 windows with the check
-# always landing in the visiting round). Registry growth stays
-# stopped; tier0 this round is the foreachBatch-upsert rework, the
-# decontaminate eval-set cap, and the TPC-H Q7/Q8 half-open date
-# rewrite (ADVICE r6).
+# Window arithmetic (r7): 125 registered = 120 carried + 5 added
+# late-r7 (dedup_substring_chunks, pipeline_source_mixture,
+# pipeline_shuffle_shard, time_downsample_m4, sink_sorted_clustered —
+# tier 1 by construction, so they verify in their debut round). The
+# window fills as |tier0|=11 + 5 never-verified + 29 r4-stale + the
+# 5 oldest r5-stale rows = 50; the 36 displaced r5 rows lead r8, so
+# max evidence age at any verdict stays 2 rounds (the 125-query
+# surface cycles in ⌈125/50⌉ = 3 windows with the check always
+# landing in the visiting round). Growth stayed ≤ the window's slack
+# (11+5+29 ≤ 50) so the r4 backlog the r6 verdict flagged still
+# drains fully this round. Tier0 this round is the foreachBatch-
+# upsert rework, the decontaminate eval-set cap, the TPC-H Q7/Q8
+# half-open date rewrite (ADVICE r6), and the differential-sweep
+# fixes below.
 _CHANGED_SINCE_VERDICT = (
     # r7: snapshot store bucket-partitioned by pmod(hash(user_id), N);
     # micro-batches rewrite only touched buckets (VERDICT r6 item 4)

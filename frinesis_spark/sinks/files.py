@@ -173,13 +173,65 @@ def q_sink_compacted_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sink_sorted_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-clustered + sorted parquet layout: ``repartitionByRange``
+    on ``l_shipdate`` gives each output file a DISJOINT date range,
+    and ``sortWithinPartitions`` makes every row-group's min/max
+    statistics tight — so a date-range readback filter skips whole
+    files and row-groups from footer stats alone. This is clustering
+    (1-D Z-order / liquid clustering) as opposed to directory
+    partitioning: the skipping column stays a normal high-cardinality
+    column, no directory explosion, which is why warehouses cluster
+    on date/id columns they could never partition on.
+
+    The query re-reads one year out of the ~7-year span and
+    aggregates it; the oracle runs the same filter on the original
+    table, so the layout rewrite proves it lost/duplicated/retyped
+    nothing. File-level min/max disjointness and actual row-group
+    skipping are asserted in tests (an aggregate can't see layout).
+    At 100 TB the range-repartition is one shuffle paid at write
+    time — amortized over every later time-windowed scan, the same
+    trade as bucketing.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    path = _sink_dir("lineitem_clustered")
+    (
+        li.repartitionByRange(_N_BUCKETS, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).where(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_extendedprice").alias("price_sum"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+
+
 QUERIES = {
     "sink_partitioned_parquet": q_sink_partitioned_parquet,
     "join_bucketed_colocated": q_join_bucketed_colocated,
     "sink_compacted_parquet": q_sink_compacted_parquet,
+    "sink_sorted_clustered": q_sink_sorted_clustered,
 }
 
 ORACLE = {
+    "sink_sorted_clustered": f"""
+        SELECT l_returnflag,
+               COUNT(*) AS n_rows,
+               {oracle_dsum('l_extendedprice')} AS price_sum,
+               MIN(l_shipdate) AS first_ship,
+               MAX(l_shipdate) AS last_ship
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1996-01-01'
+        GROUP BY l_returnflag
+    """,
     "sink_compacted_parquet": f"""
         SELECT l_returnflag,
                COUNT(*) AS n_rows,

@@ -76,6 +76,12 @@ AUDITED = [
     "sql_tpch_q14",
     "dedup_ngram_jaccard",
     "dedup_incremental_jaccard",
+    # r7 additions — every new operator debuts with plan evidence
+    "dedup_substring_chunks",
+    "pipeline_source_mixture",
+    "pipeline_shuffle_shard",
+    "time_downsample_m4",
+    "sink_sorted_clustered",
     # the r5 rotation dozen (oldest driver evidence) — plan evidence
     # rides along with their fresh correctness rows
     "agg_percentile",
