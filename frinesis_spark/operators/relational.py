@@ -973,6 +973,13 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events").where(
         F.col("event_type").isin("view", "click", "purchase")
     )
+    # The accumulator's last_ts must carry the SAME timestamp flavor as
+    # the input's ts column — catalog.table normalizes the fixture to
+    # TIMESTAMP_NTZ, but a caller's events frame may be LTZ, and a
+    # hardcoded NTZ literal then fails analysis (struct type mismatch
+    # inside the aggregate lambda — found by the crafted-frame
+    # differential test, tests/test_round7_differential2.py).
+    ts_type = dict(e.dtypes)["ts"]
     steps = F.array_sort(F.collect_list(F.struct("ts", "event_type")))
 
     def advance(acc, x):
@@ -1007,7 +1014,7 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "steps",
                 F.struct(
                     F.lit(0).alias("stage"),
-                    F.lit(None).cast("timestamp_ntz").alias("last_ts"),
+                    F.lit(None).cast(ts_type).alias("last_ts"),
                 ),
                 advance,
             ).stage.alias("stage"),

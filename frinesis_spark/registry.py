@@ -75,12 +75,12 @@ def _load_modules():
 # late-r7 (dedup_substring_chunks, pipeline_source_mixture,
 # pipeline_shuffle_shard, time_downsample_m4, sink_sorted_clustered —
 # tier 1 by construction, so they verify in their debut round). The
-# window fills as |tier0|=11 + 5 never-verified + 29 r4-stale + the
-# 5 oldest r5-stale rows = 50; the 36 displaced r5 rows lead r8, so
+# window fills as |tier0|=12 + 5 never-verified + 29 r4-stale + the
+# 4 oldest r5-stale rows = 50; the 37 displaced r5 rows lead r8, so
 # max evidence age at any verdict stays 2 rounds (the 125-query
 # surface cycles in ⌈125/50⌉ = 3 windows with the check always
 # landing in the visiting round). Growth stayed ≤ the window's slack
-# (11+5+29 ≤ 50) so the r4 backlog the r6 verdict flagged still
+# (12+5+29 ≤ 50) so the r4 backlog the r6 verdict flagged still
 # drains fully this round. Tier0 this round is the foreachBatch-
 # upsert rework, the decontaminate eval-set cap, the TPC-H Q7/Q8
 # half-open date rewrite (ADVICE r6), and the differential-sweep
@@ -115,6 +115,10 @@ _CHANGED_SINCE_VERDICT = (
     # \\N null sentinel so '' ≠ NULL, multiLine reader for embedded
     # newlines — three silent-corruption finds)
     "source_csv_roundtrip",
+    # r7: funnel accumulator's last_ts type now follows the input's
+    # timestamp flavor (hardcoded NTZ literal killed analysis on LTZ
+    # events frames — crafted-frame differential find)
+    "funnel_conversion",
 )
 
 _STALE_EVIDENCE = {

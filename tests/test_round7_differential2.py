@@ -1,0 +1,164 @@
+"""Differential sweep wave 3: multimodal byte-boundary edges and the
+funnel stage machine's ordering/tie contract.
+
+Same method as test_differential.py — the registered oracle SQL runs
+against crafted frames that hit contract edges the benign fixture
+can't: empty payloads, multi-byte UTF-8 (octet vs char length), frame
+boundaries at exact multiples of the frame size, same-timestamp funnel
+steps, and out-of-order stage arrivals.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import duckdb
+import pytest
+
+from tests.parity import assert_frames_match
+
+# ------------------------------------------------------------ multimodal
+
+_MM_DOCS = [
+    (1, ""),  # empty payload: 0 bytes, 1 fake frame, md5('')
+    (2, "é漢x"),  # multi-byte UTF-8: 6 octets ≠ 3 chars
+    (3, "a" * 63),  # one byte under the 64-byte frame size
+    (4, "b" * 64),  # exactly one frame unit → n_frames rolls to 2
+    (5, "c" * 65),  # one byte over
+    (6, "d" * 700),  # many frames: sampled indices 0,3,6,9
+    (7, "tab\tand\nnewline"),  # control chars survive the byte path
+]
+
+
+@pytest.fixture()
+def crafted_mm(spark, monkeypatch):
+    import frinesis_spark.operators.multimodal as mm_mod
+    from frinesis_spark import catalog
+
+    docs = spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in _MM_DOCS],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    real_table = catalog.table
+    monkeypatch.setattr(
+        mm_mod,
+        "table",
+        lambda s, d, n: docs if n == "documents" else real_table(s, d, n),
+    )
+    duck = duckdb.connect()
+    duck.register("documents", docs.toPandas())
+    return duck
+
+
+def _diff_mm(spark, duck, name):
+    from frinesis_spark.operators import multimodal
+
+    spark_pdf = multimodal.QUERIES[name](spark, "crafted://mm").toPandas()
+    duck_pdf = duck.sql(multimodal.ORACLE[name]).df()
+    assert_frames_match(spark_pdf, duck_pdf, name)
+    return spark_pdf
+
+
+def test_multimodal_decode_byte_edges(spark, crafted_mm):
+    pdf = _diff_mm(spark, crafted_mm, "multimodal_decode")
+    by_id = pdf.set_index("doc_id")
+    # Octet length, not char length, drives the fake dimensions.
+    assert by_id.loc[2, "n_bytes"] == 6
+    # Empty payload decodes to the 1×1 degenerate image, md5 of b''.
+    assert by_id.loc[1, "width"] == 1 and by_id.loc[1, "height"] == 1
+    assert by_id.loc[1, "content_hash"] == "d41d8cd98f00b204e9800998ecf8427e"
+
+
+def test_multimodal_resize_degenerate(spark, crafted_mm):
+    pdf = _diff_mm(spark, crafted_mm, "multimodal_resize")
+    # Every thumbnail fits the 128 box and never collapses below 1 px.
+    assert (pdf["out_width"] <= 128).all() and (pdf["out_width"] >= 1).all()
+    assert (pdf["out_height"] <= 128).all() and (pdf["out_height"] >= 1).all()
+
+
+def test_multimodal_frame_sample_boundaries(spark, crafted_mm):
+    pdf = _diff_mm(spark, crafted_mm, "multimodal_frame_sample")
+    frames = pdf.groupby("doc_id")["frame_idx"].apply(list).to_dict()
+    # 0 and 63 bytes: one frame; exactly 64 rolls to a 2-frame clip
+    # (still only index 0 sampled at stride 3); 700 B → 0,3,6,9.
+    assert frames[1] == [0] and frames[3] == [0]
+    assert frames[4] == [0] and frames[5] == [0]
+    assert sorted(frames[6]) == [0, 3, 6, 9]
+
+
+# ---------------------------------------------------------------- funnel
+
+
+def _fts(minute: int) -> datetime.datetime:
+    return datetime.datetime(2002, 5, 1, 10, minute, 0)
+
+
+_FUNNEL_EVENTS = [
+    # user 1: clean full funnel
+    (1, _fts(0), 1, "view"),
+    (2, _fts(1), 1, "click"),
+    (3, _fts(2), 1, "purchase"),
+    # user 2: click at the SAME ts as view — strict > rejects it and
+    # there is no later click → stalls at stage 1
+    (4, _fts(0), 2, "view"),
+    (5, _fts(0), 2, "click"),
+    # user 3: click arrives BEFORE the first view → stage 1 only
+    (6, _fts(0), 3, "click"),
+    (7, _fts(1), 3, "view"),
+    # user 4: purchase before the click → stops at stage 2
+    (8, _fts(0), 4, "purchase"),
+    (9, _fts(1), 4, "view"),
+    (10, _fts(2), 4, "click"),
+    # user 5: same-ts click+purchase after a view: click counts (its
+    # ts > view's), purchase needs ts > click's ts and fails → stage 2
+    (11, _fts(0), 5, "view"),
+    (12, _fts(1), 5, "click"),
+    (13, _fts(1), 5, "purchase"),
+    # user 6: only non-funnel events → excluded from n_users entirely
+    (14, _fts(0), 6, "signup"),
+    # user 7: repeated views then a late full run — earliest view
+    # anchors, later steps still progress
+    (15, _fts(5), 7, "view"),
+    (16, _fts(1), 7, "view"),
+    (17, _fts(6), 7, "click"),
+    (18, _fts(7), 7, "purchase"),
+]
+
+
+@pytest.fixture()
+def crafted_funnel(spark, monkeypatch):
+    import frinesis_spark.operators.relational as rel_mod
+    from frinesis_spark import catalog
+
+    events = spark.createDataFrame(
+        [(i, ts, u, et, 1.0, "{}") for i, ts, u, et in _FUNNEL_EVENTS],
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+    real_table = catalog.table
+    monkeypatch.setattr(
+        rel_mod,
+        "table",
+        lambda s, d, n: events if n == "events" else real_table(s, d, n),
+    )
+    duck = duckdb.connect()
+    duck.register("events", events.toPandas())
+    return duck
+
+
+def test_funnel_ordering_and_ties(spark, crafted_funnel):
+    from frinesis_spark.operators import relational
+
+    spark_pdf = relational.QUERIES["funnel_conversion"](
+        spark, "crafted://funnel"
+    ).toPandas()
+    duck_pdf = crafted_funnel.sql(
+        relational.ORACLE["funnel_conversion"]
+    ).df()
+    assert_frames_match(spark_pdf, duck_pdf, "funnel_conversion")
+    row = spark_pdf.iloc[0]
+    # users 1..5 and 7 have funnel events; 6 has none
+    assert row["n_users"] == 6
+    assert row["reached_view"] == 6  # every funnel user eventually views
+    assert row["reached_click"] == 4  # users 1, 4, 5, 7
+    assert row["reached_purchase"] == 2  # users 1, 7
