@@ -104,6 +104,9 @@ HEADLINE = [
     "dedup_substring_chunks",
     "time_downsample_m4",
     "pipeline_shuffle_shard",
+    # rolling quantile: the one frame-buffering window evaluator in
+    # the suite — its per-step re-sort cost must stay visible.
+    "window_rolling_quantile",
 ]
 
 # Queries served from the per-(session, corpus) derived-artifact caches

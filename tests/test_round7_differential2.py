@@ -146,6 +146,50 @@ def crafted_funnel(spark, monkeypatch):
     return duck
 
 
+def test_rolling_quantile_edges(spark, monkeypatch):
+    """Rolling quantile on a crafted series: NULL values inside the
+    frame (ignored by BOTH engines' interpolating quantile), frames
+    shorter than the nominal width, duplicate values, and interpolation
+    midpoints that are not exactly representable halves."""
+    import frinesis_spark.operators.timeseries as ts_mod
+    from frinesis_spark import catalog
+
+    vals = [1.1, None, 2.3, 2.3, -7.7, None, 0.3, 9.9, 0.1]
+    events = spark.createDataFrame(
+        [
+            (i, _fts(i), 1, "tick" if i % 2 == 0 else "tock", v, "{}")
+            for i, v in enumerate(vals)
+        ],
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+    real_table = catalog.table
+    monkeypatch.setattr(
+        ts_mod,
+        "table",
+        lambda s, d, n: events if n == "events" else real_table(s, d, n),
+    )
+    duck = duckdb.connect()
+    duck.register("events", events.toPandas())
+    spark_pdf = ts_mod.QUERIES["window_rolling_quantile"](
+        spark, "crafted://roll"
+    ).toPandas()
+    duck_pdf = duck.sql(ts_mod.ORACLE["window_rolling_quantile"]).df()
+    assert_frames_match(spark_pdf, duck_pdf, "window_rolling_quantile")
+    import pandas as pd
+
+    by_id = spark_pdf.set_index("event_id")
+    # Frame of one non-NULL value: the quantile IS that value.
+    assert by_id.loc[0, "med_trailing"] == 1.1
+    # An all-NULL frame yields NULL on both engines.
+    assert pd.isna(by_id.loc[1, "med_trailing"])
+    # NULLs inside the frame are ignored: tock frame [None, 2.3] → 2.3.
+    assert by_id.loc[3, "med_trailing"] == 2.3
+    # Even-count frame interpolates between the middle values:
+    # tick frame [1.1, 2.3, -7.7, 0.3] → (0.3 + 1.1) / 2.
+    assert by_id.loc[6, "med_trailing"] == (0.3 + 1.1) / 2
+
+
 def test_funnel_ordering_and_ties(spark, crafted_funnel):
     from frinesis_spark.operators import relational
 

@@ -82,6 +82,7 @@ AUDITED = [
     "pipeline_shuffle_shard",
     "time_downsample_m4",
     "sink_sorted_clustered",
+    "window_rolling_quantile",
     # the r5 rotation dozen (oldest driver evidence) — plan evidence
     # rides along with their fresh correctness rows
     "agg_percentile",
