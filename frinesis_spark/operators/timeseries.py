@@ -306,15 +306,108 @@ def q_window_rolling_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_analytics_cumulative_distinct(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Daily active users, daily NEW users and the cumulative unique-
+    user count per event type — the growth chart every product
+    analytics stack draws, and the canonical "running COUNT(DISTINCT)"
+    problem.
+
+    A naive cumulative distinct (distinct-count over an unbounded
+    window) re-scans ever-growing state per row. The scalable
+    identity: cumulative_uniques(d) = Σ new_users(≤d), where a user's
+    "new" day is their first-occurrence row — ONE row_number window
+    partitioned by (event_type, user_id), high-cardinality keys so
+    parallelism scales with users, not days. After that everything is
+    day-grain: a daily distinct agg (two-phase expand), a tiny
+    left join of the two day tables, and a running sum over
+    |event_types × days| rows. The heavy lifting never touches more
+    than each user's own event list.
+    """
+    e = table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    w_first = W.partitionBy("event_type", "user_id").orderBy(
+        "ts", "event_id"
+    )
+    firsts = (
+        e.select(
+            "event_type",
+            day.alias("day"),
+            F.row_number().over(w_first).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("new_users"))
+    )
+    daily = e.groupBy("event_type", day.alias("day")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    w_cum = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    j = daily.join(firsts, ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        "dau",
+        F.coalesce("new_users", F.lit(0)).alias("new_users"),
+    )
+    return j.select(
+        "event_type",
+        "day",
+        "dau",
+        "new_users",
+        F.sum("new_users").over(w_cum).alias("cum_users"),
+    )
+
+
 QUERIES = {
     "time_gapfill_locf": q_time_gapfill_locf,
     "window_session_islands": q_window_session_islands,
     "analytics_retention_cohort": q_analytics_retention_cohort,
     "time_downsample_m4": q_time_downsample_m4,
     "window_rolling_quantile": q_window_rolling_quantile,
+    "analytics_cumulative_distinct": q_analytics_cumulative_distinct,
 }
 
 ORACLE = {
+    # date_trunc returns TIMESTAMP for timestamp input on both
+    # engines; counts pinned BIGINT, running SUM re-cast (DuckDB
+    # widens SUM(BIGINT) to HUGEINT).
+    "analytics_cumulative_distinct": """
+        WITH firsts AS (
+            SELECT event_type,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type, user_id
+                       ORDER BY ts, event_id) AS rn
+            FROM events
+        ),
+        new_daily AS (
+            SELECT event_type, day, COUNT(*) AS new_users
+            FROM firsts WHERE rn = 1
+            GROUP BY event_type, day
+        ),
+        daily AS (
+            SELECT event_type,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   COUNT(DISTINCT user_id) AS dau
+            FROM events
+            GROUP BY event_type, day
+        )
+        SELECT d.event_type, d.day,
+               CAST(d.dau AS BIGINT) AS dau,
+               CAST(COALESCE(n.new_users, 0) AS BIGINT) AS new_users,
+               CAST(SUM(COALESCE(n.new_users, 0)) OVER (
+                   PARTITION BY d.event_type ORDER BY d.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_users
+        FROM daily d
+        LEFT JOIN new_daily n
+          ON d.event_type = n.event_type AND d.day = n.day
+    """,
     "window_rolling_quantile": f"""
         SELECT event_id, event_type, ts, value,
                quantile_cont(value, 0.5) OVER w AS med_trailing,

@@ -71,17 +71,19 @@ def _load_modules():
 #      the 29 r4-green rows the r6 verdict flagged as the backlog,
 #      then the 41 r5-green rows absent from the r6 window;
 #   3. green in CORRECTNESS_r06 (freshest evidence, cheapest to skip).
-# Window arithmetic (r7): 126 registered = 120 carried + 6 added
+# Window arithmetic (r7): 128 registered = 120 carried + 8 added
 # late-r7 (dedup_substring_chunks, pipeline_source_mixture,
 # pipeline_shuffle_shard, time_downsample_m4, sink_sorted_clustered,
-# window_rolling_quantile — tier 1 by construction, so they verify in
-# their debut round). The window fills as |tier0|=12 + 6
-# never-verified + 29 r4-stale + the 3 oldest r5-stale rows = 50; the
-# 38 displaced r5 rows lead r8, so max evidence age at any verdict
-# stays 2 rounds (the 126-query surface cycles in ⌈126/50⌉ = 3
+# window_rolling_quantile, source_schema_evolution,
+# analytics_cumulative_distinct — tier 1 by construction, so they
+# verify in their debut round). The window fills as |tier0|=12 + 8
+# never-verified + 29 r4-stale + the oldest r5-stale row = 50; the
+# 40 displaced r5 rows lead r8, so max evidence age at any verdict
+# stays 2 rounds (the 128-query surface cycles in ⌈128/50⌉ = 3
 # windows with the check always landing in the visiting round).
-# Growth stayed ≤ the window's slack (12+6+29 ≤ 50) so the r4 backlog
-# the r6 verdict flagged still drains fully this round. Tier0 this round is the foreachBatch-
+# Growth stayed ≤ the window's slack (12+8+29 ≤ 50) so the r4 backlog
+# the r6 verdict flagged still drains fully this round; growth is now
+# capped for r7 (the slack is spent). Tier0 this round is the foreachBatch-
 # upsert rework, the decontaminate eval-set cap, the TPC-H Q7/Q8
 # half-open date rewrite (ADVICE r6), and the differential-sweep
 # fixes below.

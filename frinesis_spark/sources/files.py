@@ -154,14 +154,83 @@ def q_source_text_lines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet schema evolution: a dataset whose early files were
+    written BEFORE a column existed, read as one table with
+    ``mergeSchema`` — the additive-column migration every long-lived
+    data lake accumulates (files are immutable; the schema grows, the
+    old files stay).
+
+    v1 files carry (orderkey, totalprice, status) for pre-1997 orders; v2
+    files add ``o_orderpriority`` for the rest. The merged read fills
+    the missing column with NULL for v1 rows; the aggregate splits
+    counts by priority-known vs priority-missing per order status, so
+    a reader that dropped v1 rows, invented non-NULL priorities, or
+    failed the union would hash-mismatch the oracle (which rebuilds
+    the same two-generation view from the original table).
+
+    Scale: schema merge is a FOOTER-only planning step (one footer
+    per file at job start — with _common_metadata or a catalog it is
+    O(1)); the data path remains an ordinary vectorized scan where
+    v1 files materialize the missing column as a constant-NULL
+    vector. No shuffle beyond the final aggregate.
+    """
+    o = table(spark, sf_dir, "orders")
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+    path = _roundtrip_dir("schema_evolution")
+    (
+        o.where(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "gen=1"))
+    )
+    (
+        o.where(F.col("o_orderdate") >= cutoff)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus", "o_orderpriority")
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "gen=2"))
+    )
+    back = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(path, "gen=1"), os.path.join(path, "gen=2")
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count("o_orderpriority").alias("n_with_priority"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+        dsum("o_totalprice").alias("total"),
+    )
+
+
 QUERIES = {
     "source_csv_roundtrip": q_source_csv_roundtrip,
     "source_json_roundtrip": q_source_json_roundtrip,
     "source_orc_roundtrip": q_source_orc_roundtrip,
     "source_text_lines_roundtrip": q_source_text_lines_roundtrip,
+    "source_schema_evolution": q_source_schema_evolution,
 }
 
 ORACLE = {
+    # Rebuild the two-generation view: v1 rows (pre-1997) existed
+    # before o_orderpriority did, so the merged reader must surface
+    # them with a NULL priority.
+    "source_schema_evolution": f"""
+        WITH merged AS (
+            SELECT o_orderkey, o_totalprice, o_orderstatus,
+                   CAST(NULL AS VARCHAR) AS o_orderpriority
+            FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+            UNION ALL
+            SELECT o_orderkey, o_totalprice, o_orderstatus,
+                   o_orderpriority
+            FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        )
+        SELECT o_orderstatus,
+               COUNT(*) AS n_orders,
+               COUNT(o_orderpriority) AS n_with_priority,
+               COUNT(DISTINCT o_orderpriority) AS n_priorities,
+               {oracle_dsum('o_totalprice')} AS total
+        FROM merged
+        GROUP BY o_orderstatus
+    """,
     "source_text_lines_roundtrip": """
         SELECT COUNT(*) AS n_lines,
                CAST(SUM(LENGTH(text)) AS BIGINT) AS n_chars_total,

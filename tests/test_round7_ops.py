@@ -301,3 +301,52 @@ def test_sorted_clustered_layout_skips(spark, sf_dir):
     y1 = datetime.datetime(1996, 1, 1)
     touched = [1 for lo, hi in spans if hi >= y0 and lo < y1]
     assert 0 < sum(touched) < len(spans)
+
+
+# ------------------------------------------------- cumulative distinct
+
+
+def test_cumulative_distinct_identity(spark, sf_dir):
+    """cum_users at each day must equal the brute-force distinct count
+    of all users seen up to that day — the first-occurrence identity
+    the operator rests on — and the final value must equal the total
+    distinct users of the event type."""
+    import pandas as pd
+
+    from frinesis_spark.operators import timeseries
+
+    pdf = timeseries.QUERIES["analytics_cumulative_distinct"](
+        spark, sf_dir
+    ).toPandas()
+    from frinesis_spark.catalog import table
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "ts"
+    ).toPandas()
+    ev["day"] = ev["ts"].dt.floor("D")
+    for et, grp in pdf.groupby("event_type"):
+        seen: set = set()
+        sub = ev[ev["event_type"] == et]
+        for _, row in grp.sort_values("day").iterrows():
+            day = pd.Timestamp(row["day"])
+            seen |= set(sub[sub["day"] == day]["user_id"])
+            assert row["cum_users"] == len(
+                set(sub[sub["day"] <= day]["user_id"])
+            )
+            assert row["dau"] >= row["new_users"]
+        assert grp["cum_users"].max() == sub["user_id"].nunique()
+
+
+# --------------------------------------------------- schema evolution
+
+
+def test_schema_evolution_null_fill(spark, sf_dir):
+    """The merged read must keep every v1 row and surface its missing
+    column as NULL — not drop the rows, not invent values."""
+    from frinesis_spark.sources import files as src_mod
+
+    pdf = src_mod.QUERIES["source_schema_evolution"](spark, sf_dir).toPandas()
+    assert (pdf["n_orders"] >= pdf["n_with_priority"]).all()
+    # Both generations are non-empty in every status bucket at any sf.
+    assert (pdf["n_with_priority"] > 0).any()
+    assert (pdf["n_orders"] > pdf["n_with_priority"]).any()

@@ -83,6 +83,8 @@ AUDITED = [
     "time_downsample_m4",
     "sink_sorted_clustered",
     "window_rolling_quantile",
+    "source_schema_evolution",
+    "analytics_cumulative_distinct",
     # the r5 rotation dozen (oldest driver evidence) — plan evidence
     # rides along with their fresh correctness rows
     "agg_percentile",
