@@ -317,44 +317,38 @@ def q_analytics_cumulative_distinct(
     A naive cumulative distinct (distinct-count over an unbounded
     window) re-scans ever-growing state per row. The scalable
     identity: cumulative_uniques(d) = Σ new_users(≤d), where a user's
-    "new" day is their first-occurrence row — ONE row_number window
-    partitioned by (event_type, user_id), high-cardinality keys so
-    parallelism scales with users, not days. After that everything is
-    day-grain: a daily distinct agg (two-phase expand), a tiny
-    left join of the two day tables, and a running sum over
-    |event_types × days| rows. The heavy lifting never touches more
-    than each user's own event list.
+    "new" day is their FIRST active day. ONE events-scale pass
+    collapses the stream to distinct (type, user, day) triples
+    (partial-agg shuffle on high-cardinality keys — parallelism
+    scales with users); a sortless ``min(day)`` window on (type,
+    user) flags each triple against its user's first day (mergeable
+    aggregate — cheaper than the row_number formulation, and the
+    single scan beats the two-branch min/count variant Catalyst
+    cannot share); then one day-grain aggregate produces DAU and
+    new_users together — no join, no second scan — and a running sum
+    over |event_types × days| rows finishes the chart.
     """
     e = table(spark, sf_dir, "events")
     day = F.date_trunc("day", F.col("ts"))
-    w_first = W.partitionBy("event_type", "user_id").orderBy(
-        "ts", "event_id"
-    )
-    firsts = (
-        e.select(
-            "event_type",
-            day.alias("day"),
-            F.row_number().over(w_first).alias("rn"),
-        )
-        .where(F.col("rn") == 1)
-        .groupBy("event_type", "day")
-        .agg(F.count(F.lit(1)).alias("new_users"))
-    )
-    daily = e.groupBy("event_type", day.alias("day")).agg(
-        F.countDistinct("user_id").alias("dau")
+    triples = e.select(
+        "event_type", "user_id", day.alias("day")
+    ).distinct()
+    w_user = W.partitionBy("event_type", "user_id")
+    flagged = triples.select(
+        "event_type",
+        "day",
+        (F.col("day") == F.min("day").over(w_user)).alias("is_first"),
     )
     w_cum = (
         W.partitionBy("event_type")
         .orderBy("day")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    j = daily.join(firsts, ["event_type", "day"], "left").select(
-        "event_type",
-        "day",
-        "dau",
-        F.coalesce("new_users", F.lit(0)).alias("new_users"),
+    daily = flagged.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("dau"),
+        F.sum(F.col("is_first").cast("long")).alias("new_users"),
     )
-    return j.select(
+    return daily.select(
         "event_type",
         "day",
         "dau",

@@ -146,6 +146,116 @@ def crafted_funnel(spark, monkeypatch):
     return duck
 
 
+def test_bool_bitwise_null_and_negative(spark, monkeypatch):
+    """Boolean/bitwise aggregates on crafted groups: NULLs inside the
+    predicates (ignored by EVERY/BOOL_OR on both engines), an all-NULL
+    group (aggregate yields NULL, COUNT still counts rows), negative
+    integers through BIT_AND/OR/XOR (two's-complement identical), and
+    a single-row group (bit aggs are identities)."""
+    import frinesis_spark.operators.relational as rel_mod
+    from frinesis_spark import catalog
+
+    rows = [
+        # group A: mixed signs and NULL quantity rows
+        ("A", 5.0, 0.10, 3),
+        ("A", None, 0.00, -7),
+        ("A", 2.0, None, 12),
+        # group B: every value NULL except the bit column's negatives
+        ("B", None, None, -1),
+        ("B", None, None, -2),
+        # group C: single row
+        ("C", -1.0, 0.05, 6),
+    ]
+    li = spark.createDataFrame(
+        rows,
+        "l_returnflag string, l_quantity double, l_discount double, "
+        "l_linenumber long",
+    )
+    real_table = catalog.table
+    monkeypatch.setattr(
+        rel_mod,
+        "table",
+        lambda s, d, n: li if n == "lineitem" else real_table(s, d, n),
+    )
+    duck = duckdb.connect()
+    duck.register("lineitem", li.toPandas())
+    spark_pdf = rel_mod.QUERIES["agg_bool_bitwise"](
+        spark, "crafted://bits"
+    ).toPandas()
+    duck_pdf = duck.sql(rel_mod.ORACLE["agg_bool_bitwise"]).df()
+    assert_frames_match(spark_pdf, duck_pdf, "agg_bool_bitwise")
+    by = spark_pdf.set_index("l_returnflag")
+    # NULL predicates are ignored: A's non-NULL quantities are all > 0.
+    assert bool(by.loc["A", "all_qty_positive"]) is True
+    # -1 & -2 in two's complement = -2; -1 | -2 = -1.
+    assert by.loc["B", "lineno_bit_and"] == -2
+    assert by.loc["B", "lineno_bit_or"] == -1
+    # All-NULL predicate group: the boolean verdicts are NULL, the
+    # row count is not.
+    import pandas as pd
+
+    assert pd.isna(by.loc["B", "all_qty_positive"])
+    assert by.loc["B", "n_rows"] == 2
+    # Single-row group: every bit aggregate is the value itself.
+    assert (
+        by.loc["C", "lineno_bit_and"]
+        == by.loc["C", "lineno_bit_or"]
+        == by.loc["C", "lineno_bit_xor"]
+        == 6
+    )
+
+
+def test_scalar_date_math_edge_dates(spark, monkeypatch):
+    """The date/math scalar suite on crafted ORDERS rows the fixture's
+    1995-2001 window never produces: leap day, a century NON-leap
+    (1900-02-28 + the 28th being month-end), epoch day, far-future
+    year, and timestamps one µs before midnight (datediff must count
+    calendar-date difference, not elapsed 24 h blocks) — plus sqrt(0),
+    a sub-dollar price and a price at the ceil boundary."""
+    import frinesis_spark.operators.scalar as scalar_mod
+    from frinesis_spark import catalog
+
+    rows = [
+        (1, 1, "O", 0.0, datetime.datetime(2000, 2, 29, 12, 0), "1-URGENT"),
+        (2, 1, "F", 0.5, datetime.datetime(1900, 2, 28, 0, 0), "5-LOW"),
+        (3, 1, "P", 100.0, datetime.datetime(1970, 1, 1, 0, 0), "3-MEDIUM"),
+        # one µs before midnight: still the SAME calendar day
+        (4, 1, "O", 99.99,
+         datetime.datetime(2001, 12, 31, 23, 59, 59, 999999), "2-HIGH"),
+        (5, 1, "F", 12345.678, datetime.datetime(2199, 6, 15, 6, 30), ""),
+        (6, 1, "P", 1000.0, datetime.datetime(1999, 12, 31, 23, 59, 59),
+         "4-NOT SPECIFIED"),
+    ]
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    real_table = catalog.table
+    monkeypatch.setattr(
+        scalar_mod,
+        "table",
+        lambda s, d, n: orders if n == "orders" else real_table(s, d, n),
+    )
+    duck = duckdb.connect()
+    duck.register("orders", orders.toPandas())
+    spark_pdf = scalar_mod.QUERIES["scalar_string_date_math"](
+        spark, "crafted://dates"
+    ).toPandas()
+    duck_pdf = duck.sql(
+        scalar_mod.ORACLE["scalar_string_date_math"]
+    ).df()
+    assert_frames_match(spark_pdf, duck_pdf, "scalar_string_date_math")
+    by_id = spark_pdf.set_index("o_orderkey")
+    # 23:59:59.999999 on Dec 31 is still 1 calendar day before Jan 1.
+    assert by_id.loc[4, "days_to_2002"] == 1
+    # Leap day's month truncation lands on Feb 1 of a leap year.
+    assert by_id.loc[1, "order_month_start"].month == 2
+    assert by_id.loc[1, "price_sqrt"] == 0.0
+    # ceil at an exact boundary does not round up past it.
+    assert by_id.loc[6, "price_centi_ceil"] == 10
+
+
 def test_rolling_quantile_edges(spark, monkeypatch):
     """Rolling quantile on a crafted series: NULL values inside the
     frame (ignored by BOTH engines' interpolating quantile), frames
