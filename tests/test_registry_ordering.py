@@ -63,3 +63,21 @@ def test_every_tier_name_is_registered():
 def test_oracle_order_mirrors_query_order():
     qnames = [n for n in _names() if n in registry.oracle_sql()]
     assert list(registry.oracle_sql()) == qnames
+
+
+def test_rows_only_set_is_closed():
+    """Every registered query carries an oracle except the five
+    declared rows-only-by-design entries (hash families / sketches
+    not reproducible in DuckDB SQL — SURVEY §2B/§2C). A new operator
+    landing without an oracle must either get one or be added HERE
+    with its declared justification."""
+    rows_only = {
+        "agg_approx_distinct",  # HLL sketch; estimate bounded by test
+        "dedup_near_minhash",  # xxhash64 family; exact-Jaccard twin
+        "dedup_simhash",  # same hash-family argument
+        "similarity_ann_lsh",  # approx; recall floors pinned in tests
+        "similarity_ann_ivf",  # approx; recall floors pinned in tests
+    }
+    q = set(registry.queries())
+    o = set(registry.oracle_sql())
+    assert q - o == rows_only
