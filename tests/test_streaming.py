@@ -237,3 +237,91 @@ def test_available_now_trigger_matches_watermark_semantics(spark, sf_dir):
     got = sorted(map(tuple, spark.read.parquet(outdir).collect()))
     want = sorted(map(tuple, q_stream_watermark_late(spark, sf_dir).collect()))
     assert got == want and want
+
+
+def test_restart_from_checkpoint_exactly_once(spark, stage, tmp_path):
+    """Kill the query between micro-batches and restart from the same
+    checkpoint into the same file sink: finalized windows must appear
+    EXACTLY once (no loss, no re-emission), and post-restart data must
+    keep aggregating into the surviving state. This is the
+    crash-recovery contract batch oracles cannot check: offsets come
+    from the checkpoint's WAL, output dedup from the file sink's
+    _spark_metadata commit log, state from the state store snapshot.
+    """
+    import uuid as _uuid
+
+    os.makedirs(stage, exist_ok=True)
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    out = str(tmp_path / "sink_out")
+    ckpt = str(tmp_path / "ckpt_restart")
+
+    def build(sdf):
+        return (
+            sdf.withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+                "n",
+            )
+        )
+
+    def start():
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(stage, "*.parquet"))
+        )
+        return (
+            build(sdf)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+    h = "2003-07-01T{:02d}:{:02d}:00"
+    _write_batch(spark, stage, [
+        (1, _ts(h.format(0, 5)), "view", 1.0),
+        (2, _ts(h.format(0, 20)), "view", 1.0),
+        (3, _ts(h.format(0, 40)), "view", 1.0),
+        (4, _ts(h.format(1, 10)), "view", 1.0),
+    ], 0)
+    _write_batch(spark, stage, [
+        (5, _ts(h.format(1, 30)), "view", 1.0),
+        (6, _ts(h.format(1, 50)), "view", 1.0),
+        (7, _ts(h.format(2, 15)), "view", 1.0),
+    ], 1)
+    q1 = start()
+    try:
+        for _ in range(4):
+            q1.processAllAvailable()
+    finally:
+        q1.stop()  # crash point: hour-00 window emitted, 01/02 in state
+
+    _write_batch(spark, stage, [
+        (8, _ts(h.format(3, 10)), "view", 1.0),
+        (9, _ts(h.format(5, 0)), "view", 1.0),  # watermark → 04:30
+    ], 2)
+    q2 = start()
+    try:
+        for _ in range(4):
+            q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    got = {
+        (r.window_start.isoformat(), r.n)
+        for r in spark.read.parquet(out).collect()
+    }
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == len(got), "a finalized window was emitted twice"
+    # Windows 00-03 are past the final 04:30 watermark; hour-05's
+    # window is still open and must NOT have been emitted.
+    assert got == {
+        ("2003-07-01T00:00:00", 3),
+        ("2003-07-01T01:00:00", 3),
+        ("2003-07-01T02:00:00", 1),
+        ("2003-07-01T03:00:00", 1),
+    }
