@@ -166,9 +166,14 @@ def _store_load_or_build(
     recomputation), artifacts live under
     ``$SPARK_GRAFT_INDEX_STORE/<artifact>/fp=<corpus fingerprint>/``:
     a fingerprint hit is a plain parquet scan (zero recompute, survives
-    session restarts), a miss builds once, writes, and reclaims the
-    superseded fingerprint's directory (one live corpus version per
-    artifact — a real deployment with time-travel needs would keep N).
+    session restarts), a miss builds once, writes, and reclaims all
+    but the most recently superseded fingerprint directory. Keeping
+    one generation back matters for correctness, not just time
+    travel: store-mode frames are LAZY parquet scans, so a caller
+    holding a DataFrame built before a corpus refresh still reads the
+    previous fingerprint's files — deleting them immediately would
+    fail that caller's next action mid-job. (A real deployment with
+    time-travel needs would keep N generations.)
 
     Returns ``(frame, fingerprint)`` — the fingerprint ("" when the
     store is off) belongs in the in-memory cache key so a corpus
@@ -187,9 +192,17 @@ def _store_load_or_build(
         return spark.read.parquet(path), fp
     df = build()
     df.write.mode("overwrite").parquet(path)
-    for d in glob.glob(os.path.join(base, "fp=*")):
-        if os.path.basename(d) != f"fp={fp}":
-            shutil.rmtree(d, ignore_errors=True)
+    superseded = sorted(
+        (
+            d
+            for d in glob.glob(os.path.join(base, "fp=*"))
+            if os.path.basename(d) != f"fp={fp}"
+        ),
+        key=os.path.getmtime,
+        reverse=True,
+    )
+    for d in superseded[1:]:  # keep the newest superseded generation
+        shutil.rmtree(d, ignore_errors=True)
     return spark.read.parquet(path), fp
 
 
@@ -262,7 +275,11 @@ def _cached_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     immutable corpus dir, so repeat invocations reuse the checkpointed
     table instead of re-running the text→hash→vote pass (at real scale
     a persisted fingerprint column/table)."""
-    key = (session_key(spark), sf_dir)
+    # Fingerprint-keyed in store mode for the same refresh-visibility
+    # contract as the minhash signatures (see _SIG_CACHE note).
+    store = os.environ.get("SPARK_GRAFT_INDEX_STORE")
+    fp_key = _corpus_fingerprint(sf_dir) if store else ""
+    key = (session_key(spark), sf_dir, fp_key)
     fp = _SIMHASH_CACHE.get(key)
     if fp is None:
         if len(_SIMHASH_CACHE) >= 4:
@@ -457,7 +474,14 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the same per-(session, corpus) statistics cache as the shingle
     # index (see _INDEX_CACHE): a pure function of an immutable
     # fixture dir, shared across repeat invocations.
-    key = (session_key(spark), sf_dir)
+    # Store mode adds the corpus fingerprint to the key — signatures
+    # are not persisted to the store (localCheckpoint only), but a
+    # mid-session corpus refresh must invalidate them exactly like the
+    # index/sizes artifacts, or two dedup queries in one session would
+    # silently answer about different corpora.
+    store = os.environ.get("SPARK_GRAFT_INDEX_STORE")
+    fp_key = _corpus_fingerprint(sf_dir) if store else ""
+    key = (session_key(spark), sf_dir, fp_key)
     sig = _SIG_CACHE.get(key)
     if sig is None:
         if len(_SIG_CACHE) >= 4:

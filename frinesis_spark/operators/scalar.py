@@ -20,6 +20,16 @@ from frinesis_spark.catalog import register_views, table
 from frinesis_spark.functions.numeric import dsum, oracle_dsum
 
 
+def _strict_long(c: Column) -> Column:
+    """Integer-literal-gated long conversion shared by the JSON and
+    VARIANT operators: only ``^[+-]?[0-9]+$`` strings convert,
+    everything else is NULL. TRY_CAST alone is not enough — DuckDB's
+    rounds '3.5' where Spark NULLs it, and a bare ANSI cast crashes
+    the job. One definition so the two operators' k-parsing contracts
+    cannot drift apart."""
+    return F.when(c.rlike("^[+-]?[0-9]+$"), c).try_cast("long")
+
+
 def q_scalar_string_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String / date / math scalar functions over `orders`.
 
@@ -82,10 +92,6 @@ def q_scalar_array_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     props_map = F.from_json(
         F.col("props"), T.MapType(T.StringType(), T.StringType())
     )
-
-    def _strict_long(c: Column) -> Column:
-        return F.when(c.rlike("^[+-]?[0-9]+$"), c).try_cast("long")
-
     event_side = e.select(
         F.col("event_id").alias("row_id"),
         _strict_long(F.get_json_object(F.col("props"), "$.k")).alias("k_json"),
@@ -252,8 +258,15 @@ def q_scalar_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
     # raise), and the payload interpolates the NORMALIZED integer
     # (k_norm), never the raw string, so it is valid JSON by
     # construction.
-    k_long = F.when(k_str.rlike("^[+-]?[0-9]+$"), k_str).try_cast("long")
-    e = e.where(k_long.isNotNull() & (F.abs(k_long) < F.lit(2**62)))
+    # Two-sided range compare, NOT abs(): ABS(LONG_MIN) itself raises
+    # ARITHMETIC_OVERFLOW on both engines — the guard must not be a
+    # member of the job-kill class it guards against.
+    k_long = _strict_long(k_str)
+    e = e.where(
+        k_long.isNotNull()
+        & (k_long > F.lit(-(2**62)))
+        & (k_long < F.lit(2**62))
+    )
     k_norm = k_long.cast("string")
     payload = F.concat(
         F.lit('{"meta":{"type":"'),
@@ -331,7 +344,12 @@ ORACLE = {
                                  '^[+-]?[0-9]+$')
               AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
                   IS NOT NULL
-              AND ABS(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+              -- two-sided range, not ABS: ABS(LONG_MIN) raises on
+              -- both engines (the job-kill class this gate exists
+              -- to keep out)
+              AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                  > -4611686018427387904
+              AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
                   < 4611686018427387904
         )
         SELECT json_extract_string(payload, '$.meta.type') AS vtype,

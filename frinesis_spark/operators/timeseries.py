@@ -232,8 +232,18 @@ def q_time_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's ``arg_min`` skips NULL-valued rows).
     """
     e = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    # FLOOR of the µs epoch, not a double→long cast: the cast truncates
+    # toward zero, which equals floor only for non-negative epochs — a
+    # pre-1970 timestamp would land one bucket high vs the oracle's
+    # integer // (which floors). µs values are exact in a double until
+    # ~year 2255, and the quotient sits ~1e-9 away from the boundary at
+    # worst, so the floor is exact.
     bucket = F.timestamp_seconds(
-        (F.unix_timestamp("ts") / _M4_BUCKET_S).cast("long") * _M4_BUCKET_S
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            / F.lit(_M4_BUCKET_S * 1_000_000)
+        )
+        * _M4_BUCKET_S
     )
     ord_key = F.concat(
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
@@ -328,7 +338,11 @@ def q_analytics_cumulative_distinct(
     new_users together — no join, no second scan — and a running sum
     over |event_types × days| rows finishes the chart.
     """
-    e = table(spark, sf_dir, "events")
+    # Anonymous events (NULL user_id) are dropped up front: Spark's
+    # distinct would keep a NULL-user triple and count it where SQL's
+    # COUNT(DISTINCT user_id) ignores NULL — the explicit filter pins
+    # one contract (a NULL is not a user) on both engines.
+    e = table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
     day = F.date_trunc("day", F.col("ts"))
     triples = e.select(
         "event_type", "user_id", day.alias("day")
@@ -378,6 +392,7 @@ ORACLE = {
                        PARTITION BY event_type, user_id
                        ORDER BY ts, event_id) AS rn
             FROM events
+            WHERE user_id IS NOT NULL
         ),
         new_daily AS (
             SELECT event_type, day, COUNT(*) AS new_users
@@ -389,6 +404,7 @@ ORACLE = {
                    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
                    COUNT(DISTINCT user_id) AS dau
             FROM events
+            WHERE user_id IS NOT NULL
             GROUP BY event_type, day
         )
         SELECT d.event_type, d.day,
@@ -411,15 +427,19 @@ ORACLE = {
                      ROWS BETWEEN {_ROLL_FRAME - 1} PRECEDING
                      AND CURRENT ROW)
     """,
-    # epoch_us // 1_000_000 floors to whole seconds (a DOUBLE-epoch
-    # CAST would ROUND in DuckDB — off-by-one bucket at x.5+ fractions,
-    # where Spark's unix_timestamp truncates). to_timestamp returns
-    # TIMESTAMP WITH TIME ZONE in DuckDB; the CAST pins the naive type
-    # Spark has.
+    # FLOOR of the µs epoch over the full bucket width, matching the
+    # Spark side exactly — incl. pre-1970 epochs, where both DuckDB's
+    # integer '//' and a double→BIGINT CAST would TRUNCATE toward zero
+    # (a double-width bucket around the epoch); a bare DOUBLE-epoch
+    # CAST additionally ROUNDS x.5+ fractions. µs values are exact in
+    # a double until ~2255 and quotients sit ≥1e-9 from boundaries, so
+    # the floor is exact. to_timestamp returns TIMESTAMP WITH TIME
+    # ZONE in DuckDB; the CAST pins the naive type Spark has.
     "time_downsample_m4": f"""
         SELECT event_type,
-               CAST(to_timestamp(epoch_us(ts) // 1000000
-                    // {_M4_BUCKET_S} * {_M4_BUCKET_S}) AS TIMESTAMP)
+               CAST(to_timestamp(CAST(floor(epoch_us(ts)
+                    / ({_M4_BUCKET_S}.0 * 1000000)) AS BIGINT)
+                    * {_M4_BUCKET_S}) AS TIMESTAMP)
                    AS bucket_ts,
                COUNT(*) AS n_points,
                MIN(value) AS v_min,

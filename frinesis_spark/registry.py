@@ -76,14 +76,14 @@ def _load_modules():
 # pipeline_shuffle_shard, time_downsample_m4, sink_sorted_clustered,
 # window_rolling_quantile, source_schema_evolution,
 # analytics_cumulative_distinct — tier 1 by construction, so they
-# verify in their debut round). The window fills as |tier0|=12 + 8
-# never-verified + 29 r4-stale + the oldest r5-stale row = 50; the
-# 40 displaced r5 rows lead r8, so max evidence age at any verdict
-# stays 2 rounds (the 128-query surface cycles in ⌈128/50⌉ = 3
-# windows with the check always landing in the visiting round).
-# Growth stayed ≤ the window's slack (12+8+29 ≤ 50) so the r4 backlog
-# the r6 verdict flagged still drains fully this round; growth is now
-# capped for r7 (the slack is spent). Tier0 this round is the foreachBatch-
+# verify in their debut round). The window fills as |tier0|=13 + 8
+# never-verified + 29 r4-stale = 50 exactly; all 41 r5-stale rows
+# lead r8, so max evidence age at any verdict stays 2 rounds (the
+# 128-query surface cycles in ⌈128/50⌉ = 3 windows with the check
+# always landing in the visiting round). Growth stayed ≤ the
+# window's slack (13+8+29 ≤ 50) so the r4 backlog the r6 verdict
+# flagged still drains fully this round; growth is now capped for r7
+# (the slack is spent). Tier0 this round is the foreachBatch-
 # upsert rework, the decontaminate eval-set cap, the TPC-H Q7/Q8
 # half-open date rewrite (ADVICE r6), and the differential-sweep
 # fixes below.
@@ -121,6 +121,11 @@ _CHANGED_SINCE_VERDICT = (
     # timestamp flavor (hardcoded NTZ literal killed analysis on LTZ
     # events frames — crafted-frame differential find)
     "funnel_conversion",
+    # r7 review find: the variant-shred magnitude guard used ABS,
+    # and ABS(LONG_MIN) raises on both engines — now a two-sided
+    # range compare; the shared _strict_long gate also serves
+    # scalar_array_map_json (hoisted), so both re-verify
+    "scalar_array_map_json",
 )
 
 _STALE_EVIDENCE = {

@@ -146,6 +146,116 @@ def crafted_funnel(spark, monkeypatch):
     return duck
 
 
+def test_variant_shred_long_min_does_not_crash(spark, monkeypatch):
+    """Review find: the doubling-safe magnitude guard used ABS, and
+    ABS(LONG_MIN) itself raises ARITHMETIC_OVERFLOW on both engines —
+    the guard was a member of the job-kill class it guards against.
+    Now a two-sided range compare: the LONG_MIN row is dropped, the
+    job survives, engines agree."""
+    import frinesis_spark.operators.scalar as scalar_mod
+    from frinesis_spark import catalog
+
+    events = spark.createDataFrame(
+        [
+            (1, '{"k": -9223372036854775808}', "view"),  # LONG_MIN
+            (2, '{"k": 9223372036854775807}', "view"),  # LONG_MAX
+            (3, '{"k": 41}', "click"),  # survives the gate
+            (4, '{"k": -4611686018427387904}', "view"),  # -2^62: dropped
+        ],
+        "event_id long, props string, event_type string",
+    )
+    real_table = catalog.table
+    monkeypatch.setattr(
+        scalar_mod,
+        "table",
+        lambda s, d, n: events if n == "events" else real_table(s, d, n),
+    )
+    duck = duckdb.connect()
+    duck.register("events", events.toPandas())
+    spark_pdf = scalar_mod.QUERIES["scalar_variant_shred"](
+        spark, "crafted://longmin"
+    ).toPandas()
+    duck_pdf = duck.sql(scalar_mod.ORACLE["scalar_variant_shred"]).df()
+    assert_frames_match(spark_pdf, duck_pdf, "scalar_variant_shred")
+    # Only the in-range row participates.
+    assert set(spark_pdf["vtype"]) == {"click"}
+    assert spark_pdf.iloc[0]["sum_k2"] == 82
+
+
+def test_cumulative_distinct_null_user(spark, monkeypatch):
+    """Review find: a NULL user_id triple was counted as a distinct
+    user by Spark's distinct but ignored by the oracle's
+    COUNT(DISTINCT). The declared contract (a NULL is not a user) now
+    filters it on both engines."""
+    import frinesis_spark.operators.timeseries as ts_mod
+    from frinesis_spark import catalog
+
+    events = spark.createDataFrame(
+        [
+            (1, _fts(0), 10, "view", 1.0, "{}"),
+            (2, _fts(1), None, "view", 1.0, "{}"),  # anonymous
+            (3, _fts(2), 11, "view", 1.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+    real_table = catalog.table
+    monkeypatch.setattr(
+        ts_mod,
+        "table",
+        lambda s, d, n: events if n == "events" else real_table(s, d, n),
+    )
+    duck = duckdb.connect()
+    duck.register("events", events.toPandas())
+    spark_pdf = ts_mod.QUERIES["analytics_cumulative_distinct"](
+        spark, "crafted://nulluser"
+    ).toPandas()
+    duck_pdf = duck.sql(
+        ts_mod.ORACLE["analytics_cumulative_distinct"]
+    ).df()
+    assert_frames_match(spark_pdf, duck_pdf, "analytics_cumulative_distinct")
+    assert spark_pdf.iloc[0]["dau"] == 2  # the NULL row is not a user
+
+
+def test_m4_pre_epoch_bucket_floors(spark, monkeypatch):
+    """Review find: the Spark bucket used a double→long CAST, which
+    truncates toward zero — a pre-1970 timestamp landed one bucket
+    high vs the oracle's flooring integer division. Now FLOOR on both
+    engines."""
+    import frinesis_spark.operators.timeseries as ts_mod
+    from frinesis_spark import catalog
+
+    events = spark.createDataFrame(
+        [
+            (1, datetime.datetime(1969, 12, 31, 23, 59, 0), 1,
+             "tick", 4.0, "{}"),
+            (2, datetime.datetime(1969, 12, 31, 23, 50, 0), 1,
+             "tick", 6.0, "{}"),
+            (3, datetime.datetime(1970, 1, 1, 0, 1, 0), 1,
+             "tick", 8.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+    real_table = catalog.table
+    monkeypatch.setattr(
+        ts_mod,
+        "table",
+        lambda s, d, n: events if n == "events" else real_table(s, d, n),
+    )
+    duck = duckdb.connect()
+    duck.register("events", events.toPandas())
+    spark_pdf = ts_mod.QUERIES["time_downsample_m4"](
+        spark, "crafted://preepoch"
+    ).toPandas()
+    duck_pdf = duck.sql(ts_mod.ORACLE["time_downsample_m4"]).df()
+    assert_frames_match(spark_pdf, duck_pdf, "time_downsample_m4")
+    # The two pre-epoch points share the 23:45 bucket; the post-epoch
+    # point opens 00:00 — truncation would have merged all three.
+    starts = sorted(r.isoformat() for r in spark_pdf["bucket_ts"])
+    assert starts == ["1969-12-31T23:45:00", "1970-01-01T00:00:00"]
+
+
 def test_bool_bitwise_null_and_negative(spark, monkeypatch):
     """Boolean/bitwise aggregates on crafted groups: NULLs inside the
     predicates (ignored by EVERY/BOOL_OR on both engines), an all-NULL
