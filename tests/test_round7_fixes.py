@@ -219,10 +219,12 @@ def test_index_store_mode_persists_and_avoids_recompute(
 
 def test_index_store_refreshes_on_corpus_change(spark, sf_dir, tmp_path, monkeypatch):
     """A corpus refresh (new file mtime/size) changes the fingerprint:
-    the store rebuilds under the new fingerprint and reclaims the
-    superseded one — the 'persisted table refreshed with the corpus'
-    contract from SCALE.md."""
+    the store rebuilds under the new fingerprint, KEEPS the
+    immediately superseded generation (store-mode frames are lazy
+    parquet scans — a reader built pre-refresh must survive its next
+    action), and reclaims anything older on the following refresh."""
     import shutil
+    import time
 
     from frinesis_spark.caches import clear_derived_caches
     from frinesis_spark.operators import dedup
@@ -234,16 +236,28 @@ def test_index_store_refreshes_on_corpus_change(spark, sf_dir, tmp_path, monkeyp
     monkeypatch.setenv("SPARK_GRAFT_INDEX_STORE", str(store))
 
     clear_derived_caches()
-    dedup._cached_shingle_index(spark, str(corpus)).count()
+    live = dedup._cached_shingle_index(spark, str(corpus))
+    live.count()
     first = {d.name for d in (store / "shingle_index").glob("fp=*")}
     assert len(first) == 1
 
-    os.utime(corpus / "documents.parquet")  # the refresh
+    os.utime(corpus / "documents.parquet")  # refresh 1
     clear_derived_caches()
+    time.sleep(0.05)  # distinct store-dir mtimes for the reclaim order
     dedup._cached_shingle_index(spark, str(corpus)).count()
     second = {d.name for d in (store / "shingle_index").glob("fp=*")}
-    assert len(second) == 1 and second != first, (
-        "corpus refresh must rotate the fingerprint and reclaim the old one"
+    assert len(second) == 2 and first < second, (
+        "the superseded generation must survive one refresh"
+    )
+    # The pre-refresh lazy reader still works (its files exist).
+    live.count()
+
+    os.utime(corpus / "documents.parquet")  # refresh 2
+    clear_derived_caches()
+    dedup._cached_shingle_index(spark, str(corpus)).count()
+    third = {d.name for d in (store / "shingle_index").glob("fp=*")}
+    assert len(third) == 2 and not (first & third), (
+        "the oldest generation must be reclaimed on the SECOND refresh"
     )
     clear_derived_caches()
 
