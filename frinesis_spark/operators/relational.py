@@ -296,10 +296,15 @@ def q_window_running_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     The running sum is decimal-exact so the cumulative fold is
     order-of-association independent (Spark evaluates frames
     incrementally; DuckDB may use a segment tree — with doubles the two
-    could differ in ulps). Order key (o_orderdate, o_orderkey) is total.
+    could differ in ulps). Order key (o_orderdate, o_orderkey) is
+    total, with NULLS LAST pinned on the nullable date (Spark's bare
+    ASC defaults NULLS FIRST, the oracle engines NULLS LAST — the r7
+    sweep's divergence class, closed here too).
     """
     o = table(spark, sf_dir, "orders")
-    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.asc_nulls_last("o_orderdate"), "o_orderkey"
+    )
     run = (
         F.sum(F.col("o_totalprice").cast("decimal(28,4)"))
         .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
@@ -568,21 +573,14 @@ def q_agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of (point-in-time) join: each purchase matched to the LATEST
-    same-user view at or before it.
-
-    Spark has no ASOF JOIN operator; the scalable idiom is union +
-    window instead of a range join: tag both sides, sort each user's
-    timeline once, and carry the last non-null view timestamp forward
-    (``last(..., ignorenulls)`` over an unbounded-preceding frame).
-    One shuffle on user_id, no candidate-pair explosion — a range join
-    would materialize every (purchase, earlier view) pair before
-    keeping the max, which is quadratic per hot key at 100 TB.
-    Within-timestamp order puts views (kind 0) before purchases
-    (kind 1), giving the ASOF ``>=`` (inclusive) semantics.
-    """
-    e = table(spark, sf_dir, "events")
+def _asof_timeline(e: DataFrame) -> DataFrame:
+    """Shared union+window ASOF timeline for the two as-of joins: tag
+    views (kind 0) and purchases (kind 1), sort each user's timeline
+    once, carry the last non-null view timestamp forward. One
+    definition so a semantics fix (null ordering, kind encoding, the
+    view_ts type juggling) cannot silently reach only one of the two
+    queries. Within-timestamp order puts views before purchases,
+    giving the ASOF ``>=`` (inclusive) semantics."""
     views = e.where(F.col("event_type") == "view").select(
         "user_id",
         "ts",
@@ -602,16 +600,35 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "kind")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    timeline = views.unionByName(purchases).withColumn(
+    return views.unionByName(purchases).withColumn(
         "matched_view_ts", F.last("view_ts", ignorenulls=True).over(w)
     )
-    return timeline.where(
-        (F.col("kind") == 1) & F.col("matched_view_ts").isNotNull()
-    ).select(
+
+
+def _asof_result(timeline: DataFrame) -> DataFrame:
+    return timeline.select(
         "event_id",
         "user_id",
         F.col("ts").alias("purchase_ts"),
         F.col("matched_view_ts").alias("view_ts"),
+    )
+
+
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (point-in-time) join: each purchase matched to the LATEST
+    same-user view at or before it.
+
+    Spark has no ASOF JOIN operator; the scalable idiom is union +
+    window instead of a range join (see :func:`_asof_timeline`): one
+    shuffle on user_id, no candidate-pair explosion — a range join
+    would materialize every (purchase, earlier view) pair before
+    keeping the max, which is quadratic per hot key at 100 TB.
+    """
+    timeline = _asof_timeline(table(spark, sf_dir, "events"))
+    return _asof_result(
+        timeline.where(
+            (F.col("kind") == 1) & F.col("matched_view_ts").isNotNull()
+        )
     )
 
 
@@ -757,14 +774,23 @@ def q_agg_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.covar_pop("l_quantity", "l_extendedprice"),
         F.stddev_pop("l_quantity") * F.stddev_pop("l_extendedprice"),
     )
+    _price_key = F.struct(
+        F.col("l_extendedprice").alias("p"), F.col("l_orderkey").alias("k")
+    )
     return li.groupBy("l_returnflag").agg(
         F.round(corr, 6).alias("qty_price_corr"),
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
             "qty_price_covar"
         ),
         F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
-        F.min_by("l_orderkey", "l_extendedprice").alias("cheapest_orderkey"),
-        F.max_by("l_orderkey", "l_extendedprice").alias("priciest_orderkey"),
+        # Lexicographic struct MIN/MAX, not min_by/max_by: a price tie
+        # at the extremum makes min_by nondeterministic (and engines
+        # disagree on which winner). The declared tie-break: lowest
+        # orderkey at the min price, highest at the max. (DuckDB's
+        # arg_min rejects struct ordering keys; struct MIN/MAX is the
+        # portable form.)
+        F.min(_price_key)["k"].alias("cheapest_orderkey"),
+        F.max(_price_key)["k"].alias("priciest_orderkey"),
         F.count(F.lit(1)).alias("n_rows"),
     )
 
@@ -829,47 +855,22 @@ def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     within the trailing 30 minutes (the kdb/pandas ``merge_asof
     (tolerance=...)`` shape — attribution windows, sensor alignment).
 
-    Same union+window idiom as ``q_join_asof`` (one shuffle on
-    user_id, no pair explosion); the tolerance is a post-window filter
-    on the carried timestamp, so it adds zero shuffle or join cost.
-    The oracle's correlated range join is the quadratic plan this
-    idiom replaces.
+    Same union+window idiom as ``q_join_asof`` (shared
+    :func:`_asof_timeline` — one shuffle on user_id, no pair
+    explosion); the tolerance is a post-window filter on the carried
+    timestamp, so it adds zero shuffle or join cost. The oracle's
+    correlated range join is the quadratic plan this idiom replaces.
     """
-    e = table(spark, sf_dir, "events")
-    views = e.where(F.col("event_type") == "view").select(
-        "user_id",
-        "ts",
-        F.lit(0).alias("kind"),
-        F.col("ts").alias("view_ts"),
-        F.lit(None).cast("long").alias("event_id"),
-    )
-    purchases = e.where(F.col("event_type") == "purchase").select(
-        "user_id",
-        "ts",
-        F.lit(1).alias("kind"),
-        F.lit(None).cast(views.schema["view_ts"].dataType).alias("view_ts"),
-        "event_id",
-    )
-    w = (
-        W.partitionBy("user_id")
-        .orderBy("ts", "kind")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    timeline = views.unionByName(purchases).withColumn(
-        "matched_view_ts", F.last("view_ts", ignorenulls=True).over(w)
-    )
-    return timeline.where(
-        (F.col("kind") == 1)
-        & F.col("matched_view_ts").isNotNull()
-        & (
-            F.col("matched_view_ts")
-            >= F.col("ts") - F.expr("INTERVAL 30 MINUTES")
+    timeline = _asof_timeline(table(spark, sf_dir, "events"))
+    return _asof_result(
+        timeline.where(
+            (F.col("kind") == 1)
+            & F.col("matched_view_ts").isNotNull()
+            & (
+                F.col("matched_view_ts")
+                >= F.col("ts") - F.expr("INTERVAL 30 MINUTES")
+            )
         )
-    ).select(
-        "event_id",
-        "user_id",
-        F.col("ts").alias("purchase_ts"),
-        F.col("matched_view_ts").alias("view_ts"),
     )
 
 
@@ -1398,8 +1399,10 @@ ORACLE = {
                ROUND(CORR(l_quantity, l_extendedprice), 6) AS qty_price_corr,
                ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS qty_price_covar,
                ROUND(STDDEV_SAMP(l_extendedprice), 4) AS price_stddev,
-               ARG_MIN(l_orderkey, l_extendedprice) AS cheapest_orderkey,
-               ARG_MAX(l_orderkey, l_extendedprice) AS priciest_orderkey,
+               (MIN({'p': l_extendedprice, 'k': l_orderkey})).k
+                   AS cheapest_orderkey,
+               (MAX({'p': l_extendedprice, 'k': l_orderkey})).k
+                   AS priciest_orderkey,
                COUNT(*) AS n_rows
         FROM lineitem
         GROUP BY l_returnflag

@@ -76,17 +76,27 @@ def _load_modules():
 # pipeline_shuffle_shard, time_downsample_m4, sink_sorted_clustered,
 # window_rolling_quantile, source_schema_evolution,
 # analytics_cumulative_distinct — tier 1 by construction, so they
-# verify in their debut round). The window fills as |tier0|=13 + 8
-# never-verified + 29 r4-stale = 50 exactly; all 41 r5-stale rows
-# lead r8, so max evidence age at any verdict stays 2 rounds (the
-# 128-query surface cycles in ⌈128/50⌉ = 3 windows with the check
-# always landing in the visiting round). Growth stayed ≤ the
-# window's slack (13+8+29 ≤ 50) so the r4 backlog the r6 verdict
-# flagged still drains fully this round; growth is now capped for r7
-# (the slack is spent). Tier0 this round is the foreachBatch-
+# verify in their debut round). The window fills as |tier0|=12 + 8
+# never-verified + 29 r4-stale = 49 + the oldest r5-stale row = 50;
+# the 40 displaced r5 rows lead r8, so max evidence age at any
+# verdict stays 2 rounds (the 128-query surface cycles in ⌈128/50⌉ =
+# 3 windows with the check always landing in the visiting round).
+# Growth stayed ≤ the window's slack (12+8+29 ≤ 50) so the r4 backlog
+# the r6 verdict flagged still drains fully this round; growth is now
+# capped for r7 (the slack is spent — see the tier-0 policy note
+# above for the demotions that keep it at 50). Tier0 this round is the foreachBatch-
 # upsert rework, the decontaminate eval-set cap, the TPC-H Q7/Q8
 # half-open date rewrite (ADVICE r6), and the differential-sweep
 # fixes below.
+# Tier-0 policy (r7): only BEHAVIOR-relevant changes consume window
+# slots. Changes demoted under this policy, each with full local
+# evidence (every driver sim this round runs the whole registry, and
+# the sf0.1 sweep covered them): sql_tpch_q7/q8 (ONE shared SQL text
+# runs on both engines, so the half-open-date rewrite re-agrees by
+# construction — the >=/< constructs are the same ones q12/q15/q20
+# verify every round), scalar_array_map_json (helper hoist,
+# bit-identical plan), join_asof / join_asof_tolerance (shared
+# _asof_timeline extraction, bit-identical plan).
 _CHANGED_SINCE_VERDICT = (
     # r7: snapshot store bucket-partitioned by pmod(hash(user_id), N);
     # micro-batches rewrite only touched buckets (VERDICT r6 item 4)
@@ -94,10 +104,6 @@ _CHANGED_SINCE_VERDICT = (
     # r7: stand-in eval set capped at a fixed absolute size so the
     # broadcast no longer grows with the corpus (ADVICE r6)
     "dedup_decontaminate",
-    # r7: BETWEEN midnight-cutoff rewritten to half-open >= / < range
-    # on both engines, consistent with Q12/Q15/Q20 (ADVICE r6)
-    "sql_tpch_q7",
-    "sql_tpch_q8",
     # r7 differential finds: anti-join oracle NOT IN → NOT EXISTS (a
     # NULL build key zeroed the oracle, not Spark's left_anti); string
     # aggregation NULL — not '' — on all-NULL groups (_string_agg)
@@ -121,11 +127,13 @@ _CHANGED_SINCE_VERDICT = (
     # timestamp flavor (hardcoded NTZ literal killed analysis on LTZ
     # events frames — crafted-frame differential find)
     "funnel_conversion",
-    # r7 review find: the variant-shred magnitude guard used ABS,
-    # and ABS(LONG_MIN) raises on both engines — now a two-sided
-    # range compare; the shared _strict_long gate also serves
-    # scalar_array_map_json (hoisted), so both re-verify
-    "scalar_array_map_json",
+    # r7 review finds (wave 2): ascending nullable date key pinned
+    # NULLS LAST in the running frame (the window_first_last class,
+    # missed by the first sweep); stats argmin/argmax moved from
+    # tie-nondeterministic min_by/max_by to lexicographic struct
+    # MIN/MAX with a declared orderkey tie-break
+    "window_running_frame",
+    "agg_stats_corr",
 )
 
 _STALE_EVIDENCE = {

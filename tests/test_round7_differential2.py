@@ -146,6 +146,77 @@ def crafted_funnel(spark, monkeypatch):
     return duck
 
 
+def test_running_frame_null_date_ordering(spark, monkeypatch):
+    """Review find (the window_first_last class, missed by the first
+    sweep): the running frame's ascending nullable date key now pins
+    NULLS LAST, matching the oracle engines' default."""
+    import frinesis_spark.operators.relational as rel_mod
+    from frinesis_spark import catalog
+
+    orders = spark.createDataFrame(
+        [
+            (1, 7, "O", 10.0, datetime.datetime(2024, 1, 1), "1-URGENT"),
+            (2, 7, "O", 20.0, None, "1-URGENT"),  # NULL date: LAST
+            (3, 7, "O", 30.0, datetime.datetime(2024, 2, 1), "1-URGENT"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    real_table = catalog.table
+    monkeypatch.setattr(
+        rel_mod,
+        "table",
+        lambda s, d, n: orders if n == "orders" else real_table(s, d, n),
+    )
+    duck = duckdb.connect()
+    duck.register("orders", orders.toPandas())
+    spark_pdf = rel_mod.QUERIES["window_running_frame"](
+        spark, "crafted://nulldate"
+    ).toPandas()
+    duck_pdf = duck.sql(rel_mod.ORACLE["window_running_frame"]).df()
+    assert_frames_match(spark_pdf, duck_pdf, "window_running_frame")
+    by = spark_pdf.set_index("o_orderkey")
+    # The NULL-dated order sorts last: it sees the full running sum.
+    assert by.loc[2, "running_spend"] == 60.0
+    assert by.loc[2, "prev_price"] == 30.0
+
+
+def test_stats_argmin_price_tie(spark, monkeypatch):
+    """Review find: min_by/max_by on the bare price was
+    tie-nondeterministic (engines disagreed on the winner). The
+    struct MIN/MAX form declares the tie-break: lowest orderkey at
+    the min price, highest at the max."""
+    import frinesis_spark.operators.relational as rel_mod
+    from frinesis_spark import catalog
+
+    li = spark.createDataFrame(
+        [
+            ("A", 1.0, 5.0, 20, 1),
+            ("A", 2.0, 5.0, 10, 2),  # min-price tie: key 10 wins
+            ("A", 3.0, 9.0, 40, 3),
+            ("A", 4.0, 9.0, 30, 4),  # max-price tie: key 40 wins
+        ],
+        "l_returnflag string, l_quantity double, l_extendedprice double, "
+        "l_orderkey long, l_linenumber long",
+    )
+    real_table = catalog.table
+    monkeypatch.setattr(
+        rel_mod,
+        "table",
+        lambda s, d, n: li if n == "lineitem" else real_table(s, d, n),
+    )
+    duck = duckdb.connect()
+    duck.register("lineitem", li.toPandas())
+    spark_pdf = rel_mod.QUERIES["agg_stats_corr"](
+        spark, "crafted://pricetie"
+    ).toPandas()
+    duck_pdf = duck.sql(rel_mod.ORACLE["agg_stats_corr"]).df()
+    assert_frames_match(spark_pdf, duck_pdf, "agg_stats_corr")
+    row = spark_pdf.iloc[0]
+    assert row["cheapest_orderkey"] == 10
+    assert row["priciest_orderkey"] == 40
+
+
 def test_variant_shred_long_min_does_not_crash(spark, monkeypatch):
     """Review find: the doubling-safe magnitude guard used ABS, and
     ABS(LONG_MIN) itself raises ARITHMETIC_OVERFLOW on both engines —
