@@ -11,7 +11,7 @@ codegen even at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
@@ -33,6 +33,32 @@ _LANG_ORDER = ["en", "es", "de", "fr", "zh"]  # argmax tie-break precedence
 
 _STOPWORDS = _LANG_MARKERS["en"]
 _TOKEN_REGEX = "[a-z0-9]+"
+
+
+def _hex_bucket(hex_col: Column, mod: int) -> Column:
+    """Bucket from a hex digest column: first 8 hex chars as an
+    integer, mod ``mod``."""
+    return (
+        F.conv(F.substring(hex_col, 1, 8), 16, 10).cast("long") % mod
+    )
+
+
+def _md5_bucket(key: Column, mod: int) -> Column:
+    """THE content-independent bucket primitive behind sampling,
+    packing, mixture resampling and shard assignment: md5 of the key
+    rendered as text, first 8 hex chars as an integer, mod ``mod``.
+    A pure function of the key — identical across engines, runs and
+    re-shards. The oracle twin is ``_md5_bucket_sql``; change BOTH or
+    parity breaks."""
+    return _hex_bucket(F.md5(key.cast("string")), mod)
+
+
+def _md5_bucket_sql(col: str, mod: int) -> str:
+    """DuckDB twin of :func:`_md5_bucket` (0x-prefixed hex cast)."""
+    return (
+        f"CAST(CONCAT('0x', SUBSTRING(MD5(CAST({col} AS VARCHAR)), 1, 8)) "
+        f"AS BIGINT) % {mod}"
+    )
 
 
 def q_text_analysis_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -64,16 +90,12 @@ def q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
         for lang, words in _LANG_MARKERS.items()
     }
-    # First language in precedence order whose score equals the max.
-    best = F.greatest(*scores.values())
-    pred = F.lit(None).cast("string")
-    for lang in reversed(_LANG_ORDER):
-        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
     out = d.select(
         "doc_id",
         F.col("lang").alias("lang_true"),
         *[scores[lang].alias(f"score_{lang}") for lang in _LANG_ORDER],
     )
+    # First language in precedence order whose score equals the max.
     best_o = F.greatest(*[F.col(f"score_{lang}") for lang in _LANG_ORDER])
     pred_o = F.lit(None).cast("string")
     for lang in reversed(_LANG_ORDER):
@@ -180,9 +202,15 @@ def q_pipeline_llm_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = table(spark, sf_dir, "documents")
     n_tokens = F.size(F.split(F.col("text"), " ")).cast("long")
-    alpha_ratio = F.length(
-        F.regexp_replace(F.col("text"), "[^a-z]", "")
-    ) / F.length("text")
+    # try_divide: an empty document (length 0 — failed extractions are
+    # normal in real corpora) must be FILTERED (NULL ratio), not kill
+    # the job with ANSI DIVIDE_BY_ZERO (the r6 quality_score class;
+    # the oracle's plain / yields NULL in DuckDB, so the row drops
+    # identically on both engines).
+    alpha_ratio = F.try_divide(
+        F.length(F.regexp_replace(F.col("text"), "[^a-z]", "")),
+        F.length("text"),
+    )
     filtered = d.where((alpha_ratio >= 0.6) & (n_tokens >= 20))
     deduped = filtered.groupBy("text").agg(
         F.min("doc_id").alias("doc_id"),
@@ -266,11 +294,7 @@ def q_sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     equality is exact.
     """
     d = table(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long")
-        % 100
-    )
+    bucket = _md5_bucket(F.col("doc_id"), 100)
     rate = F.when(F.col("lang") == "en", F.lit(10)).otherwise(F.lit(30))
     return (
         d.select("doc_id", "lang", "source", bucket.alias("sample_bucket"))
@@ -285,8 +309,10 @@ def q_sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # flag — it replaces only the first match by default, while Spark
 # always replaces all.
 _PII_PATTERNS = (
-    # (tag, pattern) — counts are taken on the ORIGINAL text, then the
-    # replacements apply in this order.
+    # (tag, pattern) — replacements chain in this order, and each
+    # pattern COUNTS on the text after the earlier replacements (the
+    # r6 fix: counting on the original double-counts overlaps — the
+    # 'customer' inside an already-redacted email must not count).
     ("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
     ("PHONE", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"),
     # Denylist term scrub — the fixture's stand-in for entity/term
@@ -436,11 +462,7 @@ def q_tokenize_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = table(spark, sf_dir, "documents")
     n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long")
-        % _PACK_BUCKETS
-    )
+    bucket = _md5_bucket(F.col("doc_id"), _PACK_BUCKETS)
     base = d.select(
         "doc_id", bucket.alias("bucket"), n_tok.alias("n_tokens")
     )
@@ -481,11 +503,7 @@ def q_pipeline_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = table(spark, sf_dir, "documents")
     counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_source"))
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long")
-        % _MIX_RES
-    )
+    bucket = _md5_bucket(F.col("doc_id"), _MIX_RES)
     return (
         d.select("doc_id", "lang", "source", bucket.alias("mix_bucket"))
         .join(F.broadcast(counts), "source")
@@ -516,10 +534,7 @@ def q_pipeline_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = table(spark, sf_dir, "documents")
     key = F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string")))
-    shard = (
-        F.conv(F.substring(F.col("shuffle_key"), 1, 8), 16, 10).cast("long")
-        % _N_SHARDS
-    )
+    shard = _hex_bucket(F.col("shuffle_key"), _N_SHARDS)
     w = W.partitionBy("shard_id").orderBy("shuffle_key")
     return (
         d.select("doc_id", key.alias("shuffle_key"))
@@ -639,9 +654,7 @@ ORACLE = {
     "tokenize_pack_sequences": f"""
         WITH base AS (
             SELECT doc_id,
-                   CAST(CONCAT('0x', SUBSTRING(
-                       MD5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-                       % {_PACK_BUCKETS} AS bucket,
+                   {_md5_bucket_sql('doc_id', _PACK_BUCKETS)} AS bucket,
                    CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
             FROM documents
         ),
@@ -668,9 +681,7 @@ ORACLE = {
         ),
         b AS (
             SELECT doc_id, lang, source,
-                   CAST(CONCAT('0x', SUBSTRING(
-                       MD5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-                       % {_MIX_RES} AS mix_bucket
+                   {_md5_bucket_sql('doc_id', _MIX_RES)} AS mix_bucket
             FROM documents
         )
         SELECT doc_id, b.source, lang, n_source, mix_bucket
@@ -686,8 +697,8 @@ ORACLE = {
         ),
         s AS (
             SELECT doc_id, shuffle_key,
-                   CAST(CONCAT('0x', SUBSTRING(shuffle_key, 1, 8)) AS BIGINT)
-                       % {_N_SHARDS} AS shard_id
+                   CAST(CONCAT('0x', SUBSTRING(shuffle_key, 1, 8))
+                        AS BIGINT) % {_N_SHARDS} AS shard_id
             FROM k
         )
         SELECT doc_id, shard_id,
@@ -697,12 +708,10 @@ ORACLE = {
                shuffle_key
         FROM s
     """,
-    "sample_stratified_hash": """
+    "sample_stratified_hash": f"""
         WITH b AS (
             SELECT doc_id, lang, source,
-                   CAST(CONCAT('0x', SUBSTRING(
-                       MD5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-                       % 100 AS sample_bucket
+                   {_md5_bucket_sql('doc_id', 100)} AS sample_bucket
             FROM documents
         )
         SELECT doc_id, lang, source, sample_bucket

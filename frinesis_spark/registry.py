@@ -76,15 +76,15 @@ def _load_modules():
 # pipeline_shuffle_shard, time_downsample_m4, sink_sorted_clustered,
 # window_rolling_quantile, source_schema_evolution,
 # analytics_cumulative_distinct — tier 1 by construction, so they
-# verify in their debut round). The window fills as |tier0|=12 + 8
-# never-verified + 29 r4-stale = 49 + the oldest r5-stale row = 50;
-# the 40 displaced r5 rows lead r8, so max evidence age at any
-# verdict stays 2 rounds (the 128-query surface cycles in ⌈128/50⌉ =
-# 3 windows with the check always landing in the visiting round).
-# Growth stayed ≤ the window's slack (12+8+29 ≤ 50) so the r4 backlog
-# the r6 verdict flagged still drains fully this round; growth is now
-# capped for r7 (the slack is spent — see the tier-0 policy note
-# above for the demotions that keep it at 50). Tier0 this round is the foreachBatch-
+# verify in their debut round). The window fills as |tier0|=13 + 8
+# never-verified + 29 r4-stale = 50 exactly; all 41 r5-stale rows
+# lead r8, so max evidence age at any verdict stays 2 rounds (the
+# 128-query surface cycles in ⌈128/50⌉ = 3 windows with the check
+# always landing in the visiting round). Growth stayed ≤ the
+# window's slack (13+8+29 ≤ 50) so the r4 backlog the r6 verdict
+# flagged still drains fully this round; growth is now capped for r7
+# (the slack is spent — see the tier-0 policy note above for the
+# demotions that keep it at 50). Tier0 this round is the foreachBatch-
 # upsert rework, the decontaminate eval-set cap, the TPC-H Q7/Q8
 # half-open date rewrite (ADVICE r6), and the differential-sweep
 # fixes below.
@@ -134,6 +134,10 @@ _CHANGED_SINCE_VERDICT = (
     # MIN/MAX with a declared orderkey tie-break
     "window_running_frame",
     "agg_stats_corr",
+    # r7 review find (wave 3): llm-prep's alpha_ratio divided by a
+    # bare '/' — one empty document killed the job with ANSI
+    # DIVIDE_BY_ZERO; try_divide now (the quality_score class)
+    "pipeline_llm_prep",
 )
 
 _STALE_EVIDENCE = {

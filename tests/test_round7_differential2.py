@@ -146,6 +146,40 @@ def crafted_funnel(spark, monkeypatch):
     return duck
 
 
+def test_llm_prep_survives_empty_doc(spark, monkeypatch):
+    """Review find: pipeline_llm_prep's alpha_ratio divided by
+    length(text) with a bare '/', so one empty document (a failed
+    extraction) killed the whole job with ANSI DIVIDE_BY_ZERO while
+    the oracle silently dropped the row. try_divide now: both engines
+    drop the empty doc, the job survives."""
+    import frinesis_spark.operators.text as text_mod
+    from frinesis_spark import catalog
+
+    good = "the quick brown fox jumps over the lazy dog " * 5
+    docs = spark.createDataFrame(
+        [
+            (1, good.strip(), "en", "s", len(good)),
+            (2, "", "en", "s", 0),  # failed extraction
+            (3, "!!! ??? 123 " * 10, "en", "s", 120),  # low alpha
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    real_table = catalog.table
+    monkeypatch.setattr(
+        text_mod,
+        "table",
+        lambda s, d, n: docs if n == "documents" else real_table(s, d, n),
+    )
+    duck = duckdb.connect()
+    duck.register("documents", docs.toPandas())
+    spark_pdf = text_mod.QUERIES["pipeline_llm_prep"](
+        spark, "crafted://empty"
+    ).toPandas()
+    duck_pdf = duck.sql(text_mod.ORACLE["pipeline_llm_prep"]).df()
+    assert_frames_match(spark_pdf, duck_pdf, "pipeline_llm_prep")
+    assert set(spark_pdf["doc_id"]) == {1}  # only the clean doc survives
+
+
 def test_running_frame_null_date_ordering(spark, monkeypatch):
     """Review find (the window_first_last class, missed by the first
     sweep): the running frame's ascending nullable date key now pins
