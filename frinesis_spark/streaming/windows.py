@@ -134,12 +134,20 @@ def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_stream_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL streaming: watermarked stateful dropDuplicates on event_id.
+    """REAL streaming: stateful dropDuplicates on event_id.
 
-    Emits each event_id the first time it is seen; the watermark bounds
-    the dedup state (ids older than the watermark are evicted — the
-    only way stateful dedup survives an unbounded stream). Output is
-    the distinct id set, so the oracle is plain DISTINCT.
+    Emits each event_id the first time it is seen — EXACT global
+    dedup, which is the declared contract (the oracle is plain
+    DISTINCT) and therefore carries O(distinct ids) state by
+    definition: ``dropDuplicates`` on a key subset WITHOUT the
+    event-time column never evicts via the watermark (Spark only
+    applies watermark eviction when event-time is among the dedup
+    keys). On an unbounded stream the production swap is
+    ``dropDuplicatesWithinWatermark(["event_id"])`` — bounded state,
+    but a WEAKER contract (re-emits an id that recurs beyond the
+    watermark delay), which would no longer match the DISTINCT
+    oracle; the exact form is kept because exactness is what the
+    driver verifies.
     """
     ev = events_stream(spark, sf_dir)
     deduped = (
@@ -201,16 +209,24 @@ class _BucketedSnapshotStore:
     batch instead of O(batch)).
 
     Layout: each merge writes touched buckets under a fresh
-    ``v{batch_id}/bucket={b}/`` directory (never in-place — a version
-    dir is written before any old file is deleted, so read-your-own-
-    target hazards can't occur and a crashed write leaves the old
-    snapshot intact); ``manifest`` maps bucket → its CURRENT directory,
-    which may span many versions. Untouched buckets keep their
-    existing directories byte-for-byte (tests/test_round7_fixes.py
-    pins this). Superseded bucket dirs are reclaimed immediately, so
-    disk stays one copy of the snapshot. This is the poor-man's form
-    of what a MERGE-capable table format (Delta/Iceberg) does with
-    file-level rewrites + a table manifest.
+    ``v{batch_id}_{attempt}/bucket={b}/`` directory. The attempt
+    suffix matters: foreachBatch is at-least-once, and a replayed
+    batch_id writing back into its own first attempt's directory
+    would overwrite the very files its merge plan is lazily reading
+    (read-your-own-target). A version dir is always written before
+    any old file is deleted, so a crashed write leaves the old
+    snapshot intact — and the replayed merge is idempotent
+    (latest-per-key of the same rows). ``manifest`` maps bucket → its
+    CURRENT directory, which may span many versions. Untouched
+    buckets keep their existing directories byte-for-byte
+    (tests/test_round7_fixes.py pins this). Superseded bucket dirs
+    are reclaimed ONE MERGE LATE (same keep-one-generation contract
+    as the dedup index store): a ``snapshot()`` frame is a lazy scan
+    of manifest dirs, so it stays readable across one subsequent
+    merge; disk holds at most two generations of the touched
+    buckets. This is the poor-man's form of what a MERGE-capable
+    table format (Delta/Iceberg) does with file-level rewrites + a
+    table manifest.
     """
 
     def __init__(self, base: str, key: str, order: list, n_buckets: int = _UPSERT_BUCKETS):
@@ -221,14 +237,39 @@ class _BucketedSnapshotStore:
         self.order = order  # recency: first = newest wins
         self.n_buckets = n_buckets
         self.manifest: dict[int, str] = {}
+        self._pending_reclaim: list[str] = []
         os.makedirs(base, exist_ok=True)
 
     def _bucket(self):
         return F.pmod(F.hash(F.col(self.key)), F.lit(self.n_buckets))
 
-    def merge(self, batch_df, batch_id) -> None:
+    def _reclaim_pending(self) -> None:
+        """Delete the bucket dirs superseded by the PREVIOUS merge
+        (keep-one-generation), plus any version dir left holding only
+        marker files (_SUCCESS and .crc sidecars — Spark always writes
+        them, so a bare emptiness check would leak one husk dir per
+        batch)."""
         import os
         import shutil
+
+        for old in self._pending_reclaim:
+            shutil.rmtree(old, ignore_errors=True)
+            parent = os.path.dirname(old)
+            try:
+                leftovers = [
+                    e
+                    for e in os.listdir(parent)
+                    if not e.startswith("_") and not e.startswith(".")
+                ]
+            except FileNotFoundError:
+                continue
+            if not leftovers:
+                shutil.rmtree(parent, ignore_errors=True)
+        self._pending_reclaim = []
+
+    def merge(self, batch_df, batch_id) -> None:
+        import os
+        import uuid
 
         from pyspark.sql import Window as W
 
@@ -264,28 +305,35 @@ class _BucketedSnapshotStore:
                     .where(F.col("rn") == 1)
                     .drop("rn")
                 )
-            vdir = os.path.join(self.base, f"v{batch_id}")
+            # Unique attempt dir: a replayed batch_id must not
+            # overwrite the directory its own merge plan reads.
+            vdir = os.path.join(
+                self.base, f"v{batch_id}_{uuid.uuid4().hex[:8]}"
+            )
             # One file per touched bucket; the repartition moves only
             # the touched buckets' latest rows (small next to a scan
             # of the full snapshot, which this design avoids).
             merged.repartition(len(touched), "bucket").write.partitionBy(
                 "bucket"
-            ).mode("overwrite").parquet(vdir)
+            ).mode("errorifexists").parquet(vdir)
+            # The write is durable: previous-generation reclaim can
+            # proceed, and THIS merge's superseded dirs wait one more.
+            self._reclaim_pending()
             for b in touched:
                 old = self.manifest.get(b)
                 self.manifest[b] = os.path.join(vdir, f"bucket={b}")
                 if old is not None:
-                    shutil.rmtree(old, ignore_errors=True)
-                    parent = os.path.dirname(old)
-                    if not os.listdir(parent):
-                        shutil.rmtree(parent, ignore_errors=True)
+                    self._pending_reclaim.append(old)
         finally:
             latest.unpersist()
 
     def snapshot(self, spark: SparkSession) -> DataFrame:
         """Scan of the current snapshot: the union of every bucket's
         current directory (no bucket column — callers that need it
-        recompute ``pmod(hash(key), n)``, a pure function)."""
+        recompute ``pmod(hash(key), n)``, a pure function). The frame
+        is a LAZY scan: the keep-one-generation reclaim guarantees it
+        stays readable across one subsequent merge — consume it
+        before the second."""
         if not self.manifest:
             raise RuntimeError(
                 "bucketed snapshot store is empty — no merge has run"
@@ -314,10 +362,16 @@ def q_stream_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
     import tempfile
     import uuid
 
+    from frinesis_spark.streaming.runner import track_output_dir
+
     ev = events_stream(spark, sf_dir).select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
     base = os.path.join(tempfile.gettempdir(), "fs_upsert_" + uuid.uuid4().hex[:12])
+    # Register for reclamation BEFORE the query runs: a mid-stream
+    # merge failure must not leak the already-written buckets
+    # (runner.run_append_to_files does the same for its outdir).
+    track_output_dir(base)
     store = _BucketedSnapshotStore(
         base, "user_id", [F.col("ts").desc(), F.col("event_id").desc()]
     )
@@ -335,14 +389,15 @@ def q_stream_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
         query.stop()
         shutil.rmtree(ckpt, ignore_errors=True)
     if not store.manifest:
-        raise RuntimeError(
-            "stream_foreach_batch_upsert: replay produced zero "
-            "micro-batches — the staged events dir is empty or missing "
-            "(fixture drift?); no upsert state exists to read"
+        # A zero-row events table is a legal input (batches fired but
+        # carried no rows): the upsert state is simply empty — return
+        # the empty result with the declared schema, like every other
+        # stream query's explicit-schema read does.
+        return spark.createDataFrame(
+            [],
+            "user_id long, last_ts timestamp_ntz, "
+            "last_event_type string, last_value double",
         )
-    from frinesis_spark.streaming.runner import track_output_dir
-
-    track_output_dir(base)
     return store.snapshot(spark).select(
         "user_id",
         F.col("ts").cast("timestamp_ntz").alias("last_ts"),

@@ -75,8 +75,10 @@ def test_bucketed_upsert_untouched_buckets_not_rewritten(spark, tmp_path):
 
 
 def test_bucketed_upsert_superseded_dirs_reclaimed(spark, tmp_path):
-    """Disk stays one copy of the snapshot: after a second merge the
-    superseded bucket directory is gone."""
+    """Keep-one-generation reclaim: a superseded bucket directory
+    survives exactly ONE further merge (a pre-merge snapshot() frame
+    is a lazy scan of it), then is reclaimed — including the version
+    dir husk Spark's _SUCCESS marker would otherwise keep alive."""
     from pyspark.sql import functions as F
 
     from frinesis_spark.streaming.windows import _BucketedSnapshotStore
@@ -90,14 +92,26 @@ def test_bucketed_upsert_superseded_dirs_reclaimed(spark, tmp_path):
     )
     schema = "event_id long, ts long, user_id long, value double"
     store.merge(spark.createDataFrame([(1, 1, 5, 1.0)], schema), 0)
-    old_path = dict(store.manifest)
+    gen0 = dict(store.manifest)
+    pre_merge_snapshot = store.snapshot(spark)
     store.merge(spark.createDataFrame([(2, 2, 5, 2.0)], schema), 1)
-    for b, p in old_path.items():
+    # One generation back still on disk: the lazy reader still works.
+    assert pre_merge_snapshot.count() == 1
+    store.merge(spark.createDataFrame([(3, 3, 5, 3.0)], schema), 2)
+    for b, p in gen0.items():
         if store.manifest[b] != p:
-            assert not os.path.exists(p), "superseded bucket dir not reclaimed"
-    # Exactly one live copy per bucket under base.
+            assert not os.path.exists(p), (
+                "gen-0 bucket dir must be reclaimed after TWO merges"
+            )
+            # The version dir itself must not survive as a husk of
+            # _SUCCESS/.crc marker files.
+            assert not os.path.exists(os.path.dirname(p)), (
+                "superseded version dir left as a marker-file husk"
+            )
+    # Exactly one live copy per bucket under the manifest.
     live = sorted(store.manifest.values())
     assert len(live) == len(set(live))
+    assert {r["value"] for r in store.snapshot(spark).collect()} == {3.0}
 
 
 def test_star_join_survives_planted_skew(spark, sf_dir, monkeypatch):
@@ -314,3 +328,33 @@ def test_connector_roundtrip_edge_contracts(spark, tmp_path):
     assert sorted(
         (r.k, r.part) for r in spark.read.parquet(pp).collect()
     ) == [(1, "1-URGENT"), (2, "a/b"), (3, "sp ace"), (4, "eq=ual"), (5, None)]
+
+
+def test_bucketed_upsert_replayed_batch_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a replayed batch_id must not
+    overwrite the directories its own merge plan lazily reads (the
+    attempt-suffixed version dirs prevent the read-your-own-target
+    overwrite) and must leave the snapshot identical."""
+    from pyspark.sql import functions as F
+
+    from frinesis_spark.streaming.windows import _BucketedSnapshotStore
+
+    store = _BucketedSnapshotStore(
+        str(tmp_path / "store"),
+        "user_id",
+        [F.col("ts").desc(), F.col("event_id").desc()],
+        n_buckets=4,
+    )
+    schema = "event_id long, ts long, user_id long, value double"
+    batch = spark.createDataFrame(
+        [(1, 1, 5, 1.0), (2, 2, 5, 2.0), (3, 1, 9, 9.0)], schema
+    )
+    store.merge(batch, 0)
+    before = {
+        r["user_id"]: r["value"] for r in store.snapshot(spark).collect()
+    }
+    store.merge(batch, 0)  # the crash-replay of the SAME batch
+    after = {
+        r["user_id"]: r["value"] for r in store.snapshot(spark).collect()
+    }
+    assert before == after == {5: 2.0, 9: 9.0}
