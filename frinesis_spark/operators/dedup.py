@@ -117,7 +117,11 @@ def _shingle_index(docs: DataFrame, max_df: int = _MAX_DF) -> DataFrame:
         return inv
     if len(stop_shingles) <= _STOP_LIT_CAP:
         return inv.where(~F.col("shingle").isin(stop_shingles))
-    return inv.join(stop, "shingle", "left_anti")
+    # Materialized: this regime's result is a JOIN, not a map-only
+    # filter over the checkpointed inv — left lazy, every downstream
+    # reference of the cached index would re-run the stop-count and
+    # anti-join shuffles (ngram jaccard alone reads it three times).
+    return inv.join(stop, "shingle", "left_anti").localCheckpoint(eager=True)
 
 
 # Corpus-statistics cache: the DF-capped shingle index is a pure
@@ -147,6 +151,14 @@ def _corpus_fingerprint(sf_dir: str) -> str:
     paths = [p] if os.path.isfile(p) else sorted(
         glob.glob(os.path.join(p, "*.parquet"))
     )
+    if not paths:
+        # A degenerate (constant) fingerprint for a missing corpus
+        # could HIT a previously stored artifact and silently answer
+        # from the wrong corpus — fail the way the non-store scan
+        # would.
+        raise FileNotFoundError(
+            f"no documents parquet under {sf_dir!r} — cannot fingerprint"
+        )
     h = hashlib.md5()
     for f in paths:
         st = os.stat(f)
@@ -206,22 +218,40 @@ def _store_load_or_build(
     return spark.read.parquet(path), fp
 
 
-def _cached_shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _cached(cache: dict, spark: SparkSession, sf_dir: str, build) -> DataFrame:
+    """Per-(session, corpus dir, corpus fingerprint) memo for derived
+    artifacts, bounded at 4 held checkpoints per cache (the clear
+    keeps session memory flat across many corpora). The fingerprint
+    slot is "" when the store is off (immutable-fixture assumption);
+    in store mode it makes a mid-session corpus refresh visible to
+    EVERY artifact — persisted or session-local — so two dedup
+    queries in one session can never answer about different corpora.
+    ONE definition of the pattern: eviction-policy or key-scheme
+    fixes land here, not in four copies."""
     store = os.environ.get("SPARK_GRAFT_INDEX_STORE")
     fp = _corpus_fingerprint(sf_dir) if store else ""
     key = (session_key(spark), sf_dir, fp)
-    inv = _INDEX_CACHE.get(key)
-    if inv is None:
-        if len(_INDEX_CACHE) >= 4:  # bound held checkpoints per session
-            _INDEX_CACHE.clear()
-        inv, _ = _store_load_or_build(
+    val = cache.get(key)
+    if val is None:
+        if len(cache) >= 4:
+            cache.clear()
+        val = build()
+        cache[key] = val
+    return val
+
+
+def _cached_shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cached(
+        _INDEX_CACHE,
+        spark,
+        sf_dir,
+        lambda: _store_load_or_build(
             spark,
             sf_dir,
             "shingle_index",
             lambda: _shingle_index(table(spark, sf_dir, "documents")),
-        )
-        _INDEX_CACHE[key] = inv
-    return inv
+        )[0],
+    )
 
 
 def _simhash_fingerprints(docs: DataFrame) -> DataFrame:
@@ -275,20 +305,14 @@ def _cached_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     immutable corpus dir, so repeat invocations reuse the checkpointed
     table instead of re-running the text→hash→vote pass (at real scale
     a persisted fingerprint column/table)."""
-    # Fingerprint-keyed in store mode for the same refresh-visibility
-    # contract as the minhash signatures (see _SIG_CACHE note).
-    store = os.environ.get("SPARK_GRAFT_INDEX_STORE")
-    fp_key = _corpus_fingerprint(sf_dir) if store else ""
-    key = (session_key(spark), sf_dir, fp_key)
-    fp = _SIMHASH_CACHE.get(key)
-    if fp is None:
-        if len(_SIMHASH_CACHE) >= 4:
-            _SIMHASH_CACHE.clear()
-        fp = _simhash_fingerprints(
+    return _cached(
+        _SIMHASH_CACHE,
+        spark,
+        sf_dir,
+        lambda: _simhash_fingerprints(
             table(spark, sf_dir, "documents")
-        ).localCheckpoint(eager=True)
-        _SIMHASH_CACHE[key] = fp
-    return fp
+        ).localCheckpoint(eager=True),
+    )
 
 
 def _cached_shingle_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -300,14 +324,11 @@ def _cached_shingle_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     (KBs even at 100 TB scale ÷ 10⁹ docs → a broadcastable dim), so
     the eager localCheckpoint is cheap and the downstream joins
     broadcast it instead of shuffling the candidate pairs."""
-    store = os.environ.get("SPARK_GRAFT_INDEX_STORE")
-    fp = _corpus_fingerprint(sf_dir) if store else ""
-    key = (session_key(spark), sf_dir, fp)
-    sizes = _SIZES_CACHE.get(key)
-    if sizes is None:
-        if len(_SIZES_CACHE) >= 4:
-            _SIZES_CACHE.clear()
-        sizes, _ = _store_load_or_build(
+    return _cached(
+        _SIZES_CACHE,
+        spark,
+        sf_dir,
+        lambda: _store_load_or_build(
             spark,
             sf_dir,
             "shingle_sizes",
@@ -317,9 +338,8 @@ def _cached_shingle_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(F.count(F.lit(1)).alias("n_sh"))
                 .localCheckpoint(eager=True)
             ),
-        )
-        _SIZES_CACHE[key] = sizes
-    return sizes
+        )[0],
+    )
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -380,9 +400,9 @@ def _minhash_signatures(docs: DataFrame, max_df: int = _MAX_DF) -> DataFrame:
     shingle from signatures (never a correctness inversion, since this
     query is LSH-approximate by declaration). Accepted deliberately:
     counting on strings would shuffle the full shingle text at 100 TB
-    for no measurable recall gain. tests/test_dedup.py pins that both
-    cap implementations select the same stop set on a collision-free
-    fixture. Three stop-set regimes:
+    for no measurable recall gain. tests/test_round5_fixes.py pins that
+    both cap implementations select the same stop set on a
+    collision-free fixture. Three stop-set regimes:
 
     - empty (this fixture: max DF 7): signatures stay exactly the r3
       map-only pipeline — the cap costs one small count job;
@@ -429,6 +449,14 @@ def _minhash_signatures(docs: DataFrame, max_df: int = _MAX_DF) -> DataFrame:
             .agg(F.collect_list("h").alias("hs"))
         )
 
+    # Shingle budget per permutation matrix: the transient is
+    # budget × _K × 8 B (≤ 256 MB at 2^18) — without it, one Arrow
+    # batch of 65536 long docs would allocate a multi-GB
+    # (total_shingles × 128) matrix at once and OOM the Python worker
+    # (the same bound _simhash_fingerprints enforces with its 4096-doc
+    # vote blocks).
+    _SH_BUDGET = 1 << 18
+
     def gen(batches):
         import numpy as np
 
@@ -438,16 +466,28 @@ def _minhash_signatures(docs: DataFrame, max_df: int = _MAX_DF) -> DataFrame:
         ) | np.uint64(1)
         b = rng.integers(0, 1 << 62, size=_K, dtype=np.int64).astype(np.uint64)
         for pdf in batches:
-            lens = pdf["hs"].map(len).to_numpy()
-            flat = np.concatenate(pdf["hs"].to_numpy()).astype(np.int64)
-            h = flat.view(np.uint64)
-            offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
-            with np.errstate(over="ignore"):
-                perms = h[:, None] * a[None, :] + b[None, :]
-            sig = np.minimum.reduceat(perms, offsets, axis=0)
-            out = pdf[["doc_id"]].copy()
-            out["sig"] = list(sig.view(np.int64))
-            yield out
+            lens_all = pdf["hs"].map(len).to_numpy()
+            n = len(pdf)
+            start = 0
+            while start < n:
+                end, tot = start, 0
+                while end < n and (
+                    tot == 0 or tot + lens_all[end] <= _SH_BUDGET
+                ):
+                    tot += lens_all[end]
+                    end += 1
+                part = pdf.iloc[start:end]
+                lens = lens_all[start:end]
+                flat = np.concatenate(part["hs"].to_numpy()).astype(np.int64)
+                h = flat.view(np.uint64)
+                offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                with np.errstate(over="ignore"):
+                    perms = h[:, None] * a[None, :] + b[None, :]
+                sig = np.minimum.reduceat(perms, offsets, axis=0)
+                out = part[["doc_id"]].copy()
+                out["sig"] = list(sig.view(np.int64))
+                yield out
+                start = end
 
     return base.mapInPandas(gen, "doc_id long, sig array<long>")
 
@@ -474,21 +514,14 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the same per-(session, corpus) statistics cache as the shingle
     # index (see _INDEX_CACHE): a pure function of an immutable
     # fixture dir, shared across repeat invocations.
-    # Store mode adds the corpus fingerprint to the key — signatures
-    # are not persisted to the store (localCheckpoint only), but a
-    # mid-session corpus refresh must invalidate them exactly like the
-    # index/sizes artifacts, or two dedup queries in one session would
-    # silently answer about different corpora.
-    store = os.environ.get("SPARK_GRAFT_INDEX_STORE")
-    fp_key = _corpus_fingerprint(sf_dir) if store else ""
-    key = (session_key(spark), sf_dir, fp_key)
-    sig = _SIG_CACHE.get(key)
-    if sig is None:
-        if len(_SIG_CACHE) >= 4:
-            _SIG_CACHE.clear()
-        docs = table(spark, sf_dir, "documents")
-        sig = _minhash_signatures(docs).localCheckpoint(eager=True)
-        _SIG_CACHE[key] = sig
+    sig = _cached(
+        _SIG_CACHE,
+        spark,
+        sf_dir,
+        lambda: _minhash_signatures(
+            table(spark, sf_dir, "documents")
+        ).localCheckpoint(eager=True),
+    )
 
     # Compact band expression: hash(slice(sig)) per band instead of a
     # 32-struct array of 4-way element_at hashes — the giant tree
@@ -1069,11 +1102,13 @@ QUERIES = {
     "dedup_substring_chunks": q_dedup_substring_chunks,
 }
 
-_SHINGLE_SQL = """
+# Shingle width derives from _SHINGLE (the "change BOTH or parity
+# breaks" twin-constant convention — see text._md5_bucket).
+_SHINGLE_SQL = f"""
         SELECT doc_id,
                LIST_DISTINCT(LIST_TRANSFORM(
-                   GENERATE_SERIES(1, GREATEST(LEN(STRING_SPLIT(text, ' ')) - 2, 1)),
-                   i -> ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[i:i+2], ' ')
+                   GENERATE_SERIES(1, GREATEST(LEN(STRING_SPLIT(text, ' ')) - {_SHINGLE - 1}, 1)),
+                   i -> ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[i:i+{_SHINGLE - 1}], ' ')
                )) AS sh
         FROM documents
 """
@@ -1165,7 +1200,7 @@ ORACLE = {
         FROM common
         JOIN sizes na ON na.doc_id = doc_a
         JOIN sizes nb ON nb.doc_id = doc_b
-        WHERE n_common / (na.n_sh + nb.n_sh - n_common) >= 0.5
+        WHERE n_common / (na.n_sh + nb.n_sh - n_common) >= {_JACCARD_THRESHOLD}
     """,
     "dedup_incremental_jaccard": f"""
         WITH {_INV_SQL},
@@ -1199,7 +1234,7 @@ ORACLE = {
             FROM common
             JOIN sizes na ON na.doc_id = doc_a
             JOIN sizes nb ON nb.doc_id = doc_b
-            WHERE n_common / (na.n_sh + nb.n_sh - n_common) >= 0.5
+            WHERE n_common / (na.n_sh + nb.n_sh - n_common) >= {_JACCARD_THRESHOLD}
         ),
         edges AS (
             SELECT doc_a AS u, doc_b AS v FROM pairs
