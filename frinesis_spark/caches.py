@@ -12,6 +12,58 @@ index-build path from scratch.
 
 from __future__ import annotations
 
+import os
+
+
+def corpus_fingerprint(sf_dir: str, table: str = "documents") -> str:
+    """Content-identity of one source table: (path, size, mtime_ns) of
+    every data file, hashed. Stat-only (no data read); any refresh —
+    rewrite, append, compaction — changes it. Raises on a missing
+    table: a degenerate constant fingerprint could HIT a previously
+    stored artifact and silently answer from the wrong corpus."""
+    import glob
+    import hashlib
+
+    p = os.path.join(sf_dir, f"{table}.parquet")
+    paths = [p] if os.path.isfile(p) else sorted(
+        glob.glob(os.path.join(p, "*.parquet"))
+    )
+    if not paths:
+        raise FileNotFoundError(
+            f"no {table} parquet under {sf_dir!r} — cannot fingerprint"
+        )
+    h = hashlib.md5()
+    for f in paths:
+        st = os.stat(f)
+        h.update(f"{f}|{st.st_size}|{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:16]
+
+
+def cached(cache: dict, spark, sf_dir: str, build, table: str = "documents"):
+    """Per-(session, corpus dir, corpus fingerprint) memo for derived
+    artifacts, bounded at 4 held entries per cache (the clear keeps
+    session memory flat across many corpora). The fingerprint slot is
+    "" when SPARK_GRAFT_INDEX_STORE is off (immutable-fixture
+    assumption); in store mode it makes a mid-session refresh of the
+    SOURCE TABLE visible to every artifact — persisted or
+    session-local — so two queries in one session can never answer
+    about different corpora. ONE definition of the pattern
+    (dedup/similarity both route through here): eviction-policy or
+    key-scheme fixes land in this function, not in per-module copies.
+    """
+    from frinesis_spark.catalog import session_key
+
+    store = os.environ.get("SPARK_GRAFT_INDEX_STORE")
+    fp = corpus_fingerprint(sf_dir, table) if store else ""
+    key = (session_key(spark), sf_dir, fp)
+    val = cache.get(key)
+    if val is None:
+        if len(cache) >= 4:
+            cache.clear()
+        val = build()
+        cache[key] = val
+    return val
+
 
 def clear_derived_caches(unpersist: bool = True) -> int:
     """Drop all derived-artifact caches; returns #entries dropped.

@@ -26,7 +26,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from frinesis_spark.catalog import session_key, table
+from frinesis_spark.catalog import table
 
 # MinHash parameters: 128-long signature, 32 bands × 4 rows.
 # P(candidate | jaccard j) = 1-(1-j^4)^32 → ~0.99 at j=0.5, ~0.04 at j=0.1.
@@ -141,29 +141,11 @@ _SIMHASH_CACHE: dict[tuple, DataFrame] = {}
 
 
 def _corpus_fingerprint(sf_dir: str) -> str:
-    """Content-identity of the documents table: (path, size, mtime_ns)
-    of every data file, hashed. Stat-only (no data read), and any
-    corpus refresh — rewrite, append, compaction — changes it."""
-    import glob
-    import hashlib
+    """Documents-table identity — see :func:`caches.corpus_fingerprint`
+    (shared with similarity's embeddings-keyed caches)."""
+    from frinesis_spark.caches import corpus_fingerprint
 
-    p = os.path.join(sf_dir, "documents.parquet")
-    paths = [p] if os.path.isfile(p) else sorted(
-        glob.glob(os.path.join(p, "*.parquet"))
-    )
-    if not paths:
-        # A degenerate (constant) fingerprint for a missing corpus
-        # could HIT a previously stored artifact and silently answer
-        # from the wrong corpus — fail the way the non-store scan
-        # would.
-        raise FileNotFoundError(
-            f"no documents parquet under {sf_dir!r} — cannot fingerprint"
-        )
-    h = hashlib.md5()
-    for f in paths:
-        st = os.stat(f)
-        h.update(f"{f}|{st.st_size}|{st.st_mtime_ns}".encode())
-    return h.hexdigest()[:16]
+    return corpus_fingerprint(sf_dir, "documents")
 
 
 def _store_load_or_build(
@@ -219,25 +201,11 @@ def _store_load_or_build(
 
 
 def _cached(cache: dict, spark: SparkSession, sf_dir: str, build) -> DataFrame:
-    """Per-(session, corpus dir, corpus fingerprint) memo for derived
-    artifacts, bounded at 4 held checkpoints per cache (the clear
-    keeps session memory flat across many corpora). The fingerprint
-    slot is "" when the store is off (immutable-fixture assumption);
-    in store mode it makes a mid-session corpus refresh visible to
-    EVERY artifact — persisted or session-local — so two dedup
-    queries in one session can never answer about different corpora.
-    ONE definition of the pattern: eviction-policy or key-scheme
-    fixes land here, not in four copies."""
-    store = os.environ.get("SPARK_GRAFT_INDEX_STORE")
-    fp = _corpus_fingerprint(sf_dir) if store else ""
-    key = (session_key(spark), sf_dir, fp)
-    val = cache.get(key)
-    if val is None:
-        if len(cache) >= 4:
-            cache.clear()
-        val = build()
-        cache[key] = val
-    return val
+    """Documents-keyed artifact memo — the shared
+    :func:`caches.cached` with this module's source table."""
+    from frinesis_spark.caches import cached
+
+    return cached(cache, spark, sf_dir, build, table="documents")
 
 
 def _cached_shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
