@@ -90,6 +90,21 @@ class KinesisSinkConfig:
             raise ConfigError("flush_interval_s must be >= 50ms")
         if self.max_attempts_per_record < 1:
             raise ConfigError("max_attempts_per_record must be >= 1")
+        if self.flush_timeout_s < 0:
+            raise ConfigError(
+                "flush_timeout_s must be >= 0 (0 = no deadline, the "
+                "reference's 'timeout value of 0 means no timeout')"
+            )
+        if self.stat_interval_s <= 0:
+            raise ConfigError("stat_interval_s must be > 0")
+        if self.shed_after_consecutive_errors < 1:
+            raise ConfigError("shed_after_consecutive_errors must be >= 1")
+        if not 0 < self.shed_buffer_ratio <= 1:
+            raise ConfigError("shed_buffer_ratio must be in (0, 1]")
+        if self.backoff_initial_s <= 0:
+            raise ConfigError("backoff_initial_s must be > 0")
+        if self.backoff_max_s < self.backoff_initial_s:
+            raise ConfigError("backoff_max_s must be >= backoff_initial_s")
 
     @classmethod
     def from_env(cls, env: dict | None = None) -> "KinesisSinkConfig":
@@ -228,17 +243,19 @@ class BatchProducer:
     ) -> tuple[int, int]:
         """Send max-size batches until empty or deadline; returns
         (records_sent_now, records_remaining) — Flush's contract
-        (batchproducer.go:290-319)."""
-        deadline = None if timeout_s is None else self.clock() + timeout_s
+        (batchproducer.go:290-319). A timeout of 0 — like None — means
+        NO deadline (the reference: 'A timeout value of 0 means no
+        timeout', batchproducer.go:39); an un-deadlined flush retries
+        with backoff indefinitely under persistent failure, exactly
+        like the reference's drain loop, with the A9 shed path as the
+        only give-up (callers wanting bounded time pass a deadline,
+        as the Spark writer always does)."""
+        deadline = None if not timeout_s else self.clock() + timeout_s
         sent_before = self.stats.records_sent
         while self._buffer:
             if deadline is not None and self.clock() >= deadline:
                 break
-            progressed = self._send_batch(
-                MAX_KINESIS_BATCH_SIZE, deadline=deadline
-            )
-            if not progressed and not self._buffer:
-                break
+            self._send_batch(MAX_KINESIS_BATCH_SIZE, deadline=deadline)
         if send_stats:
             self._emit_stats()
         return self.stats.records_sent - sent_before, len(self._buffer)
@@ -304,6 +321,16 @@ class BatchProducer:
             ):
                 self.stats.records_shed += len(batch)
                 self.stats.events.append(f"shed {len(batch)} records")
+                # Data loss MUST hit the log, not just stats.events
+                # (the reference's shed path logs at Error,
+                # batchproducer.go:354-357).
+                _LOG.error(
+                    "Shedding %d records: %d consecutive errors with a "
+                    "nearly full buffer (stream %s)",
+                    len(batch),
+                    self.consecutive_errors,
+                    self.stream_name,
+                )
                 return len(batch)
             self._requeue(batch)
             return 0
@@ -314,8 +341,10 @@ class BatchProducer:
         records = resp.get("Records", [])
         if not failed:
             self.stats.records_sent += len(batch)
-            # ≙ TestLogMessageWhenKinesisSucceeds (test:573-589)
-            _LOG.info(
+            # ≙ TestLogMessageWhenKinesisSucceeds (test:573-589) —
+            # Debug like the reference (batchproducer.go:372): success
+            # lines on the hot path scale with throughput.
+            _LOG.debug(
                 "PutRecords request succeeded: sent %d records to "
                 "Kinesis stream %s",
                 len(batch),
@@ -341,8 +370,9 @@ class BatchProducer:
         # A6/A8: partial failure — split success/failed, requeue failed
         # with attempt accounting, drop at max attempts
         # (batchproducer.go:370-381, :438-456).
-        # ≙ TestLogMessageWhenSomeRecordsFail (test:609-642)
-        _LOG.warning(
+        # ≙ TestLogMessageWhenSomeRecordsFail (test:609-642) — Debug
+        # like the reference (batchproducer.go:377).
+        _LOG.debug(
             "Partial success when sending a PutRecords request: "
             "%d succeeded, %d failed (stream %s)",
             len(batch) - failed,
@@ -359,6 +389,16 @@ class BatchProducer:
                     self.stats.events.append(
                         f"dropped record after {attempts} attempts: "
                         f"{result.get('ErrorCode')}"
+                    )
+                    # ≙ the reference's pinned drop message
+                    # (batchproducer.go:450-452, test:609-657) — the
+                    # OTHER data-loss path that must reach the log.
+                    _LOG.error(
+                        "Dropping failed record; it has hit %d attempts "
+                        "which is the maximum (stream %s, error %s)",
+                        attempts,
+                        self.stream_name,
+                        result.get("ErrorCode"),
                     )
                     done += 1
                 else:
@@ -388,7 +428,34 @@ class BatchProducer:
     def _emit_stats(self) -> None:
         self.stats.buffer_size = len(self._buffer)
         if self.stat_receiver is not None:
-            self.stat_receiver(self.stats)
+            # BY-VALUE snapshot: the reference sends a StatsBatch copy
+            # per Receive (batchproducer.go:467-469); handing out the
+            # live object would alias every stored snapshot to one
+            # mutating instance. Deviation: counters stay CUMULATIVE
+            # (the reference resets after each send) — deltas are
+            # derivable from consecutive snapshots, the reverse is not.
+            import dataclasses
+
+            snap = dataclasses.replace(self.stats)
+            snap.events = list(self.stats.events)
+            self.stat_receiver(snap)
+
+
+def _payload_bytes(data) -> bytes:
+    """Typed payload conversion: bytes-like passes through, str encodes
+    UTF-8, None is empty. A bare ``bytes(data)`` raised a cryptic
+    TypeError on string columns and — worse — fabricated n ZERO BYTES
+    from an integer column; anything else now fails with the column
+    type named."""
+    if data is None:
+        return b""
+    if isinstance(data, (bytes, bytearray, memoryview)):
+        return bytes(data)
+    if isinstance(data, str):
+        return data.encode("utf-8")
+    raise TypeError(
+        f"data column must be binary or string, got {type(data).__name__}"
+    )
 
 
 class KinesisBatchWriter:
@@ -426,9 +493,23 @@ class KinesisBatchWriter:
         # the equivalent composition is add() draining inline when full
         # — otherwise any task with >buffer_size rows dies on
         # BufferFullError (seen at sf0.1: 100k events, 10k buffer).
-        self.config = config or KinesisSinkConfig(
-            add_blocks_when_buffer_full=True
-        )
+        if config is None:
+            config = KinesisSinkConfig(add_blocks_when_buffer_full=True)
+        elif not config.add_blocks_when_buffer_full:
+            # The reference validates guaranteed-failure configs at
+            # New() (batchproducer.go:147-149); the synchronous-writer
+            # analogue is a non-blocking buffer, which deterministically
+            # dies on any task with >buffer_size rows and then crash-
+            # loops on foreachBatch replay.
+            raise ConfigError(
+                "KinesisBatchWriter requires "
+                "add_blocks_when_buffer_full=True: the synchronous "
+                "foreachBatch task has no concurrent drainer, so a "
+                "non-blocking buffer guarantees BufferFullError on any "
+                "task with more than buffer_size rows"
+            )
+        config.validate()
+        self.config = config
         self.topic_col = topic_col
         self.data_col = data_col
         self.partition_key_col = partition_key_col
@@ -448,9 +529,7 @@ class KinesisBatchWriter:
                 if self.partition_key_col is not None
                 else None
             )
-            prod.add(
-                bytes(data) if data is not None else b"", pk
-            )  # A3 (+A16 default inside add)
+            prod.add(_payload_bytes(data), pk)  # A3 (+A16 inside add)
         for topic, prod in producers.items():  # A11: flush every topic
             _sent, remaining = prod.flush(
                 timeout_s=self.config.flush_timeout_s, send_stats=True

@@ -240,7 +240,13 @@ def test_writer_raises_on_undelivered(spark):
     # every call errors; tiny deadline → records remain → batch must fail
     writer = KinesisBatchWriter(
         MockClientFactory(should_err=True),
-        KinesisSinkConfig(flush_timeout_s=0.2, backoff_initial_s=0.05),
+        KinesisSinkConfig(
+            flush_timeout_s=0.2,
+            backoff_initial_s=0.05,
+            # the writer REQUIRES the blocking policy (it rejects a
+            # guaranteed-failure non-blocking config at construction)
+            add_blocks_when_buffer_full=True,
+        ),
     )
     with pytest.raises(Exception, match="undelivered"):
         writer(df, epoch_id=0)
@@ -396,7 +402,9 @@ def test_log_message_when_kinesis_succeeds(caplog):
     prod, client, _ = make_producer()
     for _ in range(20):
         prod.add(b"payload")
-    with caplog.at_level(logging.INFO, logger="frinesis_spark.sinks.kinesis"):
+    # Debug, matching the reference's level for the hot-path success
+    # line (batchproducer.go:372).
+    with caplog.at_level(logging.DEBUG, logger="frinesis_spark.sinks.kinesis"):
         sent, remaining = prod.flush(timeout_s=5)
     assert sent == 20 and remaining == 0
     assert any(
@@ -437,7 +445,7 @@ def test_log_message_when_some_records_fail(caplog):
         prod.add(b"payload")
     prod.add(b"payload", partition_key=FAIL_KEY)
     with caplog.at_level(
-        logging.WARNING, logger="frinesis_spark.sinks.kinesis"
+        logging.DEBUG, logger="frinesis_spark.sinks.kinesis"
     ):
         prod.flush(timeout_s=5)
     assert any(
@@ -445,3 +453,79 @@ def test_log_message_when_some_records_fail(caplog):
         and "19 succeeded, 1 failed" in r.message
         for r in caplog.records
     ), [r.message for r in caplog.records]
+
+
+def test_log_message_when_record_dropped(caplog):
+    """≙ the reference's pinned drop message (batchproducer.go:450-452,
+    test:609-657): permanent data loss must reach the LOG, not only
+    stats.events."""
+    import logging
+
+    prod, client, _ = make_producer(max_attempts_per_record=1)
+    prod.add(b"payload", partition_key=FAIL_KEY)
+    with caplog.at_level(logging.ERROR, logger="frinesis_spark.sinks.kinesis"):
+        prod.flush(timeout_s=5)
+    assert prod.stats.records_dropped == 1
+    assert any(
+        "Dropping failed record; it has hit 1 attempts which is the maximum"
+        in r.message
+        for r in caplog.records
+    ), [r.message for r in caplog.records]
+
+
+def test_flush_timeout_zero_means_no_deadline():
+    """The reference contract: 'A timeout value of 0 means no timeout'
+    (batchproducer.go:39) — flush(0) drains FULLY instead of creating
+    an already-expired deadline that sends nothing."""
+    prod, client, _ = make_producer()
+    for _ in range(7):
+        prod.add(b"payload")
+    sent, remaining = prod.flush(timeout_s=0)
+    assert sent == 7 and remaining == 0
+
+
+def test_writer_rejects_non_blocking_config():
+    """A custom config without the blocking buffer policy is a
+    guaranteed-failure setup in the synchronous writer (no concurrent
+    drainer) — rejected at construction like the reference's New()
+    validation (batchproducer.go:147-149)."""
+    import pytest as _pytest
+
+    from frinesis_spark.sinks.kinesis import ConfigError
+
+    with _pytest.raises(ConfigError, match="add_blocks_when_buffer_full"):
+        KinesisBatchWriter(
+            MockClientFactory(), KinesisSinkConfig(batch_size=100)
+        )
+
+
+def test_stat_snapshots_do_not_alias():
+    """Each stats emission is a BY-VALUE snapshot: a monitoring
+    consumer that stores every snapshot must see the per-emit values,
+    not three references to one mutating object."""
+    snaps = []
+    prod, client, _ = make_producer()
+    prod.stat_receiver = snaps.append
+    prod.add(b"a")
+    prod.flush(timeout_s=5, send_stats=True)
+    prod.add(b"b")
+    prod.add(b"c")
+    prod.flush(timeout_s=5, send_stats=True)
+    assert len(snaps) == 2
+    assert snaps[0].records_sent == 1  # frozen at first emission
+    assert snaps[1].records_sent == 3
+
+
+def test_payload_type_dispatch():
+    """String payloads encode UTF-8; integer columns fail loudly
+    instead of fabricating zero bytes."""
+    import pytest as _pytest
+
+    from frinesis_spark.sinks.kinesis import _payload_bytes
+
+    assert _payload_bytes(None) == b""
+    assert _payload_bytes("héllo") == "héllo".encode()
+    assert _payload_bytes(b"\x00raw") == b"\x00raw"
+    assert _payload_bytes(bytearray(b"ba")) == b"ba"
+    with _pytest.raises(TypeError, match="int"):
+        _payload_bytes(7)
