@@ -261,17 +261,22 @@ _Q18 = f"""
 # residuals it can push per side (the l_quantity bounds reach the
 # lineitem scan; the p_brand/p_size bounds the part scan) while the
 # cross-table OR stays in the join filter. p_size stands in for the
-# schema-less p_container, same selectivity role.
+# schema-less p_container, same selectivity role. Parameters are
+# fixture-real (r7 review find: the classic Brand#34 does not exist
+# in this fixture — brands run #1..#25 — so the third disjunct was
+# structurally dead, and at sf0.001 ALL disjuncts were empty, making
+# the local parity check a NULL=NULL tautology); every disjunct now
+# matches rows at every tested sf (6/27/55 lineitems at sf0.001).
 _Q19 = f"""
     SELECT {oracle_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
-    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
-           AND l_quantity BETWEEN 1 AND 11)
-       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
-           AND l_quantity BETWEEN 10 AND 20)
-       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
-           AND l_quantity BETWEEN 20 AND 30)
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 15)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 25)
+       OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 35)
 """
 
 # Q20 analogue (part-promotion suppliers): IN nested INSIDE an IN —
@@ -469,8 +474,13 @@ _Q15 = f"""
 # under a NOT IN subquery — the null-aware anti-join decorrelation
 # path (s_suppkey is non-null here, but the plan shape is the point:
 # Spark must prove null-safety or fall back to NullAwareAntiJoin).
-# Negative-balance suppliers stand in for the original's
-# complaint-comment LIKE filter.
+# Bottom-of-range suppliers stand in for the original's
+# complaint-comment LIKE filter. SCALE-FREE threshold (r7 review
+# find): the first cut used s_acctbal < 0, which matches ZERO
+# suppliers at sf0.001 — the null-aware anti-join ran against an
+# empty build side locally, so a broken NOT-IN rewrite could pass
+# the local parity check; min + 5% of the range matches ≥1 supplier
+# at every sf by construction (the min row always qualifies).
 _Q16 = """
     SELECT p_brand, p_type, p_size,
            COUNT(DISTINCT l_suppkey) AS supplier_cnt
@@ -480,7 +490,10 @@ _Q16 = """
       AND p_type <> 'PROMO'
       AND p_size IN (1, 4, 7, 10, 13, 16, 19, 23)
       AND l_suppkey NOT IN (
-            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+            SELECT s_suppkey FROM supplier
+            WHERE s_acctbal < (SELECT MIN(s_acctbal)
+                               + 0.05 * (MAX(s_acctbal) - MIN(s_acctbal))
+                               FROM supplier)
           )
     GROUP BY p_brand, p_type, p_size
     ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
@@ -534,72 +547,47 @@ _Q14 = f"""
 """
 
 
-def q_sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 via the SQL-string entry point.
-
-    Scale notes are the physical plan's, not the API's: the
-    customer⋈orders side broadcasts (dim filter first), the
-    lineitem⋈orders join shuffles on orderkey, and the top-10 is a
-    TakeOrdered — no global sort materialization.
-
-    Q5 adds the six-table chain with a cross-dimension equality
-    (c_nationkey = s_nationkey — the join-reorder stressor), Q6 the
-    pure pushdown scan, Q10 the top-k over a four-table agg.
-    """
-    register_views(spark, sf_dir)
-    return spark.sql(_Q3)
-
-
-QUERIES = {
-    "sql_tpch_q3": q_sql_tpch_q3,
-    "sql_tpch_q5": _sql_query(_Q5),
-    "sql_tpch_q6": _sql_query(_Q6),
-    "sql_tpch_q10": _sql_query(_Q10),
-    "sql_tpch_q4": _sql_query(_Q4),
-    "sql_tpch_q17": _sql_query(_Q17),
-    "sql_tpch_q21": _sql_query(_Q21),
-    "sql_tpch_q22": _sql_query(_Q22),
-    "sql_tpch_q1": _sql_query(_Q1),
-    "sql_tpch_q14": _sql_query(_Q14),
-    "sql_tpch_q9": _sql_query(_Q9),
-    "sql_tpch_q13": _sql_query(_Q13),
-    "sql_tpch_q18": _sql_query(_Q18),
-    "sql_tpch_q19": _sql_query(_Q19),
-    "sql_tpch_q20": _sql_query(_Q20),
-    "sql_tpch_q2": _sql_query(_Q2),
-    "sql_tpch_q7": _sql_query(_Q7),
-    "sql_tpch_q8": _sql_query(_Q8),
-    "sql_tpch_q11": _sql_query(_Q11),
-    "sql_tpch_q12": _sql_query(_Q12),
-    "sql_tpch_q15": _sql_query(_Q15),
-    "sql_tpch_q16": _sql_query(_Q16),
+# Q3's plan notes (the one query that used to carry them in a
+# one-off wrapper): the customer⋈orders side broadcasts (dim filter
+# first), the lineitem⋈orders join shuffles on orderkey, and the
+# top-10 is a TakeOrdered — no global sort materialization. Q5 adds
+# the six-table chain with a cross-dimension equality (c_nationkey =
+# s_nationkey — the join-reorder stressor), Q6 the pure pushdown
+# scan, Q10 the top-k over a four-table agg.
+#
+# ONE name → SQL map drives BOTH dicts: within this module every
+# query is by definition the same text on both engines, and deriving
+# them separately once allowed a query to ship without its oracle
+# (the registry validates oracle-without-query, not the reverse).
+_SQL = {
+    "sql_tpch_q1": _Q1,
+    "sql_tpch_q2": _Q2,
+    "sql_tpch_q3": _Q3,
+    "sql_tpch_q4": _Q4,
+    "sql_tpch_q5": _Q5,
+    "sql_tpch_q6": _Q6,
+    "sql_tpch_q7": _Q7,
+    "sql_tpch_q8": _Q8,
+    "sql_tpch_q9": _Q9,
+    "sql_tpch_q10": _Q10,
+    "sql_tpch_q11": _Q11,
+    "sql_tpch_q12": _Q12,
+    "sql_tpch_q13": _Q13,
+    "sql_tpch_q14": _Q14,
+    "sql_tpch_q15": _Q15,
+    "sql_tpch_q16": _Q16,
+    "sql_tpch_q17": _Q17,
+    "sql_tpch_q18": _Q18,
+    "sql_tpch_q19": _Q19,
+    "sql_tpch_q20": _Q20,
+    "sql_tpch_q21": _Q21,
+    "sql_tpch_q22": _Q22,
 }
+
+QUERIES = {name: _sql_query(sql) for name, sql in _SQL.items()}
 
 # The oracle is the same ANSI text (CAST syntax identical in DuckDB);
 # matching results prove parser+planner agreement on multi-join
 # aggregates, not just expression parity — and for Q4/Q17/Q21/Q22,
 # agreement on subquery decorrelation.
-ORACLE = {
-    "sql_tpch_q3": _Q3,
-    "sql_tpch_q5": _Q5,
-    "sql_tpch_q6": _Q6,
-    "sql_tpch_q10": _Q10,
-    "sql_tpch_q4": _Q4,
-    "sql_tpch_q17": _Q17,
-    "sql_tpch_q21": _Q21,
-    "sql_tpch_q22": _Q22,
-    "sql_tpch_q1": _Q1,
-    "sql_tpch_q14": _Q14,
-    "sql_tpch_q9": _Q9,
-    "sql_tpch_q13": _Q13,
-    "sql_tpch_q18": _Q18,
-    "sql_tpch_q19": _Q19,
-    "sql_tpch_q20": _Q20,
-    "sql_tpch_q2": _Q2,
-    "sql_tpch_q7": _Q7,
-    "sql_tpch_q8": _Q8,
-    "sql_tpch_q11": _Q11,
-    "sql_tpch_q12": _Q12,
-    "sql_tpch_q15": _Q15,
-    "sql_tpch_q16": _Q16,
-}
+ORACLE = dict(_SQL)

@@ -84,10 +84,11 @@ def _load_modules():
 # window's slack (13+8+29 ≤ 50) so the r4 backlog the r6 verdict
 # flagged still drains fully this round; growth is now capped for r7
 # (the slack is spent — see the tier-0 policy note above for the
-# demotions that keep it at 50). Tier0 this round is the foreachBatch-
-# upsert rework, the decontaminate eval-set cap, the TPC-H Q7/Q8
-# half-open date rewrite (ADVICE r6), and the differential-sweep
-# fixes below.
+# demotions that keep it at 50). Late-r7 additions to the demoted
+# shared-text set: sql_tpch_q16/q19 (review finds — Q19's Brand#34
+# never existed in the fixture and Q16's negative-balance filter was
+# empty at sf0.001, so both got fixture-real, scale-free parameters;
+# one text, both engines, re-verified by every full local sim).
 # Tier-0 policy (r7): only BEHAVIOR-relevant changes consume window
 # slots. Changes demoted under this policy, each with full local
 # evidence (every driver sim this round runs the whole registry, and
