@@ -125,21 +125,30 @@ class KinesisDataSourceWriter(DataSourceWriter):
     A1), else the option stream + a fresh UUID key (A16)."""
 
     def __init__(self, options: dict):
+        from frinesis_spark.sinks.kinesis import KinesisSinkConfig
+
         self.options = dict(options)
         self.default_stream = _stream_name(self.options)
         self.factory = _client_factory(self.options)
-
-    def write(self, iterator):
-        from frinesis_spark.sinks.kinesis import (
-            BatchProducer,
-            KinesisSinkConfig,
-        )
-
-        client = self.factory()
+        # Config resolves on the DRIVER and pickles to tasks: reading
+        # env on the executor silently ignores driver-side tuning (the
+        # same worker-fork hazard the endpoint option exists for), and
+        # diverges from KinesisBatchWriter, which takes driver config.
         cfg = KinesisSinkConfig.from_env()
         # Synchronous writer task → blocking buffer policy (drain
         # inline when full); see KinesisBatchWriter.__init__.
         cfg.add_blocks_when_buffer_full = True
+        cfg.validate()
+        self.config = cfg
+
+    def write(self, iterator):
+        from frinesis_spark.sinks.kinesis import (
+            BatchProducer,
+            _payload_bytes,
+        )
+
+        client = self.factory()
+        cfg = self.config
         producers: dict[str, BatchProducer] = {}
         n = 0
         for row in iterator:
@@ -149,7 +158,7 @@ class KinesisDataSourceWriter(DataSourceWriter):
             if prod is None:
                 prod = BatchProducer(client, stream, cfg)
                 producers[stream] = prod
-            prod.add(bytes(d["data"]), d.get("partition_key"))
+            prod.add(_payload_bytes(d["data"]), d.get("partition_key"))
             n += 1
         for stream, prod in producers.items():
             _, remaining = prod.flush(cfg.flush_timeout_s)
@@ -184,6 +193,12 @@ class KinesisSimpleStreamReader(SimpleDataSourceStreamReader):
         self.options = dict(options)
         self.stream = _stream_name(self.options)
         self.factory = _client_factory(self.options)
+        # Per-batch record budget (option maxRecordsPerBatch) — bounds
+        # the driver-side buffer on a deep backlog; unread records are
+        # simply the next batch's start.
+        self.max_records = int(
+            self.options.get("maxrecordsperbatch", 10_000)
+        )
 
     def initialOffset(self) -> dict:
         from frinesis_spark.sources.kinesis import list_shard_ids
@@ -191,7 +206,12 @@ class KinesisSimpleStreamReader(SimpleDataSourceStreamReader):
         return {s: "" for s in list_shard_ids(self.factory(), self.stream)}
 
     def _read_shard_from(
-        self, client, shard_id: str, pos: str, stop_seq: str | None = None
+        self,
+        client,
+        shard_id: str,
+        pos: str,
+        stop_seq: str | None = None,
+        max_records: int | None = None,
     ):
         """Drain one shard from ``pos`` ("" → TRIM_HORIZON, else the
         last-read sequence number → AFTER_SEQUENCE_NUMBER). Returns
@@ -213,6 +233,8 @@ class KinesisSimpleStreamReader(SimpleDataSourceStreamReader):
             )["ShardIterator"]
         rows, last = [], pos
         while it:
+            if max_records is not None and len(rows) >= max_records:
+                break
             resp = client.get_records(ShardIterator=it, Limit=10_000)
             for rec in resp.get("Records", []):
                 last = str(rec["SequenceNumber"])
@@ -242,8 +264,27 @@ class KinesisSimpleStreamReader(SimpleDataSourceStreamReader):
             positions.setdefault(shard_id, "")
         rows: list = []
         end: dict = {}
+        # Per-batch record budget, split across shards: an unbounded
+        # drain-to-tip buffers the ENTIRE retained backlog in this
+        # driver-side list on the first batch (and against sustained
+        # ingest may never catch the tip). Unread backlog is simply
+        # the next batch's starting offset.
+        per_shard = max(1, self.max_records // max(1, len(positions)))
         for shard_id, pos in positions.items():
-            shard_rows, last = self._read_shard_from(client, shard_id, pos)
+            try:
+                shard_rows, last = self._read_shard_from(
+                    client, shard_id, pos, max_records=per_shard
+                )
+            except Exception as exc:  # noqa: BLE001 — boto3 client error
+                # A resharded-away shard that has aged past retention
+                # vanishes from the stream; keeping it in the offset
+                # map would fail THIS and every retried batch forever.
+                # Retire it (its records are gone regardless).
+                if "ResourceNotFound" in type(exc).__name__ or (
+                    "ResourceNotFound" in str(exc)
+                ):
+                    continue
+                raise
             rows.extend(shard_rows)
             end[shard_id] = last
         return iter(rows), end
@@ -405,6 +446,14 @@ class KinesisDataSource(DataSource):
         return KinesisBatchReader(self.options)
 
     def writer(self, schema, overwrite: bool) -> KinesisDataSourceWriter:
+        if overwrite:
+            # A stream cannot be truncated; silently treating
+            # mode('overwrite') as append would hand back duplicated
+            # data with no error.
+            raise ValueError(
+                f"{FORMAT_NAME} supports only append mode "
+                "(a Kinesis stream cannot be overwritten)"
+            )
         return KinesisDataSourceWriter(self.options)
 
     def streamWriter(self, schema, overwrite: bool) -> KinesisDataSourceStreamWriter:
