@@ -61,135 +61,47 @@ def _load_modules():
 
 
 # The driver checks ~50 queries per round in registration order, so the
-# order is a verification budget. Four tiers (refreshed at r7 start from
-# CORRECTNESS_r06.json via tools/refresh_tiers.py):
-#   0. changed since the r6 verdict — operators whose code this round
-#      touched, so their green r6 rows no longer cover them;
-#   1. never driver-verified (none — every registered query has driver
-#      evidence as of r6);
+# order is a verification budget. Four tiers (refreshed at r8 start from
+# CORRECTNESS_r07.json via tools/refresh_tiers.py):
+#   0. changed since the r7 verdict — operators whose behavior this
+#      round touched, so their green rows no longer cover them;
+#   1. never driver-verified (implicit: in no list);
 #   2. stale evidence, ordered OLDEST ROUND FIRST within the tier:
-#      the 29 r4-green rows the r6 verdict flagged as the backlog,
-#      then the 41 r5-green rows absent from the r6 window;
-#   3. green in CORRECTNESS_r06 (freshest evidence, cheapest to skip).
-# Window arithmetic (r7): 128 registered = 120 carried + 8 added
-# late-r7 (dedup_substring_chunks, pipeline_source_mixture,
-# pipeline_shuffle_shard, time_downsample_m4, sink_sorted_clustered,
-# window_rolling_quantile, source_schema_evolution,
-# analytics_cumulative_distinct — tier 1 by construction, so they
-# verify in their debut round). The window fills as |tier0|=13 + 8
-# never-verified + 29 r4-stale = 50 exactly; all 41 r5-stale rows
-# lead r8, so max evidence age at any verdict stays 2 rounds (the
-# 128-query surface cycles in ⌈128/50⌉ = 3 windows with the check
-# always landing in the visiting round). Growth stayed ≤ the
-# window's slack (13+8+29 ≤ 50) so the r4 backlog the r6 verdict
-# flagged still drains fully this round; growth is now capped for r7
-# (the slack is spent — see the tier-0 policy note above for the
-# demotions that keep it at 50). Late-r7 additions to the demoted
-# shared-text set: sql_tpch_q16/q19 (review finds — Q19's Brand#34
-# never existed in the fixture and Q16's negative-balance filter was
-# empty at sf0.001, so both got fixture-real, scale-free parameters;
-# one text, both engines, re-verified by every full local sim).
-# Tier-0 policy (r7): only BEHAVIOR-relevant changes consume window
-# slots. Changes demoted under this policy, each with full local
-# evidence (every driver sim this round runs the whole registry, and
-# the sf0.1 sweep covered them): sql_tpch_q7/q8 (ONE shared SQL text
-# runs on both engines, so the half-open-date rewrite re-agrees by
-# construction — the >=/< constructs are the same ones q12/q15/q20
-# verify every round), scalar_array_map_json (helper hoist,
-# bit-identical plan), join_asof / join_asof_tolerance (shared
-# _asof_timeline extraction, bit-identical plan).
+#      the 35 r5-green rows the r7 verdict flagged as the backlog lead,
+#      then the 43 r6-green rows absent from the r7 window;
+#   3. green in CORRECTNESS_r07 (freshest evidence, cheapest to skip).
+# Window arithmetic (r8): 128 carried registered queries, 78 stale.
+# The 35 r5 rows MUST all land in the ~50-slot window (r7 verdict item
+# 1: "no registered query's evidence older than r6" at the r8 verdict),
+# which leaves 50 - 35 = 15 slots for tier 0 + new registrations, so
+# tier-0 growth is capped at 15 this round (the r7 tier-0 policy holds:
+# only BEHAVIOR-relevant changes consume slots; shared-text rewrites
+# and bit-identical refactors are demoted with local-sim evidence).
+# The 43 r6 rows then age to 2 rounds — still inside the registry's
+# ≤2-round guarantee — and lead r9.
 _CHANGED_SINCE_VERDICT = (
-    # r7: snapshot store bucket-partitioned by pmod(hash(user_id), N);
-    # micro-batches rewrite only touched buckets (VERDICT r6 item 4)
-    "stream_foreach_batch_upsert",
-    # r7: stand-in eval set capped at a fixed absolute size so the
-    # broadcast no longer grows with the corpus (ADVICE r6)
-    "dedup_decontaminate",
-    # r7 differential finds: anti-join oracle NOT IN → NOT EXISTS (a
-    # NULL build key zeroed the oracle, not Spark's left_anti); string
-    # aggregation NULL — not '' — on all-NULL groups (_string_agg)
-    "join_anti",
-    "agg_string_concat",
-    "agg_collect_sorted",
-    # r7: ascending value sort keys pinned asc_nulls_last (Spark ASC
-    # defaults NULLS FIRST; the oracles' engines default NULLS LAST)
-    "window_ranking_suite",
-    "window_first_last",
-    # r7: two job-kill finds in one operator — bare ANSI cast on the
-    # k*2 doubling (one '3.5' kills the job) and raw '+5'/'007'
-    # interpolation producing malformed payload JSON; now gated +
-    # normalized on both engines
-    "scalar_variant_shred",
-    # r7: CSV writer/reader pair made lossless (whitespace preserved,
-    # \\N null sentinel so '' ≠ NULL, multiLine reader for embedded
-    # newlines — three silent-corruption finds)
-    "source_csv_roundtrip",
-    # r7: funnel accumulator's last_ts type now follows the input's
-    # timestamp flavor (hardcoded NTZ literal killed analysis on LTZ
-    # events frames — crafted-frame differential find)
-    "funnel_conversion",
-    # r7 review finds (wave 2): ascending nullable date key pinned
-    # NULLS LAST in the running frame (the window_first_last class,
-    # missed by the first sweep); stats argmin/argmax moved from
-    # tie-nondeterministic min_by/max_by to lexicographic struct
-    # MIN/MAX with a declared orderkey tie-break
-    "window_running_frame",
-    "agg_stats_corr",
-    # r7 review find (wave 3): llm-prep's alpha_ratio divided by a
-    # bare '/' — one empty document killed the job with ANSI
-    # DIVIDE_BY_ZERO; try_divide now (the quality_score class)
-    "pipeline_llm_prep",
+    # r8: window_rolling_quantile re-planned onto bounded-overlap
+    # re-chunking (r7 verdict item 2) — parallelism no longer bounded
+    # by |event_type|; same oracle, differential-pinned vs old plan
+    "window_rolling_quantile",
 )
 
 _STALE_EVIDENCE = {
-    "agg_approx_distinct": 4,
-    "agg_distinct": 4,
-    "agg_group_sum": 4,
-    "agg_grouping_sets": 4,
-    "analytics_retention_cohort": 4,
-    "embedding_quantize_int8": 4,
-    "filter_in_between_like": 4,
-    "join_anti": 4,
-    "join_broadcast": 4,
-    "join_bucketed_colocated": 4,
-    "join_inner_equi": 4,
-    "join_left_outer": 4,
-    "join_multiway_star": 4,
-    "join_semi": 4,
-    "merge_scd2": 4,
-    "project_filter": 4,
-    "scan_parquet": 4,
-    "sink_compacted_parquet": 4,
-    "sink_partitioned_parquet": 4,
-    "source_text_lines_roundtrip": 4,
-    "sql_tpch_q1": 4,
-    "sql_tpch_q14": 4,
-    "sql_tpch_q17": 4,
-    "sql_tpch_q21": 4,
-    "sql_tpch_q22": 4,
-    "sql_tpch_q3": 4,
-    "sql_tpch_q4": 4,
-    "time_gapfill_locf": 4,
-    "window_session_islands": 4,
     "agg_bool_bitwise": 5,
-    "agg_collect_sorted": 5,
     "agg_histogram": 5,
     "agg_percentile": 5,
     "agg_pivot": 5,
-    "agg_string_concat": 5,
     "dedup_cluster_cc": 5,
     "dedup_incremental_jaccard": 5,
     "dedup_near_minhash": 5,
     "dedup_ngram_jaccard": 5,
     "dedup_simhash": 5,
-    "explode_token_freq": 5,
     "join_asof": 5,
     "join_cross_dims": 5,
     "join_range_theta": 5,
     "join_salted_skew": 5,
     "merge_upsert": 5,
     "sample_stratified_hash": 5,
-    "scalar_variant_shred": 5,
     "set_union_except_intersect": 5,
     "sink_kinesis_batched": 5,
     "sort_limit": 5,
@@ -208,84 +120,136 @@ _STALE_EVIDENCE = {
     "text_ngram_profile": 5,
     "time_rollup_hypertable": 5,
     "udtf_table_chunks": 5,
-    "window_first_last": 5,
     "window_rank_topk": 5,
-    "window_running_frame": 5,
     "window_time_range": 5,
+    "agg_filtered_conditional": 6,
+    "agg_regression": 6,
+    "agg_rollup_cube": 6,
+    "dedup_embedding_cosine": 6,
+    "dedup_exact": 6,
+    "dedup_fuzzy_editdist": 6,
+    "join_asof_tolerance": 6,
+    "multimodal_decode": 6,
+    "multimodal_frame_sample": 6,
+    "multimodal_join": 6,
+    "multimodal_resize": 6,
+    "scalar_array_map_json": 6,
+    "scalar_conditional_regex": 6,
+    "scalar_string_date_math": 6,
+    "similarity_ann_ivf": 6,
+    "similarity_ann_lsh": 6,
+    "similarity_topk_cosine": 6,
+    "source_json_roundtrip": 6,
+    "sql_tpch_q11": 6,
+    "sql_tpch_q12": 6,
+    "sql_tpch_q13": 6,
+    "sql_tpch_q15": 6,
+    "sql_tpch_q16": 6,
+    "sql_tpch_q18": 6,
+    "sql_tpch_q19": 6,
+    "sql_tpch_q2": 6,
+    "sql_tpch_q20": 6,
+    "sql_tpch_q7": 6,
+    "sql_tpch_q8": 6,
+    "sql_tpch_q9": 6,
+    "stream_session_window": 6,
+    "stream_user_profile": 6,
+    "text_analysis_stats": 6,
+    "text_fingerprint": 6,
+    "text_language_id": 6,
+    "text_pii_scrub": 6,
+    "text_quality_score": 6,
+    "text_repetition_filter": 6,
+    "text_token_count": 6,
+    "time_ohlc_bars": 6,
+    "tokenize_pack_sequences": 6,
+    "udf_python": 6,
+    "window_lag_lead": 6,
 }
-
 _VERIFIED_LAST = frozenset(
     {
-        "agg_filtered_conditional",
-        "agg_regression",
-        "agg_rollup_cube",
+        "agg_approx_distinct",
+        "agg_collect_sorted",
+        "agg_distinct",
+        "agg_group_sum",
+        "agg_grouping_sets",
         "agg_stats_corr",
+        "agg_string_concat",
+        "analytics_cumulative_distinct",
+        "analytics_retention_cohort",
         "dedup_decontaminate",
-        "dedup_embedding_cosine",
-        "dedup_exact",
-        "dedup_fuzzy_editdist",
+        "dedup_substring_chunks",
+        "embedding_quantize_int8",
+        "explode_token_freq",
+        "filter_in_between_like",
         "funnel_conversion",
-        "join_asof_tolerance",
-        "multimodal_decode",
-        "multimodal_frame_sample",
-        "multimodal_join",
-        "multimodal_resize",
+        "join_anti",
+        "join_broadcast",
+        "join_bucketed_colocated",
+        "join_inner_equi",
+        "join_left_outer",
+        "join_multiway_star",
+        "join_semi",
+        "merge_scd2",
         "pipeline_llm_prep",
-        "scalar_array_map_json",
-        "scalar_conditional_regex",
-        "scalar_string_date_math",
-        "similarity_ann_ivf",
-        "similarity_ann_lsh",
-        "similarity_topk_cosine",
+        "pipeline_shuffle_shard",
+        "pipeline_source_mixture",
+        "project_filter",
+        "scalar_variant_shred",
+        "scan_parquet",
+        "sink_compacted_parquet",
+        "sink_partitioned_parquet",
+        "sink_sorted_clustered",
         "source_csv_roundtrip",
-        "source_json_roundtrip",
-        "sql_tpch_q11",
-        "sql_tpch_q12",
-        "sql_tpch_q13",
-        "sql_tpch_q15",
-        "sql_tpch_q16",
-        "sql_tpch_q18",
-        "sql_tpch_q19",
-        "sql_tpch_q2",
-        "sql_tpch_q20",
-        "sql_tpch_q7",
-        "sql_tpch_q8",
-        "sql_tpch_q9",
+        "source_schema_evolution",
+        "source_text_lines_roundtrip",
+        "sql_tpch_q1",
+        "sql_tpch_q14",
+        "sql_tpch_q17",
+        "sql_tpch_q21",
+        "sql_tpch_q22",
+        "sql_tpch_q3",
+        "sql_tpch_q4",
         "stream_foreach_batch_upsert",
-        "stream_session_window",
-        "stream_user_profile",
-        "text_analysis_stats",
-        "text_fingerprint",
-        "text_language_id",
-        "text_pii_scrub",
-        "text_quality_score",
-        "text_repetition_filter",
-        "text_token_count",
-        "time_ohlc_bars",
-        "tokenize_pack_sequences",
-        "udf_python",
-        "window_lag_lead",
+        "time_downsample_m4",
+        "time_gapfill_locf",
+        "window_first_last",
         "window_ranking_suite",
+        "window_running_frame",
+        "window_session_islands",
     }
 )
-
 
 def _check_tiers(registered: set[str]) -> None:
     """Fail loudly on tier-list typos (ADVICE r3): every hand-maintained
     tier name must be a registered query, mirroring oracle_sql()'s
     unknown-entry check — otherwise a rename silently demotes a query
     to the wrong verification tier."""
-    for tier_name, tier in (
+    tiers = (
         ("_CHANGED_SINCE_VERDICT", set(_CHANGED_SINCE_VERDICT)),
         ("_STALE_EVIDENCE", set(_STALE_EVIDENCE)),
         ("_VERIFIED_LAST", _VERIFIED_LAST),
-    ):
+    )
+    for tier_name, tier in tiers:
         unknown = tier - registered
         if unknown:
             raise ValueError(
                 f"registry tier {tier_name} names unregistered queries "
                 f"{sorted(unknown)} — refresh the tier lists"
             )
+    # Pairwise disjointness (ADVICE r7): a name in two tiers is only
+    # harmless because _reorder checks _CHANGED_SINCE_VERDICT first;
+    # assert it so a precedence change or one-sided removal can't
+    # silently mis-tier a query.
+    for i in range(len(tiers)):
+        for j in range(i + 1, len(tiers)):
+            dup = tiers[i][1] & tiers[j][1]
+            if dup:
+                raise ValueError(
+                    f"query names {sorted(dup)} appear in both "
+                    f"{tiers[i][0]} and {tiers[j][0]} — tiers must be "
+                    "disjoint"
+                )
 
 
 def _reorder(names: list[str]) -> list[str]:

@@ -29,6 +29,8 @@ from env (``AWS_REGION_NAME``, ``KINESIS_ENDPOINT``).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
@@ -47,6 +49,8 @@ READ_SCHEMA = (
 )
 
 FORMAT_NAME = "kinesis_frinesis"
+
+_LOG = logging.getLogger(__name__)
 
 
 def _client_factory(options: dict):
@@ -279,12 +283,29 @@ class KinesisSimpleStreamReader(SimpleDataSourceStreamReader):
                 # A resharded-away shard that has aged past retention
                 # vanishes from the stream; keeping it in the offset
                 # map would fail THIS and every retried batch forever.
-                # Retire it (its records are gone regardless).
-                if "ResourceNotFound" in type(exc).__name__ or (
-                    "ResourceNotFound" in str(exc)
-                ):
-                    continue
-                raise
+                # Retire it — but only on the SPECIFIC AWS error code,
+                # and only after confirming the shard (not the whole
+                # stream) is what vanished: a stream-level
+                # ResourceNotFound (stream deleted/renamed mid-run)
+                # must surface, not silently retire every shard and
+                # read empty batches forever (ADVICE r7).
+                code = (
+                    getattr(exc, "response", None) or {}
+                ).get("Error", {}).get("Code", "")
+                if code != "ResourceNotFoundException":
+                    raise
+                live = list_shard_ids(client, self.stream)  # raises if
+                # the stream itself is gone — the failure we must keep
+                if shard_id in live:
+                    raise  # shard exists; the error was about the
+                    # stream/iterator state, not shard retirement
+                _LOG.warning(
+                    "kinesis shard %s/%s vanished (aged past "
+                    "retention after reshard); retiring its offset",
+                    self.stream,
+                    shard_id,
+                )
+                continue
             rows.extend(shard_rows)
             end[shard_id] = last
         return iter(rows), end

@@ -227,9 +227,17 @@ class _BucketedSnapshotStore:
     buckets. This is the poor-man's form of what a MERGE-capable
     table format (Delta/Iceberg) does with file-level rewrites + a
     table manifest.
+
+    The manifest itself is persisted (``manifest.json`` in the base
+    dir, atomic tmp+rename after every merge) and reloaded on
+    construction, so a driver restart over the same base dir resumes
+    the snapshot instead of silently starting empty (ADVICE r7); a
+    replayed batch then merges idempotently (latest-per-key of the
+    same rows — tests/test_round8_fixes.py pins the restart resume).
     """
 
     def __init__(self, base: str, key: str, order: list, n_buckets: int = _UPSERT_BUCKETS):
+        import json
         import os
 
         self.base = base
@@ -239,6 +247,45 @@ class _BucketedSnapshotStore:
         self.manifest: dict[int, str] = {}
         self._pending_reclaim: list[str] = []
         os.makedirs(base, exist_ok=True)
+        # Restart safety (ADVICE r7): the manifest is persisted as a
+        # small JSON beside the version dirs after every merge, so a
+        # driver restart (foreachBatch replay from checkpoint) resumes
+        # from the previously merged buckets instead of silently
+        # starting an empty snapshot while old version dirs linger.
+        mpath = os.path.join(base, "manifest.json")
+        if os.path.exists(mpath):
+            with open(mpath) as fh:
+                saved = json.load(fh)
+            self.manifest = {
+                int(b): p
+                for b, p in saved.get("buckets", {}).items()
+                if os.path.exists(p)
+            }
+            # Dirs the crashed run had queued for reclaim: safe to
+            # reclaim on the next merge (their generation is two back
+            # by now; no live reader from the dead process survives).
+            self._pending_reclaim = [
+                p for p in saved.get("pending", []) if os.path.exists(p)
+            ]
+
+    def _persist_manifest(self) -> None:
+        """Atomic write (tmp + rename) so a crash mid-write leaves the
+        previous manifest, matching the write-before-retarget contract
+        of the data dirs themselves."""
+        import json
+        import os
+
+        mpath = os.path.join(self.base, "manifest.json")
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {
+                    "buckets": {str(b): p for b, p in self.manifest.items()},
+                    "pending": list(self._pending_reclaim),
+                },
+                fh,
+            )
+        os.replace(tmp, mpath)
 
     def _bucket(self):
         return F.pmod(F.hash(F.col(self.key)), F.lit(self.n_buckets))
@@ -324,6 +371,7 @@ class _BucketedSnapshotStore:
                 self.manifest[b] = os.path.join(vdir, f"bucket={b}")
                 if old is not None:
                     self._pending_reclaim.append(old)
+            self._persist_manifest()
         finally:
             latest.unpersist()
 

@@ -279,3 +279,101 @@ def test_wire_roundtrip_through_stub(registered):
         assert sorted(bytes(r.data).decode() for r in rows) == sorted(payloads)
         # Both shards participated (the md5 key routing splits 25 keys).
         assert len({r.shard_id for r in rows}) == 2
+
+
+# --- shard retirement specificity (ADVICE r7) ------------------------------
+
+
+class _RNF(Exception):
+    """Duck-typed botocore ClientError with the AWS error code."""
+
+    response = {"Error": {"Code": "ResourceNotFoundException"}}
+
+
+class _OtherErr(Exception):
+    response = {"Error": {"Code": "ProvisionedThroughputExceededException"}}
+
+
+class _FakeClient:
+    """Shards in `live` list + serve one record each; ids in `broken`
+    raise `err` from get_shard_iterator. `fail_list_after` makes
+    list_shards itself raise _RNF from the Nth call on (stream
+    deleted mid-batch)."""
+
+    def __init__(self, live, broken=(), err=_RNF, fail_list_after=None):
+        self.live = list(live)
+        self.broken = set(broken)
+        self.err = err
+        self.fail_list_after = fail_list_after
+        self._list_calls = 0
+
+    def list_shards(self, **kw):
+        self._list_calls += 1
+        if (
+            self.fail_list_after is not None
+            and self._list_calls > self.fail_list_after
+        ):
+            raise _RNF("stream deleted")
+        return {"Shards": [{"ShardId": s} for s in self.live]}
+
+    def get_shard_iterator(self, **kw):
+        sid = kw["ShardId"]
+        if sid in self.broken:
+            raise self.err(sid)
+        return {"ShardIterator": f"it-{sid}"}
+
+    def get_records(self, ShardIterator, Limit):
+        sid = ShardIterator.split("-", 1)[1]
+        return {
+            "Records": [
+                {
+                    "SequenceNumber": f"{sid}-seq1",
+                    "PartitionKey": "pk",
+                    "Data": sid.encode(),
+                }
+            ],
+            "MillisBehindLatest": 0,
+        }
+
+
+def _reader(client):
+    from frinesis_spark.sources.kinesis_datasource import (
+        KinesisSimpleStreamReader,
+    )
+
+    r = KinesisSimpleStreamReader({"stream": "s", "mock_store_dir": "/x"})
+    r.factory = lambda: client
+    return r
+
+
+def test_vanished_shard_is_retired_and_batch_continues():
+    """A shard absent from a live list_shards AND raising the specific
+    AWS code is retired; the other shard's records still flow."""
+    client = _FakeClient(live=["B"], broken=["A"])
+    rows, end = _reader(client).read({"A": "old-seq", "B": ""})
+    assert [r[1] for r in rows] == ["B"]
+    assert "A" not in end and end["B"] == "B-seq1"
+
+
+def test_rnf_on_live_shard_surfaces():
+    """ResourceNotFound while the shard is still listed (iterator/
+    state weirdness, or an error message merely containing the text)
+    must raise, not retire."""
+    client = _FakeClient(live=["A", "B"], broken=["A"])
+    with pytest.raises(_RNF):
+        _reader(client).read({"A": "old-seq", "B": ""})
+
+
+def test_stream_deleted_mid_batch_surfaces():
+    """If the existence re-check finds the whole stream gone, the
+    original failure propagates instead of retiring every shard into
+    silent empty batches forever."""
+    client = _FakeClient(live=["A", "B"], broken=["A"], fail_list_after=1)
+    with pytest.raises(_RNF):
+        _reader(client).read({"A": "old-seq", "B": ""})
+
+
+def test_non_rnf_codes_never_retire():
+    client = _FakeClient(live=["B"], broken=["A"], err=_OtherErr)
+    with pytest.raises(_OtherErr):
+        _reader(client).read({"A": "old-seq", "B": ""})
