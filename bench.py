@@ -21,6 +21,23 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 # Benchmark set: the queries that dominate a real workload — scan-heavy
 # agg, big joins, windows, and the LLM-pipeline operators. Extended as
 # operators land; unknown names are skipped so bench never breaks.
+# Regression-alarm noise floor: ratios where both sides are under
+# this many seconds are timer jitter on this host (rep_spread ~1.2-1.3
+# on sub-second queries at best-of-3), not signal. See the policy note
+# at the regression gate below.
+_NOISE_FLOOR_SEC = 0.3
+
+# Intentional per-round behavior changes whose timing shift is
+# expected: reported under "expected_shifts" (annotated, not silent),
+# never under "regressions". Clear this map at the start of each round.
+_EXPECTED_SHIFTS = {
+    # r8: both ANN queries now grade their own recall in-query (the
+    # exact top-k runs alongside the index probe, r7 verdict item 4),
+    # so their wall time includes the grader term.
+    "similarity_ann_lsh": "r8: in-query recall grade adds the exact grader",
+    "similarity_ann_ivf": "r8: in-query recall grade adds the exact grader",
+}
+
 HEADLINE = [
     "agg_group_sum",
     "join_multiway_star",
@@ -251,6 +268,18 @@ def main() -> None:
     # Regression anchor: compare against the newest BENCH_r{N}.json
     # (same sf only) and flag >1.5x per-query slowdowns. Ratios ride
     # along in the record so every round's bench is self-auditing.
+    #
+    # Noise-floor policy (r7 verdict item 8): this host's timer noise
+    # on sub-second queries runs rep_spread ~1.2-1.3 even at
+    # best-of-3, so a 1.5x ratio between two sub-floor times is
+    # indistinguishable from scheduling jitter. The alarm therefore
+    # only fires when the SLOWER side of the comparison carries at
+    # least _NOISE_FLOOR_SEC of work; sub-floor ratios still ride
+    # along in vs_prev (nothing is hidden), they just can't trip the
+    # alarm. Intentional behavior changes are declared per-round in
+    # _EXPECTED_SHIFTS and reported under "expected_shifts" instead of
+    # "regressions" — an annotated shift is not an alarm, but it is
+    # never silent either.
     regressions: dict[str, float] = {}
     prev = _load_prev_bench(Path(__file__).resolve().parent, sf)
     if prev:
@@ -260,8 +289,21 @@ def main() -> None:
             if prev.get(name)
         }
         full["vs_prev"] = vs_prev
-        regressions = {name: r for name, r in vs_prev.items() if r > 1.5}
+        flagged = {
+            name: r
+            for name, r in vs_prev.items()
+            if r > 1.5 and max(timings[name], prev[name]) >= _NOISE_FLOOR_SEC
+        }
+        regressions = {
+            n: r for n, r in flagged.items() if n not in _EXPECTED_SHIFTS
+        }
         full["regressions"] = regressions
+        full["noise_floor_sec"] = _NOISE_FLOOR_SEC
+        full["expected_shifts"] = {
+            n: {"ratio": flagged[n], "why": _EXPECTED_SHIFTS[n]}
+            for n in flagged
+            if n in _EXPECTED_SHIFTS
+        }
 
     # Two outputs (r5 verdict #1 — BENCH_r05 was lost to truncation):
     # the FULL record goes to a committed repo file, and stdout gets a

@@ -230,17 +230,53 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ approximate distinct — the 100 TB cardinality path.
-
-    Sketches merge associatively, so the shuffle carries one ~KB sketch
-    per group instead of the distinct key set. No DuckDB oracle (HLL
-    implementations differ) → rows-only check.
-    """
+def approx_distinct_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw HLL++ estimates next to the exact counts — the frame
+    ``q_agg_approx_distinct`` checks; the sharper observed error bound
+    is pinned on this directly in tests/test_oracle_parity.py."""
     li = table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
         F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+
+
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct — the 100 TB cardinality path.
+
+    Sketches merge associatively, so the shuffle carries one ~KB sketch
+    per group instead of the distinct key set. HLL implementations
+    differ across engines, so the raw estimates can't hash-match a
+    DuckDB oracle; instead the query CHECKS its own estimates (r7
+    verdict item 4): it emits the exact per-group cardinalities plus a
+    boolean pinning |approx − exact| ≤ 4·rsd·exact for both columns —
+    the oracle recomputes the exact counts and asserts TRUE, so a
+    driver run now verifies the sketch is actually within its error
+    contract instead of recording rows-only. (4σ on rsd=0.01; the
+    sharper 1.5σ observed bound stays pinned locally in
+    tests/test_oracle_parity.py.) The exact counts ride along in the
+    same aggregate — at 100 TB you would drop them and keep only the
+    sketches; the error contract is fixture-verified here.
+    """
+    agg = approx_distinct_estimates(spark, sf_dir)
+    tol = 4 * 0.01
+    within = (
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            <= tol * F.col("exact_parts")
+        )
+        & (
+            F.abs(F.col("approx_orders") - F.col("exact_orders"))
+            <= tol * F.col("exact_orders")
+        )
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        "exact_orders",
+        within.alias("approx_within_rsd"),
     )
 
 
@@ -707,18 +743,25 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice"),
         )
     )
-    t, u = o.alias("t"), updates.alias("u")
-    merged = t.join(u, F.col("t.o_orderkey") == F.col("u.o_orderkey"), "full_outer")
+    return upsert_merge(o, updates, "o_orderkey")
+
+
+def upsert_merge(target: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+    """SCD-1 MERGE core: full-outer join on ``key`` + column-wise
+    coalesce favoring the update side. Replay-idempotent by
+    construction for a FIXED updates batch (the reference's
+    at-least-once delivery model, batchproducer.go:360, :425-426):
+    re-applying the same batch overwrites matched rows with the same
+    values — pinned by tests/test_round8_fixes.py. Precondition:
+    ``updates`` carries at most one row per key (a CDC batch reduced
+    to latest-per-key; otherwise the join fans out)."""
+    t, u = target.alias("t"), updates.alias("u")
+    merged = t.join(u, F.col(f"t.{key}") == F.col(f"u.{key}"), "full_outer")
     return merged.select(
-        F.coalesce(F.col("u.o_orderkey"), F.col("t.o_orderkey")).alias(
-            "o_orderkey"
-        ),
-        F.coalesce(F.col("u.o_orderstatus"), F.col("t.o_orderstatus")).alias(
-            "o_orderstatus"
-        ),
-        F.coalesce(F.col("u.o_totalprice"), F.col("t.o_totalprice")).alias(
-            "o_totalprice"
-        ),
+        *[
+            F.coalesce(F.col(f"u.{c}"), F.col(f"t.{c}")).alias(c)
+            for c in target.columns
+        ]
     )
 
 
@@ -1093,24 +1136,69 @@ def q_merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    dim, u = c.alias("t"), updates.alias("u")
-    existing = dim.join(
-        u, F.col("t.c_custkey") == F.col("u.c_custkey"), "left"
-    ).select(
-        F.col("t.c_custkey").alias("c_custkey"),
-        F.col("t.c_acctbal").alias("c_acctbal"),
-        t0.alias("valid_from"),
-        F.when(F.col("u.c_custkey").isNotNull(), eff).alias("valid_to"),
-        F.col("u.c_custkey").isNull().alias("is_current"),
-    )
-    fresh = updates.select(
+    hist0 = c.select(
         "c_custkey",
         "c_acctbal",
-        eff.alias("valid_from"),
+        t0.alias("valid_from"),
         F.lit(None).cast("timestamp").alias("valid_to"),
         F.lit(True).alias("is_current"),
     )
-    return existing.unionByName(fresh)
+    return scd2_merge(hist0, updates, eff, "c_custkey", "c_acctbal")
+
+
+def scd2_merge(
+    hist: DataFrame,
+    updates: DataFrame,
+    eff,
+    key: str,
+    value: str,
+) -> DataFrame:
+    """SCD-2 MERGE core over a full history table ``(key, value,
+    valid_from, valid_to, is_current)``: a matched current row whose
+    value CHANGED closes (``valid_to`` = ``eff``, no longer current)
+    and the update inserts as the new open version; a brand-new key
+    inserts its first version; closed history passes through.
+
+    The change-detection guard (null-safe ``<=>`` compare) is what
+    makes replay idempotent under the reference's at-least-once
+    delivery (batchproducer.go:360, :425-426): redelivering the same
+    batch finds every update equal to its key's open version and
+    no-ops, instead of double-closing versions and duplicating
+    inserts — pinned by tests/test_round8_fixes.py. Precondition: one
+    row per key in ``updates``. One left join on the key classifies
+    current rows map-side; at 100 TB a table format adds file pruning
+    but the join+union semantics are exactly this.
+    """
+    cur, closed = hist.where(F.col("is_current")), hist.where(
+        ~F.col("is_current")
+    )
+    t, u = cur.alias("t"), updates.alias("u")
+    joined = t.join(u, F.col(f"t.{key}") == F.col(f"u.{key}"), "left")
+    changed = F.col(f"u.{key}").isNotNull() & ~(
+        F.col(f"t.{value}").eqNullSafe(F.col(f"u.{value}"))
+    )
+    existing = joined.select(
+        F.col(f"t.{key}").alias(key),
+        F.col(f"t.{value}").alias(value),
+        F.col("t.valid_from").alias("valid_from"),
+        F.when(changed, eff).otherwise(F.col("t.valid_to")).alias("valid_to"),
+        (~changed).alias("is_current"),
+    )
+    fresh = (
+        u.join(t, F.col(f"u.{key}") == F.col(f"t.{key}"), "left")
+        .where(
+            F.col(f"t.{key}").isNull()
+            | ~F.col(f"t.{value}").eqNullSafe(F.col(f"u.{value}"))
+        )
+        .select(
+            F.col(f"u.{key}").alias(key),
+            F.col(f"u.{value}").alias(value),
+            eff.alias("valid_from"),
+            F.lit(None).cast("timestamp").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+    )
+    return closed.unionByName(existing).unionByName(fresh)
 
 
 QUERIES = {
@@ -1541,8 +1629,14 @@ ORACLE = {
         FROM lineitem
         GROUP BY l_returnflag
     """,
-    # agg_approx_distinct: intentionally no oracle (HLL sketches differ
-    # across engines) → rows-only check.
+    "agg_approx_distinct": """
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_partkey) AS exact_parts,
+               COUNT(DISTINCT l_orderkey) AS exact_orders,
+               TRUE AS approx_within_rsd
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
     "agg_rollup_cube": f"""
         SELECT l_returnflag, l_linestatus,
                {oracle_dsum('l_quantity')} AS sum_qty,

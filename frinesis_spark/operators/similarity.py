@@ -314,9 +314,10 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via multi-probe random-hyperplane LSH + exact
-    re-rank.
+    re-rank — the raw neighbor output; the registered query wraps it
+    in the recall check (see ``q_similarity_ann_lsh``).
 
     Candidates = corpus rows whose exact band bucket matches any of the
     query's probed buckets. At 100 TB: corpus bucketing is map-only,
@@ -324,8 +325,7 @@ def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny and broadcast), candidates are deduped, and only then are the
     two embedding columns joined back by id for the exact cosine
     re-rank — candidate volume ~15% of corpus per query at recall 0.8
-    (measured; see band-geometry note above). Recall < 1 by design →
-    rows-only check.
+    (measured; see band-geometry note above).
     """
     q, c = _queries_and_candidates(spark, sf_dir)
     pairs = lsh_candidate_pairs(spark, sf_dir)
@@ -335,6 +335,62 @@ def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cos = cosine_similarity(F.col("qe"), F.col("ce"))
     return _topk_output(cand.select("query_id", "neighbor_id", cos.alias("cos")))
+
+
+# Driver-verifiable recall floors, in TOTAL hits across the
+# _N_QUERIES × _TOP_K = 50 (query, exact-neighbor) slots. Everything
+# here is deterministic (md5 hyperplanes / fixed k-means seeds), so
+# the observed totals are constants per fixture: LSH 31/31/40 and IVF
+# 41/37/45 at sf0.001/0.01/0.1 — floors sit a full step below the
+# worst observed so fixture regeneration noise doesn't flip the
+# boolean, while a broken index (hash scrambled, wrong column, empty
+# candidates) lands far below. The SHARP per-sf recall floors
+# (e.g. ≥0.8@sf0.1) stay pinned in tests/test_ann.py.
+_LSH_RECALL_FLOOR_HITS = 25  # total-recall ≥ 0.5
+_IVF_RECALL_FLOOR_HITS = 30  # total-recall ≥ 0.6
+
+
+def _recall_check(
+    spark: SparkSession, sf_dir: str, ann: DataFrame, floor_hits: int
+) -> DataFrame:
+    """One-row frame: (n_queries, k, recall_floor_met) — the ANN
+    result graded against the registered exact top-k
+    (``q_similarity_topk_cosine``) inside the query itself, so the
+    driver's DuckDB hash-compare can verify an approximate operator
+    (r7 verdict item 4: the oracle recomputes n_queries/k exactly and
+    asserts the boolean TRUE)."""
+    exact = q_similarity_topk_cosine(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    hits = ann.select("query_id", "neighbor_id").join(
+        exact, ["query_id", "neighbor_id"]
+    )
+    return (
+        exact.agg(F.countDistinct("query_id").alias("n_queries"))
+        .withColumn("k", F.lit(_TOP_K).cast("long"))
+        .crossJoin(
+            hits.agg(
+                (F.count(F.lit(1)) >= floor_hits).alias("recall_floor_met")
+            )
+        )
+    )
+
+
+def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ANN with an in-query recall grade: runs the full
+    ``ann_lsh_topk`` path, joins it to the exact top-k, and emits
+    whether total recall clears the floor — an approximate index is
+    exactly as good as its recall, so the recall IS the checkable
+    output (HLL got the same treatment in ``agg_approx_distinct``).
+    Scale note: the exact-grader term is eval-set-sized (10 queries ×
+    corpus brute force) — the production-time cost is only the ANN
+    path being graded."""
+    return _recall_check(
+        spark,
+        sf_dir,
+        ann_lsh_topk(spark, sf_dir),
+        _LSH_RECALL_FLOOR_HITS,
+    )
 
 
 # The headline ANN path on this corpus: lists=64 / probe=4 measures
@@ -501,9 +557,11 @@ def ivf_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via an IVF (inverted-file) index: k-means
-    cells + probe-N search, exact re-rank inside probed cells.
+    cells + probe-N search, exact re-rank inside probed cells — the
+    raw neighbor output; the registered query wraps it in the recall
+    check (see ``q_similarity_ann_ivf``).
 
     The headline ANN path (see the lists/probe sizing note above):
     train ``_IVF_LISTS`` cell centroids (distributed Lloyd, mergeable
@@ -512,8 +570,7 @@ def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells and compute exact cosine only against those cells' members —
     candidate volume ≈ probe/lists of the corpus (~6% measured). The
     cell assignment shuffles nothing; the probe join shuffles on cell
-    id. Recall < 1 by design → rows-only check (re-rank exactness is
-    covered by ``similarity_topk_cosine``).
+    id. Re-rank exactness is covered by ``similarity_topk_cosine``.
     """
     cells, probed = _ivf_cells_and_probes(spark, sf_dir)
     cos = cosine_similarity(F.col("qe"), F.col("ce"))
@@ -521,6 +578,19 @@ def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         probed.join(cells, "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", cos.alias("cos"))
+    )
+
+
+def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with an in-query recall grade — same contract as
+    ``q_similarity_ann_lsh``: the full ``ann_ivf_topk`` path runs and
+    is graded against the exact top-k; the oracle verifies
+    (n_queries, k) exactly and the recall-floor boolean as TRUE."""
+    return _recall_check(
+        spark,
+        sf_dir,
+        ann_ivf_topk(spark, sf_dir),
+        _IVF_RECALL_FLOOR_HITS,
     )
 
 
@@ -598,9 +668,20 @@ ORACLE = {
         )
         WHERE rank <= {_TOP_K}
     """,
-    # similarity_ann_lsh: intentionally no oracle — approximate recall
-    # by design; exactness of the re-rank formula is covered by
-    # similarity_topk_cosine.
+    # The ANN pair emits its own recall grade (r8): the oracle
+    # recomputes n_queries/k exactly and asserts the floor boolean.
+    "similarity_ann_lsh": f"""
+        SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_queries,
+               CAST({_TOP_K} AS BIGINT) AS k,
+               TRUE AS recall_floor_met
+        FROM embeddings WHERE vec_id < {_N_QUERIES}
+    """,
+    "similarity_ann_ivf": f"""
+        SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_queries,
+               CAST({_TOP_K} AS BIGINT) AS k,
+               TRUE AS recall_floor_met
+        FROM embeddings WHERE vec_id < {_N_QUERIES}
+    """,
     "embedding_quantize_int8": """
         WITH d AS (
             SELECT vec_id,

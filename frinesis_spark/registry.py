@@ -84,6 +84,20 @@ _CHANGED_SINCE_VERDICT = (
     # re-chunking (r7 verdict item 2) — parallelism no longer bounded
     # by |event_type|; same oracle, differential-pinned vs old plan
     "window_rolling_quantile",
+    # r8: the rows-only trio became self-checking (VERDICT r7 item 4):
+    # agg_approx_distinct emits exact counts + a 4σ error-bound
+    # boolean; the ANN pair emit (n_queries, k, recall-floor boolean)
+    # graded in-query against the exact top-k — all three now carry
+    # DuckDB oracles and must re-verify
+    "agg_approx_distinct",
+    "similarity_ann_lsh",
+    "similarity_ann_ivf",
+    # r8: scd2 merge core gained the change-detection guard that makes
+    # at-least-once batch replay idempotent (r7 verdict item 6) —
+    # fixture output is bit-identical but no-op updates now behave
+    # differently, so it re-verifies (merge_upsert, also refactored
+    # onto the shared core, is already at the head of the stale tier)
+    "merge_scd2",
 )
 
 _STALE_EVIDENCE = {
@@ -136,8 +150,6 @@ _STALE_EVIDENCE = {
     "scalar_array_map_json": 6,
     "scalar_conditional_regex": 6,
     "scalar_string_date_math": 6,
-    "similarity_ann_ivf": 6,
-    "similarity_ann_lsh": 6,
     "similarity_topk_cosine": 6,
     "source_json_roundtrip": 6,
     "sql_tpch_q11": 6,
@@ -168,7 +180,6 @@ _STALE_EVIDENCE = {
 }
 _VERIFIED_LAST = frozenset(
     {
-        "agg_approx_distinct",
         "agg_collect_sorted",
         "agg_distinct",
         "agg_group_sum",
@@ -190,7 +201,6 @@ _VERIFIED_LAST = frozenset(
         "join_left_outer",
         "join_multiway_star",
         "join_semi",
-        "merge_scd2",
         "pipeline_llm_prep",
         "pipeline_shuffle_shard",
         "pipeline_source_mixture",

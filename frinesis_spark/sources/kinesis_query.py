@@ -13,6 +13,7 @@ end. The Spark analog of the reference's TestSend round trip
 
 from __future__ import annotations
 
+import atexit
 import shutil
 import tempfile
 
@@ -23,6 +24,20 @@ from frinesis_spark.catalog import table
 from frinesis_spark.sinks.kinesis import KinesisBatchWriter
 from frinesis_spark.sinks.mock import MockClientFactory
 from frinesis_spark.sources.kinesis import read_kinesis
+
+
+def _detach(out: DataFrame, tag: str) -> DataFrame:
+    """Materialize the tiny per-topic aggregate to parquet and return
+    a lazy scan of it, detaching the plan from the mock store the
+    caller is about to rmtree — without routing rows through the
+    driver as Python objects (the collect-detach this replaces, r7
+    verdict item 7). The detach dir outlives the returned frame for
+    the process lifetime and is reclaimed atexit."""
+    spark = out.sparkSession
+    d = tempfile.mkdtemp(prefix=f"kinesis_detach_{tag}_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    out.write.mode("overwrite").parquet(d)
+    return spark.read.parquet(d)
 
 
 def q_source_kinesis_read(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -51,8 +66,7 @@ def q_source_kinesis_read(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         )
-        out = spark.createDataFrame(out.collect(), out.schema)  # detach from store
-        return out
+        return _detach(out, "read")
     finally:
         shutil.rmtree(store, ignore_errors=True)
 
@@ -107,7 +121,7 @@ def q_source_kinesis_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "sum_payload_len"
             ),
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return _detach(out, "ds")
     finally:
         shutil.rmtree(store, ignore_errors=True)
 

@@ -1,10 +1,11 @@
 """Recall checks for the approximate similarity operators.
 
-ANN results are rows-only at the driver (recall < 1 by design), so the
-quality gate lives here: against the exact brute-force top-k, each
-approximate index must reach a minimum recall@k, and every returned
-(query, neighbor, score) must be a true cosine (the re-rank is exact —
-only the candidate set is approximate).
+The registered ANN queries now grade themselves (one-row recall-floor
+boolean the driver's oracle verifies, r8); the SHARP quality gates
+live here on the raw top-k paths: against the exact brute-force
+top-k, each approximate index must reach a minimum recall@k, and
+every returned (query, neighbor, score) must be a true cosine (the
+re-rank is exact — only the candidate set is approximate).
 """
 
 from __future__ import annotations
@@ -14,10 +15,10 @@ import pytest
 from frinesis_spark.operators.similarity import (
     _N_QUERIES,
     _TOP_K,
+    ann_ivf_topk,
+    ann_lsh_topk,
     ivf_candidate_pairs,
     lsh_candidate_pairs,
-    q_similarity_ann_ivf,
-    q_similarity_ann_lsh,
     q_similarity_topk_cosine,
 )
 
@@ -36,7 +37,7 @@ def exact(spark, sf_dir):
 
 @pytest.mark.parametrize(
     "fn,min_recall",
-    [(q_similarity_ann_lsh, 0.5), (q_similarity_ann_ivf, 0.7)],
+    [(ann_lsh_topk, 0.5), (ann_ivf_topk, 0.7)],
     ids=["lsh", "ivf"],
 )
 def test_ann_recall(spark, sf_dir, exact, fn, min_recall):
@@ -52,7 +53,7 @@ def test_ann_recall(spark, sf_dir, exact, fn, min_recall):
 
 @pytest.mark.parametrize(
     "fn,min_recall",
-    [(q_similarity_ann_lsh, 0.8), (q_similarity_ann_ivf, 0.9)],
+    [(ann_lsh_topk, 0.8), (ann_ivf_topk, 0.9)],
     ids=["lsh", "ivf"],
 )
 def test_ann_recall_at_sf01(spark, fn, min_recall):
@@ -100,7 +101,7 @@ def test_ivf_scores_are_exact_cosines(spark, sf_dir, exact):
         (r.query_id, r.neighbor_id): r.cos_sim
         for r in q_similarity_topk_cosine(spark, sf_dir).collect()
     }
-    for r in q_similarity_ann_ivf(spark, sf_dir).collect():
+    for r in ann_ivf_topk(spark, sf_dir).collect():
         key = (r.query_id, r.neighbor_id)
         if key in exact_scores:
             assert abs(r.cos_sim - exact_scores[key]) < 1e-9

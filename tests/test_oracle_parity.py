@@ -39,14 +39,16 @@ def test_entry_smoke(spark):
 
 
 def test_approx_distinct_within_error_bound(spark, duck, sf_dir):
-    """agg_approx_distinct has no hash oracle (HLL implementations
-    differ engine-to-engine), but the ESTIMATE is still checkable: each
-    HLL++ count at rsd=0.01 must sit within a conservative relative
-    tolerance of DuckDB's exact COUNT(DISTINCT). Catches a broken
-    sketch (off-by-10x, wrong column) that a rows-only check misses."""
+    """The raw HLL++ estimates (which the registered query reduces to
+    a ≤4σ boolean the driver's oracle CAN verify, r8) must sit within
+    the sharper observed relative tolerance of DuckDB's exact
+    COUNT(DISTINCT). Catches a broken sketch (off-by-10x, wrong
+    column) that the registered 4σ gate would still pass."""
+    from frinesis_spark.operators.relational import approx_distinct_estimates
+
     est = {
         r["l_returnflag"]: r
-        for r in QUERIES["agg_approx_distinct"](spark, sf_dir).collect()
+        for r in approx_distinct_estimates(spark, sf_dir).collect()
     }
     exact = duck.execute(
         """

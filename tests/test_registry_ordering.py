@@ -66,17 +66,17 @@ def test_oracle_order_mirrors_query_order():
 
 
 def test_rows_only_set_is_closed():
-    """Every registered query carries an oracle except the five
-    declared rows-only-by-design entries (hash families / sketches
-    not reproducible in DuckDB SQL — SURVEY §2B/§2C). A new operator
+    """Every registered query carries an oracle except the two
+    declared rows-only-by-design entries (hash families not
+    reproducible in DuckDB SQL — SURVEY §2B/§2C). Down from five in
+    r8 (VERDICT r7 item 4): agg_approx_distinct now emits a 4σ
+    error-bound boolean and the ANN pair emit recall-floor booleans,
+    all three hash-verified by the driver's oracle. A new operator
     landing without an oracle must either get one or be added HERE
     with its declared justification."""
     rows_only = {
-        "agg_approx_distinct",  # HLL sketch; estimate bounded by test
         "dedup_near_minhash",  # xxhash64 family; exact-Jaccard twin
         "dedup_simhash",  # same hash-family argument
-        "similarity_ann_lsh",  # approx; recall floors pinned in tests
-        "similarity_ann_ivf",  # approx; recall floors pinned in tests
     }
     q = set(registry.queries())
     o = set(registry.oracle_sql())

@@ -226,3 +226,85 @@ def test_bucketed_store_resumes_after_driver_restart(spark, tmp_path):
     # keep-one-generation: at most two generations of any bucket
     # linger; superseded early dirs must eventually vanish.
     assert len(vdirs) <= 4
+
+
+# --- CDC merge replay idempotence (VERDICT r7 item 6) -----------------------
+
+
+def _canon(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_upsert_merge_replay_idempotent(spark):
+    """At-least-once delivery replays a batch: applying the SAME
+    updates batch to an already-merged table must be a no-op."""
+    from frinesis_spark.operators.relational import upsert_merge
+
+    target = spark.createDataFrame(
+        [(1, "O", 10.0), (2, "O", 20.0), (3, "F", 30.0)],
+        "k long, status string, price double",
+    )
+    updates = spark.createDataFrame(
+        [(2, "U", 22.0), (9, "N", 90.0), (4, "N", None)],
+        "k long, status string, price double",
+    )
+    once = upsert_merge(target, updates, "k")
+    twice = upsert_merge(once, updates, "k")
+    assert _canon(once) == _canon(twice)
+    got = {r["k"]: (r["status"], r["price"]) for r in once.collect()}
+    # NULL update value falls back to... nothing to fall back to on an
+    # insert — stays NULL; matched key takes update values wholesale.
+    assert got[2] == ("U", 22.0) and got[9] == ("N", 90.0)
+    assert got[4] == ("N", None)
+
+
+def test_scd2_merge_replay_idempotent(spark):
+    """SCD-2 replay: the change-detection guard must recognize every
+    redelivered update as equal to its key's open version and no-op —
+    no double-closed versions, no duplicate inserts."""
+    from pyspark.sql import functions as F
+
+    from frinesis_spark.operators.relational import scd2_merge
+
+    t0 = F.to_timestamp(F.lit("2020-01-01 00:00:00"))
+    eff = F.to_timestamp(F.lit("2021-06-15 00:00:00"))
+    eff2 = F.to_timestamp(F.lit("2021-06-16 00:00:00"))
+    base = spark.createDataFrame(
+        [(1, 100.0), (2, 200.0), (3, None)], "k long, v double"
+    )
+    hist0 = base.select(
+        "k",
+        "v",
+        t0.alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = spark.createDataFrame(
+        [
+            (1, 150.0),  # genuine change → close + new version
+            (2, 200.0),  # NO-OP: equal value → must not churn history
+            (3, None),  # NO-OP with NULL values (needs <=> compare)
+            (7, 700.0),  # brand-new key
+        ],
+        "k long, v double",
+    )
+    once = scd2_merge(hist0, updates, eff, "k", "v")
+    twice = scd2_merge(once, updates, eff, "k", "v")
+    assert _canon(once) == _canon(twice)
+    rows = once.collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["k"], []).append(r)
+    assert len(by_key[1]) == 2  # closed v=100 + open v=150
+    assert {r["is_current"] for r in by_key[1]} == {True, False}
+    assert len(by_key[2]) == 1 and by_key[2][0]["is_current"]
+    assert len(by_key[3]) == 1 and by_key[3][0]["is_current"]
+    assert len(by_key[7]) == 1 and by_key[7][0]["is_current"]
+
+    # A LATER batch with a different effective date still versions.
+    updates2 = spark.createDataFrame([(1, 175.0)], "k long, v double")
+    third = scd2_merge(twice, updates2, eff2, "k", "v")
+    k1 = sorted(
+        ((r["v"], r["is_current"]) for r in third.collect() if r["k"] == 1)
+    )
+    assert k1 == [(100.0, False), (150.0, False), (175.0, True)]
