@@ -39,6 +39,12 @@ _EXPECTED_SHIFTS = {
 }
 
 HEADLINE = [
+    # r8 additions
+    "join_bloom_prefilter",
+    "text_url_canonicalize",
+    "time_resample_interp",
+    "analytics_ab_test",
+    "agg_mode_frequent",
     "agg_group_sum",
     "join_multiway_star",
     "join_broadcast",

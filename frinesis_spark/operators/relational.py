@@ -280,6 +280,39 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_mode_frequent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE: the most frequent order priority per order
+    status, with its count and share — the categorical summary stat.
+
+    Built-in ``mode()`` is tie-nondeterministic in BOTH engines (same
+    class as min_by, memory of r7's agg_stats_corr fix), so the mode
+    is derived: one partial-agg shuffle to (status, priority) counts
+    (vocabulary-bounded — the window input is |statuses × priorities|
+    rows, never fact-sized), then a rank window with the declared
+    (count DESC, priority ASC) tie-break. The share divides two exact
+    BIGINTs — one IEEE op, hash-stable.
+    """
+    o = table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("mode_count")
+    )
+    total = W.partitionBy("o_orderstatus")
+    w = total.orderBy(
+        F.col("mode_count").desc(), F.col("o_orderpriority").asc()
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_group", F.sum("mode_count").over(total))
+        .where(F.col("rk") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            "mode_count",
+            (F.col("mode_count") / F.col("n_group")).alias("mode_share"),
+        )
+    )
+
+
 def q_agg_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP and CUBE grouping sets with GROUPING() markers, as one
     registered query (folded from separate agg_rollup/agg_cube rows,
@@ -701,6 +734,113 @@ def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+# Bloom prefilter geometry: m bits sized ~16× the build-side key
+# count at this fixture (k=1 hash → false-positive rate ≈ n/m ≈ 6%);
+# at real scale grow m with n (FPR stays n/m) — the word table below
+# is bounded by m/64 rows regardless of build-side size.
+_BLOOM_M = 1 << 20
+
+
+def q_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join prefilter: revenue of lineitems whose
+    order is URGENT, with the fact side pruned by a Bloom filter of
+    the selective build side BEFORE the exact join — the classic
+    big-big join reduction (Spark itself injects exactly this shape
+    when ``spark.sql.optimizer.runtime.bloomFilter.*`` thresholds are
+    met: ``bloom_filter_agg`` on the build side, ``might_contain`` in
+    the fact scan; probed working on this build, but those knobs are
+    session-global, so the registered operator builds the same thing
+    deterministically in pure Catalyst).
+
+    Build: one hash per key → bit position ``pmod(xxhash64(key), m)``,
+    reduced to a SPARSE word table ``(bit >> 6) → bit_or(1 << (bit &
+    63))`` — mergeable partial aggregates, ≤ m/64 rows no matter how
+    large the build side. Probe: broadcast-join the word table to the
+    fact on the word index and test the bit — map-side, prunes ~94%
+    of non-matching fact rows (k=1, FPR ≈ n/m) before the exact join
+    shuffles anything. False positives are killed by the exact join,
+    so the result is EXACTLY the plain join — which is what the
+    oracle verifies; the pruning itself is pinned by
+    tests/test_round8_ops.py.
+    """
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    build = o.where(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    bit = F.pmod(F.xxhash64("o_orderkey"), F.lit(_BLOOM_M))
+    words = (
+        build.select(bit.alias("bit"))
+        .groupBy(F.shiftright("bit", 6).alias("word"))
+        .agg(
+            # dynamic shift amount needs expr(): the python shiftleft
+            # helper only takes a literal shift
+            F.bit_or(F.expr("shiftleft(1L, CAST(bit % 64 AS INT))")).alias(
+                "wbits"
+            )
+        )
+    )
+    fbit = F.pmod(F.xxhash64("l_orderkey"), F.lit(_BLOOM_M))
+    fact = li.select(
+        "l_orderkey", "l_extendedprice", "l_discount", fbit.alias("bit")
+    )
+    survivors = (
+        fact.join(
+            F.broadcast(words),
+            F.shiftright(fact["bit"], 6) == words["word"],
+        )
+        .where(
+            F.expr("(shiftright(wbits, CAST(bit % 64 AS INT)) & 1L) = 1L")
+        )
+        .drop("bit", "word", "wbits")
+    )
+    return (
+        survivors.join(build, survivors["l_orderkey"] == build["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def bloom_survivor_count(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
+    """(fact rows, bloom survivors) — the pruning measurement the
+    operator's test pins (survivors must be a small superset of true
+    matches); not registered."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    build = o.where(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey"
+    )
+    bit = F.pmod(F.xxhash64("o_orderkey"), F.lit(_BLOOM_M))
+    words = (
+        build.select(bit.alias("bit"))
+        .groupBy(F.shiftright("bit", 6).alias("word"))
+        .agg(
+            # dynamic shift amount needs expr(): the python shiftleft
+            # helper only takes a literal shift
+            F.bit_or(F.expr("shiftleft(1L, CAST(bit % 64 AS INT))")).alias(
+                "wbits"
+            )
+        )
+    )
+    fbit = F.pmod(F.xxhash64("l_orderkey"), F.lit(_BLOOM_M))
+    fact = li.select("l_orderkey", fbit.alias("bit"))
+    survivors = (
+        fact.join(
+            F.broadcast(words),
+            F.shiftright(fact["bit"], 6) == words["word"],
+        )
+        .where(
+            F.expr("(shiftright(wbits, CAST(bit % 64 AS INT)) & 1L) = 1L")
+        )
+    )
+    return fact.count(), survivors.count()
 
 
 def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1233,6 +1373,8 @@ QUERIES = {
     "set_union_except_intersect": q_set_union_except_intersect,
     "join_asof": q_join_asof,
     "join_salted_skew": q_join_salted_skew,
+    "join_bloom_prefilter": q_join_bloom_prefilter,
+    "agg_mode_frequent": q_agg_mode_frequent,
     "merge_upsert": q_merge_upsert,
     "agg_stats_corr": q_agg_stats_corr,
     "time_rollup_hypertable": q_time_rollup_hypertable,
@@ -1480,6 +1622,36 @@ ORACLE = {
                {oracle_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
                COUNT(*) AS n_lines
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+    """,
+    "agg_mode_frequent": """
+        WITH counts AS (
+            SELECT o_orderstatus, o_orderpriority, COUNT(*) AS mode_count
+            FROM orders GROUP BY o_orderstatus, o_orderpriority
+        )
+        SELECT o_orderstatus,
+               o_orderpriority AS mode_priority,
+               mode_count,
+               mode_count / n_group AS mode_share
+        FROM (
+            SELECT *,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY o_orderstatus
+                       ORDER BY mode_count DESC, o_orderpriority ASC) AS rk,
+                   SUM(mode_count) OVER (
+                       PARTITION BY o_orderstatus) AS n_group
+            FROM counts
+        )
+        WHERE rk = 1
+    """,
+    # Bloom prefilter is result-transparent (no false negatives; false
+    # positives die in the exact join) — the oracle is the plain join.
+    "join_bloom_prefilter": f"""
+        SELECT o_orderpriority,
+               {oracle_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority = '1-URGENT'
         GROUP BY o_orderpriority
     """,
     "agg_stats_corr": """

@@ -548,7 +548,116 @@ def q_pipeline_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Tracking query parameters a web-corpus URL canonicalizer strips —
+# the standard analytics/affiliate noise set.
+_URL_TRACKING = "utm_[a-z]+|fbclid|gclid|ref"
+
+
+def q_text_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization — the normalization step URL-level web-
+    corpus dedup keys on (the same page arrives as ``HTTPS://WWW.
+    Example.COM:443/a/?utm_source=feed`` and ``https://example.com/a``
+    from two crawls; canonical equality is what makes them ONE key).
+
+    The corpus has no URL column, so each document synthesizes a
+    deterministic messy URL from its (doc_id, source) — four variant
+    shapes cycling on doc_id covering uppercase scheme/host, www.,
+    default :443/:80 ports, tracking params in every position,
+    fragments and trailing slashes — exactly the merge-queries
+    pattern: the oracle rebuilds the same strings, so the whole
+    canonicalization chain hash-verifies.
+
+    Canonical form, applied as chained regexp (map-only, zero
+    shuffles, whole-stage codegen — fuses with any other per-row
+    pass at 100 TB): drop fragment → lowercase scheme://authority →
+    strip default port → strip www. → drop tracking params
+    (``utm_*``/fbclid/gclid/ref, any position) → strip empty ``?`` →
+    strip trailing slashes. Output adds the host and path extractions
+    a downstream groupBy-host / path-prefix analysis keys on. Spark
+    regexps are Java, DuckDB's are RE2 — the patterns stay inside the
+    shared subset (char classes, alternation, anchors; RE2 has no
+    lookahead, so trailing-slash stripping captures the delimiter
+    instead).
+    """
+    d = table(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    url = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("HTTPS://WWW.Example.COM:443/Docs/"),
+                sid,
+                F.lit("/?utm_source=feed&utm_campaign=x"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit("http://blog.example.org/post/"),
+                sid,
+                F.lit("?id="),
+                sid,
+                F.lit("&utm_medium=email&ref=rss#frag"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit("https://"),
+                F.col("source"),
+                F.lit(".example.net/a/b/"),
+                sid,
+                F.lit("/"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("HTTP://Example.com:80/path/"),
+                sid,
+                F.lit("?fbclid=abc123&q=term"),
+            )
+        )
+    )
+    u = canonicalize_url(url)
+    host = F.regexp_extract(u, "^[a-z]+://([^/:?#]+)", 1)
+    path = F.regexp_extract(u, "^[a-z]+://[^/?#]*(/[^?#]*)", 1)
+    return d.select(
+        "doc_id",
+        url.alias("raw_url"),
+        u.alias("canon_url"),
+        host.alias("host"),
+        path.alias("path"),
+    )
+
+
+def canonicalize_url(url):
+    """The canonicalization chain as a reusable Column transform —
+    idempotent by construction (a canonical URL passes through
+    unchanged; pinned by tests/test_round8_ops.py)."""
+    u = F.regexp_replace(url, "#.*$", "")  # fragment
+    prefix = F.lower(F.regexp_extract(u, "^[^:]+://[^/?#]*", 0))
+    u = F.concat(
+        prefix,
+        F.substring(
+            u,
+            F.length(F.regexp_extract(u, "^[^:]+://[^/?#]*", 0)) + 1,
+            F.lit(1 << 20),
+        ),
+    )
+    u = F.regexp_replace(u, "^(https://[^/?#]*):443", "$1")
+    u = F.regexp_replace(u, "^(http://[^/?#]*):80", "$1")
+    u = F.regexp_replace(u, "^(https?://)www\\.", "$1")
+    track = _URL_TRACKING
+    u = F.regexp_replace(u, f"&({track})=[^&#]*", "")
+    u = F.regexp_replace(u, f"\\?({track})=[^&#]*&", "?")
+    u = F.regexp_replace(u, f"\\?({track})=[^&#]*$", "")
+    u = F.regexp_replace(u, "/+(\\?)", "$1")
+    u = F.regexp_replace(u, "/+$", "")
+    return u
+
+
 QUERIES = {
+    "text_url_canonicalize": q_text_url_canonicalize,
     "explode_token_freq": q_explode_token_freq,
     "text_repetition_filter": q_text_repetition_filter,
     "tokenize_pack_sequences": q_tokenize_pack_sequences,
@@ -605,7 +714,79 @@ def _pii_scrub_sql() -> str:
     """
 
 
+def _url_canon_sql() -> str:
+    track = _URL_TRACKING
+    return f"""
+        WITH raw AS (
+            SELECT doc_id,
+                   CASE
+                     WHEN doc_id % 4 = 0 THEN
+                       'HTTPS://WWW.Example.COM:443/Docs/'
+                       || CAST(doc_id AS VARCHAR)
+                       || '/?utm_source=feed&utm_campaign=x'
+                     WHEN doc_id % 4 = 1 THEN
+                       'http://blog.example.org/post/'
+                       || CAST(doc_id AS VARCHAR) || '?id='
+                       || CAST(doc_id AS VARCHAR)
+                       || '&utm_medium=email&ref=rss#frag'
+                     WHEN doc_id % 4 = 2 THEN
+                       'https://' || source || '.example.net/a/b/'
+                       || CAST(doc_id AS VARCHAR) || '/'
+                     ELSE
+                       'HTTP://Example.com:80/path/'
+                       || CAST(doc_id AS VARCHAR)
+                       || '?fbclid=abc123&q=term'
+                   END AS raw_url
+            FROM documents
+        ),
+        s1 AS (
+            SELECT doc_id, raw_url,
+                   REGEXP_REPLACE(raw_url, '#.*$', '') AS u
+            FROM raw
+        ),
+        s2 AS (
+            SELECT doc_id, raw_url,
+                   LOWER(REGEXP_EXTRACT(u, '^[^:]+://[^/?#]*'))
+                   || SUBSTR(u,
+                        LENGTH(REGEXP_EXTRACT(u, '^[^:]+://[^/?#]*')) + 1)
+                   AS u
+            FROM s1
+        ),
+        s3 AS (
+            SELECT doc_id, raw_url,
+                REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
+                    u,
+                    '^(https://[^/?#]*):443', '\\1'),
+                    '^(http://[^/?#]*):80', '\\1'),
+                    '^(https?://)www\\.', '\\1') AS u
+            FROM s2
+        ),
+        s4 AS (
+            SELECT doc_id, raw_url,
+                REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
+                    u,
+                    '&({track})=[^&#]*', '', 'g'),
+                    '\\?({track})=[^&#]*&', '?'),
+                    '\\?({track})=[^&#]*$', '') AS u
+            FROM s3
+        ),
+        s5 AS (
+            SELECT doc_id, raw_url,
+                REGEXP_REPLACE(REGEXP_REPLACE(u, '/+(\\?)', '\\1'),
+                               '/+$', '') AS canon_url
+            FROM s4
+        )
+        SELECT doc_id, raw_url, canon_url,
+               COALESCE(REGEXP_EXTRACT(canon_url,
+                   '^[a-z]+://([^/:?#]+)', 1), '') AS host,
+               COALESCE(REGEXP_EXTRACT(canon_url,
+                   '^[a-z]+://[^/?#]*(/[^?#]*)', 1), '') AS path
+        FROM s5
+    """
+
+
 ORACLE = {
+    "text_url_canonicalize": _url_canon_sql(),
     "text_pii_scrub": _pii_scrub_sql(),
     # DuckDB arrays are 1-based (Spark's 0-based): range(1, len) with
     # ws[i] || ' ' || ws[i+1] builds the same len-1 bigrams as Spark's

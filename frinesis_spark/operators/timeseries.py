@@ -518,7 +518,149 @@ def q_analytics_cumulative_distinct(
     )
 
 
+def q_time_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation resampling: per series (event_type), the
+    value resampled onto an exact hourly grid, each grid point
+    interpolated between its surrounding observations — gapfill's
+    interpolating sibling (TimescaleDB ``interpolate()``; the LOCF
+    variant is ``time_gapfill_locf``).
+
+    Plan: the asof-timeline idiom, not a range join — grid rows
+    (kind 1) union with observation rows (kind 0), ONE shuffle+sort
+    per series and two frames over the same sort: ``last(...,
+    ignorenulls)`` over the preceding frame carries (t0, v0), a
+    ``first(...)`` over the following frame carries (t1, v1); v(h) =
+    v0 + (v1 − v0) · (h − t0)/(t1 − t0) on exact µs longs, written in
+    the identical IEEE order in both engines so doubles hash-match
+    untouched. The grid spans [ceil_hour(min ts), floor_hour(max ts)]
+    per series, so both neighbors always exist; an observation
+    exactly ON a grid hour sorts before it (kind tie-break), making
+    t0 = h (frac 0, exact passthrough) and forcing t1 strictly later
+    — no zero denominator by construction. Grid size is span-bounded
+    (|series| × hours), never event-bounded; the per-series sort
+    re-chunks exactly like the rolling quantile if series count ever
+    binds (same helper shape).
+    """
+    e = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    pts = e.select(
+        "event_type",
+        us.alias("t_us"),
+        "value",
+        F.lit(0).alias("kind"),
+        "event_id",
+    )
+    hour_us = 3_600_000_000
+    span = e.groupBy("event_type").agg(
+        F.min(us).alias("t_min"), F.max(us).alias("t_max")
+    )
+    # ceil/floor to the hour in pure integer µs arithmetic (both
+    # engines' int division semantics avoided entirely — memory:
+    # their `//` disagree on negatives).
+    grid = span.select(
+        "event_type",
+        F.explode(
+            F.sequence(
+                F.col("t_min")
+                + F.pmod(-F.col("t_min"), F.lit(hour_us)),
+                F.col("t_max") - F.pmod(F.col("t_max"), F.lit(hour_us)),
+                F.lit(hour_us),
+            )
+        ).alias("t_us"),
+    ).select(
+        "event_type",
+        "t_us",
+        F.lit(None).cast("double").alias("value"),
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    w = W.partitionBy("event_type").orderBy(
+        F.col("t_us").asc(),
+        F.col("kind").asc(),
+        F.col("event_id").asc_nulls_last(),
+    )
+    w_prev = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_next = w.rowsBetween(W.currentRow, W.unboundedFollowing)
+    pt_t = F.when(F.col("kind") == 0, F.col("t_us"))
+    timeline = pts.unionByName(grid).select(
+        "event_type",
+        "t_us",
+        "kind",
+        F.last(pt_t, ignorenulls=True).over(w_prev).alias("t0"),
+        F.last("value", ignorenulls=True).over(w_prev).alias("v0"),
+        F.first(pt_t, ignorenulls=True).over(w_next).alias("t1"),
+        F.first("value", ignorenulls=True).over(w_next).alias("v1"),
+    )
+    frac = (F.col("t_us") - F.col("t0")) / (F.col("t1") - F.col("t0"))
+    v = F.col("v0") + (F.col("v1") - F.col("v0")) * frac
+    return (
+        timeline.where(F.col("kind") == 1)
+        .select(
+            "event_type",
+            F.timestamp_micros(F.col("t_us")).alias("hour_ts"),
+            v.alias("v_interp"),
+        )
+    )
+
+
+def q_analytics_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: per event_type, the two variants'
+    (deterministic hash split on user_id) sample sizes, means, the
+    relative lift, and the Welch t statistic — the
+    unequal-variance two-sample test every experimentation platform
+    reports, computed entirely in-database.
+
+    One pass, mergeable partials only: conditional decimal-exact sums
+    (Σv, Σv² per variant — ``dsum``, so partial-aggregation order can
+    never move a bit) and counts; mean/variance/t are post-aggregate
+    scalar doubles evaluated in the identical IEEE order in both
+    engines (var = (Σv² − (Σv)²/n)/(n−1), t = (mB − mA)/√(sA²/nA +
+    sB²/nB)). Σv² stays exact at scale 6 because the fixture's values
+    are 2-decimal money (products have exactly 4 decimals — the same
+    guard-digit argument as the 3-factor TPC-H money products). The
+    ``+ 0.0`` normalizes a potential −0.0 t/lift (engines may land on
+    opposite signs of an exact zero).
+    """
+    e = table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    )
+    var = F.pmod(F.col("user_id"), F.lit(2))
+    va = F.when(var == 0, F.col("value"))
+    vb = F.when(var == 1, F.col("value"))
+    agg = e.groupBy("event_type").agg(
+        F.count(va).alias("n_a"),
+        F.count(vb).alias("n_b"),
+        dsum(va).alias("s_a"),
+        dsum(vb).alias("s_b"),
+        dsum(va * va).alias("q_a"),
+        dsum(vb * vb).alias("q_b"),
+    )
+    mean_a = F.col("s_a") / F.col("n_a")
+    mean_b = F.col("s_b") / F.col("n_b")
+    var_a = (F.col("q_a") - F.col("s_a") * F.col("s_a") / F.col("n_a")) / (
+        F.col("n_a") - 1
+    )
+    var_b = (F.col("q_b") - F.col("s_b") * F.col("s_b") / F.col("n_b")) / (
+        F.col("n_b") - 1
+    )
+    lift = mean_b / mean_a - 1 + F.lit(0.0)
+    t = (mean_b - mean_a) / F.sqrt(
+        var_a / F.col("n_a") + var_b / F.col("n_b")
+    ) + F.lit(0.0)
+    return agg.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        mean_a.alias("mean_a"),
+        mean_b.alias("mean_b"),
+        lift.alias("lift"),
+        t.alias("t_stat"),
+    )
+
+
 QUERIES = {
+    "time_resample_interp": q_time_resample_interp,
+    "analytics_ab_test": q_analytics_ab_test,
     "time_gapfill_locf": q_time_gapfill_locf,
     "window_session_islands": q_window_session_islands,
     "analytics_retention_cohort": q_analytics_retention_cohort,
@@ -528,6 +670,85 @@ QUERIES = {
 }
 
 ORACLE = {
+    # Same one-pass construction: conditional decimal-exact sums, then
+    # the identical IEEE post-aggregate arithmetic (see the Spark
+    # docstring). DuckDB % on non-negative user_id equals pmod.
+    "analytics_ab_test": f"""
+        WITH agg AS (
+            SELECT event_type,
+                   COUNT(CASE WHEN user_id % 2 = 0 THEN value END) AS n_a,
+                   COUNT(CASE WHEN user_id % 2 = 1 THEN value END) AS n_b,
+                   {oracle_dsum('CASE WHEN user_id % 2 = 0 THEN value END')} AS s_a,
+                   {oracle_dsum('CASE WHEN user_id % 2 = 1 THEN value END')} AS s_b,
+                   {oracle_dsum('CASE WHEN user_id % 2 = 0 THEN value * value END')} AS q_a,
+                   {oracle_dsum('CASE WHEN user_id % 2 = 1 THEN value * value END')} AS q_b
+            FROM events
+            WHERE value IS NOT NULL AND user_id IS NOT NULL
+            GROUP BY event_type
+        )
+        SELECT event_type, n_a, n_b,
+               s_a / n_a AS mean_a,
+               s_b / n_b AS mean_b,
+               s_b / n_b / (s_a / n_a) - 1 + 0.0 AS lift,
+               (s_b / n_b - s_a / n_a)
+                 / SQRT(((q_a - s_a * s_a / n_a) / (n_a - 1)) / n_a
+                      + ((q_b - s_b * s_b / n_b) / (n_b - 1)) / n_b)
+                 + 0.0 AS t_stat
+        FROM agg
+    """,
+    # Same asof-timeline construction: pmod spelled ((x%h)+h)%h (DuckDB
+    # % truncates), generate_series is inclusive like Spark sequence,
+    # epoch_us/make_timestamp are the exact µs round-trip, and the
+    # interpolation arithmetic is written in the identical IEEE order.
+    "time_resample_interp": """
+        WITH pts AS (
+            SELECT event_type, epoch_us(ts) AS t_us, value,
+                   0 AS kind, event_id
+            FROM events WHERE value IS NOT NULL
+        ),
+        span AS (
+            SELECT event_type, MIN(t_us) AS t_min, MAX(t_us) AS t_max
+            FROM pts GROUP BY event_type
+        ),
+        grid AS (
+            SELECT event_type,
+                   UNNEST(generate_series(
+                       t_min + (((-t_min) % 3600000000 + 3600000000)
+                                % 3600000000),
+                       t_max - (t_max % 3600000000),
+                       3600000000)) AS t_us,
+                   CAST(NULL AS DOUBLE) AS value,
+                   1 AS kind, CAST(NULL AS BIGINT) AS event_id
+            FROM span
+        ),
+        timeline AS (
+            SELECT * FROM pts UNION ALL SELECT * FROM grid
+        ),
+        win AS (
+            SELECT event_type, t_us, kind,
+                   LAST_VALUE(CASE WHEN kind = 0 THEN t_us END
+                              IGNORE NULLS) OVER w_prev AS t0,
+                   LAST_VALUE(CASE WHEN kind = 0 THEN value END
+                              IGNORE NULLS) OVER w_prev AS v0,
+                   FIRST_VALUE(CASE WHEN kind = 0 THEN t_us END
+                              IGNORE NULLS) OVER w_next AS t1,
+                   FIRST_VALUE(CASE WHEN kind = 0 THEN value END
+                              IGNORE NULLS) OVER w_next AS v1
+            FROM timeline
+            WINDOW w_prev AS (
+                PARTITION BY event_type
+                ORDER BY t_us, kind, event_id NULLS LAST
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+            w_next AS (
+                PARTITION BY event_type
+                ORDER BY t_us, kind, event_id NULLS LAST
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT event_type,
+               make_timestamp(t_us) AS hour_ts,
+               v0 + (v1 - v0) * ((t_us - t0) / (t1 - t0)) AS v_interp
+        FROM win WHERE kind = 1
+    """,
     # date_trunc returns TIMESTAMP for timestamp input on both
     # engines; counts pinned BIGINT, running SUM re-cast (DuckDB
     # widens SUM(BIGINT) to HUGEINT).

@@ -70,15 +70,17 @@ def _load_modules():
 #      the 35 r5-green rows the r7 verdict flagged as the backlog lead,
 #      then the 43 r6-green rows absent from the r7 window;
 #   3. green in CORRECTNESS_r07 (freshest evidence, cheapest to skip).
-# Window arithmetic (r8): 128 carried registered queries, 78 stale.
-# The 35 r5 rows MUST all land in the ~50-slot window (r7 verdict item
-# 1: "no registered query's evidence older than r6" at the r8 verdict),
-# which leaves 50 - 35 = 15 slots for tier 0 + new registrations, so
-# tier-0 growth is capped at 15 this round (the r7 tier-0 policy holds:
-# only BEHAVIOR-relevant changes consume slots; shared-text rewrites
-# and bit-identical refactors are demoted with local-sim evidence).
-# The 43 r6 rows then age to 2 rounds — still inside the registry's
-# ≤2-round guarantee — and lead r9.
+# Window arithmetic (r8): 128 carried + 5 new (join_bloom_prefilter,
+# text_url_canonicalize, time_resample_interp, analytics_ab_test,
+# agg_mode_frequent — tier 1 by construction, verified in their debut
+# round) = 133 registered. The 35 r5 rows MUST all land in the
+# ~50-slot window (r7 verdict item 1: "no registered query's evidence
+# older than r6" at the r8 verdict); the window fills as |tier0|=5 +
+# 5 never-verified + 35 r5-stale = 45 ≤ 50, so the guarantee holds
+# with 5 slots of slack (the r7 tier-0 policy holds: only
+# BEHAVIOR-relevant changes consume slots). The 43 r6 rows then age
+# to 2 rounds — still inside the registry's ≤2-round guarantee — and
+# lead r9.
 _CHANGED_SINCE_VERDICT = (
     # r8: window_rolling_quantile re-planned onto bounded-overlap
     # re-chunking (r7 verdict item 2) — parallelism no longer bounded

@@ -85,6 +85,12 @@ AUDITED = [
     "window_rolling_quantile",
     "source_schema_evolution",
     "analytics_cumulative_distinct",
+    # r8 additions
+    "join_bloom_prefilter",
+    "text_url_canonicalize",
+    "time_resample_interp",
+    "analytics_ab_test",
+    "agg_mode_frequent",
     # the r5 rotation dozen (oldest driver evidence) — plan evidence
     # rides along with their fresh correctness rows
     "agg_percentile",
