@@ -29,13 +29,18 @@ _NOISE_FLOOR_SEC = 0.3
 
 # Intentional per-round behavior changes whose timing shift is
 # expected: reported under "expected_shifts" (annotated, not silent),
-# never under "regressions". Clear this map at the start of each round.
+# never under "regressions". Each entry declares the LAST round whose
+# anchor predates the change — suppression self-expires once a newer
+# BENCH_r{N}.json (which already bakes the shift in) becomes the
+# comparison anchor, so a stale entry can never mask a genuine future
+# regression (review find: the earlier clear-by-hand comment had no
+# enforcement).
 _EXPECTED_SHIFTS = {
     # r8: both ANN queries now grade their own recall in-query (the
     # exact top-k runs alongside the index probe, r7 verdict item 4),
-    # so their wall time includes the grader term.
-    "similarity_ann_lsh": "r8: in-query recall grade adds the exact grader",
-    "similarity_ann_ivf": "r8: in-query recall grade adds the exact grader",
+    # so their wall time includes the grader term vs any anchor ≤ r7.
+    "similarity_ann_lsh": (7, "r8: in-query recall grade adds the exact grader"),
+    "similarity_ann_ivf": (7, "r8: in-query recall grade adds the exact grader"),
 }
 
 HEADLINE = [
@@ -287,8 +292,9 @@ def main() -> None:
     # "regressions" — an annotated shift is not an alarm, but it is
     # never silent either.
     regressions: dict[str, float] = {}
-    prev = _load_prev_bench(Path(__file__).resolve().parent, sf)
-    if prev:
+    loaded = _load_prev_bench(Path(__file__).resolve().parent, sf)
+    if loaded:
+        prev_round, prev = loaded
         vs_prev = {
             name: round(t / prev[name], 2)
             for name, t in timings.items()
@@ -300,15 +306,19 @@ def main() -> None:
             for name, r in vs_prev.items()
             if r > 1.5 and max(timings[name], prev[name]) >= _NOISE_FLOOR_SEC
         }
-        regressions = {
-            n: r for n, r in flagged.items() if n not in _EXPECTED_SHIFTS
-        }
+
+        def _expected(n: str) -> bool:
+            entry = _EXPECTED_SHIFTS.get(n)
+            return entry is not None and prev_round <= entry[0]
+
+        regressions = {n: r for n, r in flagged.items() if not _expected(n)}
         full["regressions"] = regressions
         full["noise_floor_sec"] = _NOISE_FLOOR_SEC
+        full["prev_round"] = prev_round
         full["expected_shifts"] = {
-            n: {"ratio": flagged[n], "why": _EXPECTED_SHIFTS[n]}
+            n: {"ratio": flagged[n], "why": _EXPECTED_SHIFTS[n][1]}
             for n in flagged
-            if n in _EXPECTED_SHIFTS
+            if _expected(n)
         }
 
     # Two outputs (r5 verdict #1 — BENCH_r05 was lost to truncation):
@@ -342,7 +352,7 @@ def compact_line(
         "regressions": regressions,
         "full": "BENCH_full.json",
     }
-    line = json.dumps(compact)
+    line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1800:  # belt-and-braces: never outgrow the capture again
         # Truncate the queries map FIRST — the regression alarm is the
         # one thing the tail capture must never lose, and the old
@@ -353,7 +363,7 @@ def compact_line(
                 compact["queries"].items(), key=lambda kv: -kv[1]
             )[:30]
         }
-        line = json.dumps(compact)
+        line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1800:
         compact["regressions"] = {
             n: r for n, r in sorted(
@@ -362,19 +372,20 @@ def compact_line(
         }
         if len(regressions) > 20:
             compact["regressions_truncated"] = len(regressions) - 20
-        line = json.dumps(compact)
+        line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1800:
         # Hard fallback (pathological query names): the queries map is
         # reconstructible from BENCH_full.json, the regression alarm
         # is not — drop the map, keep the alarm.
         compact["queries"] = {}
         compact["queries_dropped"] = len(timings)
-        line = json.dumps(compact)
+        line = json.dumps(compact, separators=(",", ":"))
     return line
 
 
-def _load_prev_bench(repo: Path, sf: float) -> dict[str, float] | None:
-    """Per-query times from the newest BENCH_r{N}.json at the same sf."""
+def _load_prev_bench(repo: Path, sf: float) -> tuple[int, dict] | None:
+    """(round, per-query times) from the newest BENCH_r{N}.json at the
+    same sf — the round number drives _EXPECTED_SHIFTS self-expiry."""
     best: tuple[int, dict] | None = None
     for p in repo.glob("BENCH_r*.json"):
         m = re.match(r"BENCH_r(\d+)\.json", p.name)
@@ -389,7 +400,7 @@ def _load_prev_bench(repo: Path, sf: float) -> dict[str, float] | None:
         n = int(m.group(1))
         if best is None or n > best[0]:
             best = (n, parsed["queries"])
-    return best[1] if best else None
+    return best
 
 
 if __name__ == "__main__":

@@ -743,6 +743,42 @@ def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BLOOM_M = 1 << 20
 
 
+def _bloom_words(build: DataFrame, key: str) -> DataFrame:
+    """Build side → sparse bit-word table (ONE shared implementation —
+    the registered operator and the pruning measurement must measure
+    the same filter; review find)."""
+    bit = F.pmod(F.xxhash64(key), F.lit(_BLOOM_M))
+    return (
+        build.select(bit.alias("bit"))
+        .groupBy(F.shiftright("bit", 6).alias("word"))
+        .agg(
+            # dynamic shift amount needs expr(): the python shiftleft
+            # helper only takes a literal shift
+            F.bit_or(F.expr("shiftleft(1L, CAST(bit % 64 AS INT))")).alias(
+                "wbits"
+            )
+        )
+    )
+
+
+def _bloom_probe(fact: DataFrame, key: str, words: DataFrame) -> DataFrame:
+    """Fact rows surviving the broadcast word-table bit test; keeps
+    every original fact column."""
+    probed = fact.withColumn(
+        "bit", F.pmod(F.xxhash64(key), F.lit(_BLOOM_M))
+    )
+    return (
+        probed.join(
+            F.broadcast(words),
+            F.shiftright(probed["bit"], 6) == words["word"],
+        )
+        .where(
+            F.expr("(shiftright(wbits, CAST(bit % 64 AS INT)) & 1L) = 1L")
+        )
+        .drop("bit", "word", "wbits")
+    )
+
+
 def q_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter semi-join prefilter: revenue of lineitems whose
     order is URGENT, with the fact side pruned by a Bloom filter of
@@ -770,32 +806,9 @@ def q_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     build = o.where(F.col("o_orderpriority") == "1-URGENT").select(
         "o_orderkey", "o_orderpriority"
     )
-    bit = F.pmod(F.xxhash64("o_orderkey"), F.lit(_BLOOM_M))
-    words = (
-        build.select(bit.alias("bit"))
-        .groupBy(F.shiftright("bit", 6).alias("word"))
-        .agg(
-            # dynamic shift amount needs expr(): the python shiftleft
-            # helper only takes a literal shift
-            F.bit_or(F.expr("shiftleft(1L, CAST(bit % 64 AS INT))")).alias(
-                "wbits"
-            )
-        )
-    )
-    fbit = F.pmod(F.xxhash64("l_orderkey"), F.lit(_BLOOM_M))
-    fact = li.select(
-        "l_orderkey", "l_extendedprice", "l_discount", fbit.alias("bit")
-    )
-    survivors = (
-        fact.join(
-            F.broadcast(words),
-            F.shiftright(fact["bit"], 6) == words["word"],
-        )
-        .where(
-            F.expr("(shiftright(wbits, CAST(bit % 64 AS INT)) & 1L) = 1L")
-        )
-        .drop("bit", "word", "wbits")
-    )
+    words = _bloom_words(build, "o_orderkey")
+    fact = li.select("l_orderkey", "l_extendedprice", "l_discount")
+    survivors = _bloom_probe(fact, "l_orderkey", words)
     return (
         survivors.join(build, survivors["l_orderkey"] == build["o_orderkey"])
         .groupBy("o_orderpriority")
@@ -817,30 +830,9 @@ def bloom_survivor_count(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
     build = o.where(F.col("o_orderpriority") == "1-URGENT").select(
         "o_orderkey"
     )
-    bit = F.pmod(F.xxhash64("o_orderkey"), F.lit(_BLOOM_M))
-    words = (
-        build.select(bit.alias("bit"))
-        .groupBy(F.shiftright("bit", 6).alias("word"))
-        .agg(
-            # dynamic shift amount needs expr(): the python shiftleft
-            # helper only takes a literal shift
-            F.bit_or(F.expr("shiftleft(1L, CAST(bit % 64 AS INT))")).alias(
-                "wbits"
-            )
-        )
-    )
-    fbit = F.pmod(F.xxhash64("l_orderkey"), F.lit(_BLOOM_M))
-    fact = li.select("l_orderkey", fbit.alias("bit"))
-    survivors = (
-        fact.join(
-            F.broadcast(words),
-            F.shiftright(fact["bit"], 6) == words["word"],
-        )
-        .where(
-            F.expr("(shiftright(wbits, CAST(bit % 64 AS INT)) & 1L) = 1L")
-        )
-    )
-    return fact.count(), survivors.count()
+    words = _bloom_words(build, "o_orderkey")
+    fact = li.select("l_orderkey")
+    return fact.count(), _bloom_probe(fact, "l_orderkey", words).count()
 
 
 def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1309,9 +1301,11 @@ def scd2_merge(
     current rows map-side; at 100 TB a table format adds file pruning
     but the join+union semantics are exactly this.
     """
-    cur, closed = hist.where(F.col("is_current")), hist.where(
-        ~F.col("is_current")
-    )
+    # Complementary by null-safe construction: a (malformed) NULL
+    # is_current row passes through with the closed history instead of
+    # silently vanishing from BOTH branches (review find).
+    is_cur = F.col("is_current").eqNullSafe(F.lit(True))
+    cur, closed = hist.where(is_cur), hist.where(~is_cur)
     t, u = cur.alias("t"), updates.alias("u")
     joined = t.join(u, F.col(f"t.{key}") == F.col(f"u.{key}"), "left")
     changed = F.col(f"u.{key}").isNotNull() & ~(

@@ -362,17 +362,21 @@ def _recall_check(
     exact = q_similarity_topk_cosine(spark, sf_dir).select(
         "query_id", "neighbor_id"
     )
-    hits = ann.select("query_id", "neighbor_id").join(
-        exact, ["query_id", "neighbor_id"]
+    # ONE reference to the exact grader (review find: a second
+    # reference re-ran the query × corpus brute force): left-join the
+    # exact top-k to the ANN result and aggregate queries and hits in
+    # the same pass.
+    marked = exact.join(
+        ann.select("query_id", "neighbor_id").withColumn(
+            "_hit", F.lit(1)
+        ),
+        ["query_id", "neighbor_id"],
+        "left",
     )
-    return (
-        exact.agg(F.countDistinct("query_id").alias("n_queries"))
-        .withColumn("k", F.lit(_TOP_K).cast("long"))
-        .crossJoin(
-            hits.agg(
-                (F.count(F.lit(1)) >= floor_hits).alias("recall_floor_met")
-            )
-        )
+    return marked.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.max(F.lit(_TOP_K)).cast("long").alias("k"),
+        (F.count("_hit") >= floor_hits).alias("recall_floor_met"),
     )
 
 

@@ -644,8 +644,12 @@ def canonicalize_url(url):
             F.lit(1 << 20),
         ),
     )
-    u = F.regexp_replace(u, "^(https://[^/?#]*):443", "$1")
-    u = F.regexp_replace(u, "^(http://[^/?#]*):80", "$1")
+    # Delimiter captured (RE2 has no lookahead): without it, ports
+    # merely STARTING with 443/80 corrupt the host (':8080' →
+    # 'host80' — review find; the fixture only synthesizes exact
+    # default ports, so only a crafted test can see this).
+    u = F.regexp_replace(u, "^(https://[^/?#]*):443($|[/?].*)", "$1$2")
+    u = F.regexp_replace(u, "^(http://[^/?#]*):80($|[/?].*)", "$1$2")
     u = F.regexp_replace(u, "^(https?://)www\\.", "$1")
     track = _URL_TRACKING
     u = F.regexp_replace(u, f"&({track})=[^&#]*", "")
@@ -756,8 +760,8 @@ def _url_canon_sql() -> str:
             SELECT doc_id, raw_url,
                 REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
                     u,
-                    '^(https://[^/?#]*):443', '\\1'),
-                    '^(http://[^/?#]*):80', '\\1'),
+                    '^(https://[^/?#]*):443($|[/?].*)', '\\1\\2'),
+                    '^(http://[^/?#]*):80($|[/?].*)', '\\1\\2'),
                     '^(https?://)www\\.', '\\1') AS u
             FROM s2
         ),

@@ -553,6 +553,14 @@ def q_time_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     hour_us = 3_600_000_000
     span = e.groupBy("event_type").agg(
         F.min(us).alias("t_min"), F.max(us).alias("t_max")
+    ).where(
+        # A series whose span contains no hour boundary has an empty
+        # grid: Spark's sequence(start, stop) REJECTS start > stop at
+        # runtime (job kill — review find) where DuckDB's
+        # generate_series returns empty; filter the degenerate series
+        # out so both engines agree on zero rows for it.
+        F.col("t_min") + F.pmod(-F.col("t_min"), F.lit(hour_us))
+        <= F.col("t_max") - F.pmod(F.col("t_max"), F.lit(hour_us))
     )
     # ceil/floor to the hour in pure integer µs arithmetic (both
     # engines' int division semantics avoided entirely — memory:
@@ -574,13 +582,32 @@ def q_time_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).alias("kind"),
         F.lit(None).cast("long").alias("event_id"),
     )
-    w = W.partitionBy("event_type").orderBy(
-        F.col("t_us").asc(),
-        F.col("kind").asc(),
-        F.col("event_id").asc_nulls_last(),
+    # Both carries use unbounded-PRECEDING frames: Spark evaluates
+    # those incrementally, while a current-row→unboundedFollowing
+    # frame (the naive way to carry the NEXT neighbor) re-scans the
+    # remaining partition for EVERY row — O(rows²) per series,
+    # measured 39 s vs ~1 s at sf0.1. 'Next' is therefore a
+    # last-non-null over the REVERSED sort (kind desc puts the grid
+    # row before its same-instant observations there too, keeping t1
+    # strictly later than the grid point).
+    w_prev = (
+        W.partitionBy("event_type")
+        .orderBy(
+            F.col("t_us").asc(),
+            F.col("kind").asc(),
+            F.col("event_id").asc_nulls_last(),
+        )
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    w_prev = w.rowsBetween(W.unboundedPreceding, W.currentRow)
-    w_next = w.rowsBetween(W.currentRow, W.unboundedFollowing)
+    w_next = (
+        W.partitionBy("event_type")
+        .orderBy(
+            F.col("t_us").desc(),
+            F.col("kind").desc(),
+            F.col("event_id").desc_nulls_last(),
+        )
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
     pt_t = F.when(F.col("kind") == 0, F.col("t_us"))
     timeline = pts.unionByName(grid).select(
         "event_type",
@@ -588,11 +615,18 @@ def q_time_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kind",
         F.last(pt_t, ignorenulls=True).over(w_prev).alias("t0"),
         F.last("value", ignorenulls=True).over(w_prev).alias("v0"),
-        F.first(pt_t, ignorenulls=True).over(w_next).alias("t1"),
-        F.first("value", ignorenulls=True).over(w_next).alias("v1"),
+        F.last(pt_t, ignorenulls=True).over(w_next).alias("t1"),
+        F.last("value", ignorenulls=True).over(w_next).alias("v1"),
     )
     frac = (F.col("t_us") - F.col("t0")) / (F.col("t1") - F.col("t0"))
-    v = F.col("v0") + (F.col("v1") - F.col("v0")) * frac
+    # Exact passthrough when the grid point IS an observation — also
+    # the only case where t1 can be NULL (a grid point coinciding with
+    # the series' LAST observation has no following neighbor; the
+    # interpolation branch would emit NULL instead of the value —
+    # review find).
+    v = F.when(F.col("t_us") == F.col("t0"), F.col("v0")).otherwise(
+        F.col("v0") + (F.col("v1") - F.col("v0")) * frac
+    )
     return (
         timeline.where(F.col("kind") == 1)
         .select(
@@ -635,17 +669,45 @@ def q_analytics_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(va * va).alias("q_a"),
         dsum(vb * vb).alias("q_b"),
     )
-    mean_a = F.col("s_a") / F.col("n_a")
-    mean_b = F.col("s_b") / F.col("n_b")
-    var_a = (F.col("q_a") - F.col("s_a") * F.col("s_a") / F.col("n_a")) / (
-        F.col("n_a") - 1
+    # Every division is try_divide: a variant with 0 or 1 samples, a
+    # zero pooled variance (both variants constant) or mean_a = 0
+    # would otherwise kill the whole job with ANSI DIVIDE_BY_ZERO
+    # (the r6/r7 quality_score/llm_prep/corr bug class — caught again
+    # by this round's review on a crafted degenerate group); DuckDB's
+    # x/0 → NULL matches try_divide for free.
+    mean_a = F.try_divide(F.col("s_a"), F.col("n_a"))
+    mean_b = F.try_divide(F.col("s_b"), F.col("n_b"))
+    # greatest(·, 0) on the NUMERATOR: a constant variant with
+    # fractional money values computes Σv² − (Σv)²/n to a tiny
+    # NEGATIVE double (−1e-19 class), and sqrt of that is NaN on
+    # Spark / an error on DuckDB (review wave 2 find, reproduced with
+    # five rows of 0.01). Clamping the numerator — not the quotient —
+    # keeps the n−1 = 0 division NULL (greatest SKIPS NULLs on both
+    # engines, so a quotient-level clamp would resurrect a
+    # single-sample variance as 0).
+    var_a = F.try_divide(
+        F.greatest(
+            F.col("q_a")
+            - F.try_divide(F.col("s_a") * F.col("s_a"), F.col("n_a")),
+            F.lit(0.0),
+        ),
+        F.col("n_a") - 1,
     )
-    var_b = (F.col("q_b") - F.col("s_b") * F.col("s_b") / F.col("n_b")) / (
-        F.col("n_b") - 1
+    var_b = F.try_divide(
+        F.greatest(
+            F.col("q_b")
+            - F.try_divide(F.col("s_b") * F.col("s_b"), F.col("n_b")),
+            F.lit(0.0),
+        ),
+        F.col("n_b") - 1,
     )
-    lift = mean_b / mean_a - 1 + F.lit(0.0)
-    t = (mean_b - mean_a) / F.sqrt(
-        var_a / F.col("n_a") + var_b / F.col("n_b")
+    lift = F.try_divide(mean_b, mean_a) - 1 + F.lit(0.0)
+    t = F.try_divide(
+        mean_b - mean_a,
+        F.sqrt(
+            F.try_divide(var_a, F.col("n_a"))
+            + F.try_divide(var_b, F.col("n_b"))
+        ),
     ) + F.lit(0.0)
     return agg.select(
         "event_type",
@@ -686,14 +748,23 @@ ORACLE = {
             WHERE value IS NOT NULL AND user_id IS NOT NULL
             GROUP BY event_type
         )
+        -- NULLIF on every denominator: matches Spark try_divide on
+        -- ANY DuckDB version (x/0 is NULL on duckdb<=1.0 but ±inf
+        -- under >=1.1 ieee_floating_point_ops — review wave 2 find);
+        -- GREATEST(·,0) clamps the tiny-negative-variance doubles
+        -- before SQRT.
         SELECT event_type, n_a, n_b,
-               s_a / n_a AS mean_a,
-               s_b / n_b AS mean_b,
-               s_b / n_b / (s_a / n_a) - 1 + 0.0 AS lift,
-               (s_b / n_b - s_a / n_a)
-                 / SQRT(((q_a - s_a * s_a / n_a) / (n_a - 1)) / n_a
-                      + ((q_b - s_b * s_b / n_b) / (n_b - 1)) / n_b)
-                 + 0.0 AS t_stat
+               s_a / NULLIF(n_a, 0) AS mean_a,
+               s_b / NULLIF(n_b, 0) AS mean_b,
+               s_b / NULLIF(n_b, 0) / NULLIF(s_a / NULLIF(n_a, 0), 0)
+                 - 1 + 0.0 AS lift,
+               (s_b / NULLIF(n_b, 0) - s_a / NULLIF(n_a, 0))
+                 / NULLIF(SQRT(
+                     GREATEST(q_a - s_a * s_a / NULLIF(n_a, 0), 0.0)
+                       / NULLIF(n_a - 1, 0) / NULLIF(n_a, 0)
+                   + GREATEST(q_b - s_b * s_b / NULLIF(n_b, 0), 0.0)
+                       / NULLIF(n_b - 1, 0) / NULLIF(n_b, 0)
+                 ), 0) + 0.0 AS t_stat
         FROM agg
     """,
     # Same asof-timeline construction: pmod spelled ((x%h)+h)%h (DuckDB
@@ -715,7 +786,8 @@ ORACLE = {
                    UNNEST(generate_series(
                        t_min + (((-t_min) % 3600000000 + 3600000000)
                                 % 3600000000),
-                       t_max - (t_max % 3600000000),
+                       t_max - ((t_max % 3600000000 + 3600000000)
+                                % 3600000000),
                        3600000000)) AS t_us,
                    CAST(NULL AS DOUBLE) AS value,
                    1 AS kind, CAST(NULL AS BIGINT) AS event_id
@@ -746,7 +818,9 @@ ORACLE = {
         )
         SELECT event_type,
                make_timestamp(t_us) AS hour_ts,
-               v0 + (v1 - v0) * ((t_us - t0) / (t1 - t0)) AS v_interp
+               CASE WHEN t_us = t0 THEN v0
+                    ELSE v0 + (v1 - v0) * ((t_us - t0) / (t1 - t0))
+               END AS v_interp
         FROM win WHERE kind = 1
     """,
     # date_trunc returns TIMESTAMP for timestamp input on both

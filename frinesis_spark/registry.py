@@ -68,7 +68,8 @@ def _load_modules():
 #   1. never driver-verified (implicit: in no list);
 #   2. stale evidence, ordered OLDEST ROUND FIRST within the tier:
 #      the 35 r5-green rows the r7 verdict flagged as the backlog lead,
-#      then the 43 r6-green rows absent from the r7 window;
+#      then the 41 r6-green rows absent from the r7 window (43 were
+#      refreshed as r6-stale; 2 — the ANN pair — moved to tier 0);
 #   3. green in CORRECTNESS_r07 (freshest evidence, cheapest to skip).
 # Window arithmetic (r8): 128 carried + 5 new (join_bloom_prefilter,
 # text_url_canonicalize, time_resample_interp, analytics_ab_test,
@@ -78,9 +79,9 @@ def _load_modules():
 # older than r6" at the r8 verdict); the window fills as |tier0|=5 +
 # 5 never-verified + 35 r5-stale = 45 ≤ 50, so the guarantee holds
 # with 5 slots of slack (the r7 tier-0 policy holds: only
-# BEHAVIOR-relevant changes consume slots). The 43 r6 rows then age
-# to 2 rounds — still inside the registry's ≤2-round guarantee — and
-# lead r9.
+# BEHAVIOR-relevant changes consume slots). The 41 remaining r6 rows
+# then age to 2 rounds — still inside the registry's ≤2-round
+# guarantee — and lead r9.
 _CHANGED_SINCE_VERDICT = (
     # r8: window_rolling_quantile re-planned onto bounded-overlap
     # re-chunking (r7 verdict item 2) — parallelism no longer bounded

@@ -256,11 +256,20 @@ class _BucketedSnapshotStore:
         if os.path.exists(mpath):
             with open(mpath) as fh:
                 saved = json.load(fh)
-            self.manifest = {
-                int(b): p
-                for b, p in saved.get("buckets", {}).items()
-                if os.path.exists(p)
-            }
+            buckets = {int(b): p for b, p in saved.get("buckets", {}).items()}
+            missing = {b: p for b, p in buckets.items() if not os.path.exists(p)}
+            if missing:
+                # A manifest-referenced dir that is gone is snapshot
+                # CORRUPTION — resuming without it would silently
+                # serve a partial table (review find); fail loudly
+                # like the rest of the store.
+                raise RuntimeError(
+                    "bucketed snapshot store manifest references missing "
+                    f"bucket dirs {missing} under {base} — the snapshot "
+                    "is corrupt; remove manifest.json to rebuild from "
+                    "scratch"
+                )
+            self.manifest = buckets
             # Dirs the crashed run had queued for reclaim: safe to
             # reclaim on the next merge (their generation is two back
             # by now; no live reader from the dead process survives).

@@ -308,3 +308,243 @@ def test_scd2_merge_replay_idempotent(spark):
         ((r["v"], r["is_current"]) for r in third.collect() if r["k"] == 1)
     )
     assert k1 == [(100.0, False), (150.0, False), (175.0, True)]
+
+
+# --- r8 review-wave pins (crafted frames that crashed or corrupted) --------
+
+
+def _route_events(monkeypatch, mod, events):
+    from frinesis_spark import catalog
+
+    real_table = catalog.table
+    monkeypatch.setattr(
+        mod,
+        "table",
+        lambda s, d, n: events if n == "events" else real_table(s, d, n),
+    )
+
+
+def test_ab_test_degenerate_groups_dont_kill_job(spark, monkeypatch):
+    """Single-sample variants, a missing variant, constant values and
+    a zero mean all previously killed the job with DIVIDE_BY_ZERO;
+    they must yield NULLs (matching DuckDB's x/0) instead."""
+    import frinesis_spark.operators.timeseries as ts_mod
+
+    B = datetime.datetime(2007, 1, 1)
+    E = [
+        # type 'one_b': variant B has exactly ONE sample (n_b-1 = 0)
+        (1, B, 0, "one_b", 1.0, "{}"),
+        (2, B, 2, "one_b", 3.0, "{}"),
+        (3, B, 1, "one_b", 9.0, "{}"),
+        # type 'no_b': variant B absent entirely (n_b = 0)
+        (4, B, 0, "no_b", 1.0, "{}"),
+        (5, B, 2, "no_b", 2.0, "{}"),
+        # type 'const': both variants constant → pooled variance 0
+        (6, B, 0, "const", 5.0, "{}"),
+        (7, B, 2, "const", 5.0, "{}"),
+        (8, B, 1, "const", 7.0, "{}"),
+        (9, B, 3, "const", 7.0, "{}"),
+        # type 'zero_a': mean_a = 0 → lift division by zero
+        (10, B, 0, "zero_a", 0.0, "{}"),
+        (11, B, 2, "zero_a", 0.0, "{}"),
+        (12, B, 1, "zero_a", 4.0, "{}"),
+        (13, B, 3, "zero_a", 6.0, "{}"),
+    ]
+    events = spark.createDataFrame(E, _SCHEMA)
+    _route_events(monkeypatch, ts_mod, events)
+    duck = duckdb.connect()
+    duck.register("events", events.toPandas())
+    spark_pdf = ts_mod.QUERIES["analytics_ab_test"](
+        spark, "crafted://degenerate"
+    ).toPandas()
+    duck_pdf = duck.sql(ts_mod.ORACLE["analytics_ab_test"]).df()
+    assert_frames_match(spark_pdf, duck_pdf, "analytics_ab_test")
+    by = spark_pdf.set_index("event_type")
+    assert pd.isna(by.loc["one_b", "t_stat"])  # n-1 = 0 → NULL
+    assert pd.isna(by.loc["no_b", "mean_b"])
+    assert pd.isna(by.loc["const", "t_stat"])  # 0 pooled variance
+    assert pd.isna(by.loc["zero_a", "lift"])  # mean_a = 0
+    assert by.loc["zero_a", "t_stat"] > 0  # t itself is fine
+
+
+def test_resample_interp_degenerate_spans(spark, monkeypatch):
+    """A series whose span straddles no hour boundary previously
+    KILLED the job (sequence start > stop); it must instead produce
+    zero grid rows, matching DuckDB's empty generate_series. A series
+    ending exactly ON an hour must emit the exact boundary value, not
+    NULL."""
+    import frinesis_spark.operators.timeseries as ts_mod
+
+    B = datetime.datetime(2007, 6, 1, 0, 0, 0)
+    E = [
+        # 'tiny': 00:10 → 00:50, no hour boundary inside
+        (1, B + datetime.timedelta(minutes=10), 1, "tiny", 1.0, "{}"),
+        (2, B + datetime.timedelta(minutes=50), 1, "tiny", 2.0, "{}"),
+        # 'solo': single off-hour observation
+        (3, B + datetime.timedelta(minutes=30), 1, "solo", 5.0, "{}"),
+        # 'edge': first and last observations exactly on hours
+        (4, B, 2, "edge", 1.0, "{}"),
+        (5, B + datetime.timedelta(hours=1, minutes=30), 2, "edge", 4.0, "{}"),
+        (6, B + datetime.timedelta(hours=2), 2, "edge", 9.0, "{}"),
+    ]
+    events = spark.createDataFrame(E, _SCHEMA)
+    _route_events(monkeypatch, ts_mod, events)
+    duck = duckdb.connect()
+    duck.register("events", events.toPandas())
+    spark_pdf = ts_mod.QUERIES["time_resample_interp"](
+        spark, "crafted://degenerate"
+    ).toPandas()
+    duck_pdf = duck.sql(ts_mod.ORACLE["time_resample_interp"]).df()
+    assert_frames_match(spark_pdf, duck_pdf, "time_resample_interp")
+    assert set(spark_pdf["event_type"]) == {"edge"}  # degenerates: 0 rows
+    edge = spark_pdf.set_index("hour_ts").sort_index()
+    assert list(edge["v_interp"]) == [
+        1.0,  # 00:00 exact first observation
+        1.0 + 3.0 * (60 / 90),  # 01:00 interpolated
+        9.0,  # 02:00 exact LAST observation (was NULL pre-fix)
+    ]
+
+
+def test_url_canonicalize_nondefault_ports_survive(spark):
+    """':8080' and ':4430' previously lost their colon (host corrupted
+    to 'example.com80') because the default-port regex had no
+    delimiter anchor."""
+    from frinesis_spark.operators.text import canonicalize_url
+
+    urls = spark.createDataFrame(
+        [
+            ("http://example.com:8080/path",),
+            ("https://example.com:4430/x",),
+            ("http://example.com:80/path",),
+            ("https://example.com:443",),
+            ("HTTP://Example.com:80",),
+        ],
+        "u string",
+    )
+    got = [r["c"] for r in urls.select(canonicalize_url("u").alias("c")).collect()]
+    assert got == [
+        "http://example.com:8080/path",
+        "https://example.com:4430/x",
+        "http://example.com/path",
+        "https://example.com",
+        "http://example.com",
+    ]
+
+
+def test_scd2_null_is_current_passes_through(spark):
+    """A malformed NULL is_current history row must survive the merge
+    (with the closed history), not silently vanish from both
+    branches."""
+    from pyspark.sql import functions as F
+
+    from frinesis_spark.operators.relational import scd2_merge
+
+    eff = F.to_timestamp(F.lit("2021-06-15 00:00:00"))
+    hist = spark.createDataFrame(
+        [
+            (1, 10.0, "2020-01-01", None, True),
+            (1, 5.0, "2019-01-01", "2020-01-01", False),
+            (2, 7.0, "2020-01-01", None, None),  # malformed row
+        ],
+        "k long, v double, valid_from string, valid_to string, "
+        "is_current boolean",
+    ).select(
+        "k",
+        "v",
+        F.to_timestamp("valid_from").alias("valid_from"),
+        F.to_timestamp("valid_to").alias("valid_to"),
+        "is_current",
+    )
+    updates = spark.createDataFrame([(1, 20.0)], "k long, v double")
+    out = scd2_merge(hist, updates, eff, "k", "v").collect()
+    assert len(out) == 4  # 1-closed, 1-new, old closed, malformed row
+    assert sum(1 for r in out if r["k"] == 2) == 1  # not dropped
+
+
+def test_bucketed_store_raises_on_corrupt_manifest(spark, tmp_path):
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from frinesis_spark.streaming.windows import _BucketedSnapshotStore
+
+    base = str(tmp_path / "store")
+    order = [F.col("ts").desc()]
+    s1 = _BucketedSnapshotStore(base, "user_id", order, n_buckets=2)
+    s1.merge(
+        spark.createDataFrame([(1, 1, 5, 1.0), (2, 1, 6, 2.0)],
+                              "event_id long, ts long, user_id long, value double"),
+        0,
+    )
+    victim = next(iter(s1.manifest.values()))
+    shutil.rmtree(victim)
+    with pytest.raises(RuntimeError, match="corrupt"):
+        _BucketedSnapshotStore(base, "user_id", order, n_buckets=2)
+
+
+def test_expected_shifts_self_expire():
+    """An _EXPECTED_SHIFTS entry declared against r7 must stop
+    suppressing once the comparison anchor is r8+ (the shift is baked
+    into the anchor by then) — a stale entry can't mask a real
+    regression forever."""
+    import bench
+
+    entry = bench._EXPECTED_SHIFTS["similarity_ann_lsh"]
+    assert entry[0] == 7
+    # the suppression predicate, as main() applies it:
+    assert 7 <= entry[0]  # anchor r7 → suppressed
+    assert not (8 <= entry[0])  # anchor r8 → alarm live again
+
+
+def test_ab_test_fractional_constant_variants(spark, monkeypatch):
+    """Constant FRACTIONAL-money variants compute Σv² − (Σv)²/n to a
+    tiny negative double; unclamped, sqrt of it is NaN on Spark and an
+    Out of Range error on DuckDB (review wave 2, reproduced with five
+    rows of 0.01)."""
+    import frinesis_spark.operators.timeseries as ts_mod
+
+    B = datetime.datetime(2007, 1, 1)
+    E = [(i + 1, B, 2 * i, "c", 0.01, "{}") for i in range(5)] + [
+        (i + 6, B, 2 * i + 1, "c", 0.02, "{}") for i in range(5)
+    ]
+    events = spark.createDataFrame(E, _SCHEMA)
+    _route_events(monkeypatch, ts_mod, events)
+    duck = duckdb.connect()
+    duck.register("events", events.toPandas())
+    spark_pdf = ts_mod.QUERIES["analytics_ab_test"](
+        spark, "crafted://frac"
+    ).toPandas()
+    duck_pdf = duck.sql(ts_mod.ORACLE["analytics_ab_test"]).df()
+    assert_frames_match(spark_pdf, duck_pdf, "analytics_ab_test")
+    r = spark_pdf.iloc[0]
+    assert pd.isna(r["t_stat"])  # clamped 0 variance → NULL, not NaN
+    assert abs(r["lift"] - 1.0) < 1e-9
+
+
+def test_resample_interp_pre_epoch_degenerate_span(spark, monkeypatch):
+    """Pre-1970 degenerate span: DuckDB's truncating % made the
+    oracle's floor-to-hour land one hour HIGH for negative epochs, so
+    the oracle emitted a phantom grid row for a series the Spark side
+    (pmod) correctly filtered out (review wave 2, reproduced)."""
+    import frinesis_spark.operators.timeseries as ts_mod
+
+    B = datetime.datetime(1969, 12, 31, 23, 0, 0)
+    E = [
+        (1, B + datetime.timedelta(minutes=10), 1, "pre", 1.0, "{}"),
+        (2, B + datetime.timedelta(minutes=50), 1, "pre", 2.0, "{}"),
+        # a healthy pre-epoch series spanning an hour boundary
+        (3, B + datetime.timedelta(minutes=30), 2, "ok", 4.0, "{}"),
+        (4, B + datetime.timedelta(hours=1, minutes=30), 2, "ok", 8.0, "{}"),
+    ]
+    events = spark.createDataFrame(E, _SCHEMA)
+    _route_events(monkeypatch, ts_mod, events)
+    duck = duckdb.connect()
+    duck.register("events", events.toPandas())
+    spark_pdf = ts_mod.QUERIES["time_resample_interp"](
+        spark, "crafted://preepoch"
+    ).toPandas()
+    duck_pdf = duck.sql(ts_mod.ORACLE["time_resample_interp"]).df()
+    assert_frames_match(spark_pdf, duck_pdf, "time_resample_interp")
+    assert set(spark_pdf["event_type"]) == {"ok"}
+    assert len(spark_pdf) == 1  # midnight grid point only
+    assert abs(spark_pdf.iloc[0]["v_interp"] - 6.0) < 1e-12
