@@ -30,11 +30,27 @@ from frinesis_spark.functions.numeric import dsum, oracle_dsum
 
 _N_BUCKETS = 8
 
+# Range-partition count for the clustered-sort layout — intentionally
+# its own knob (review wave 3): retuning the join bucketing must not
+# silently change the clustered file geometry the skipping tests pin.
+_N_CLUSTER_FILES = 8
 
-def _sink_dir(kind: str) -> str:
-    base = os.path.join(tempfile.gettempdir(), "frinesis_spark_sinks")
+
+def scratch_dir(namespace: str, kind: str) -> str:
+    """Per-PROCESS scratch path (review wave 3): the earlier fixed
+    shared path let two processes on one host (bench + pytest, two CI
+    jobs) overwrite/delete each other's artifacts mid-read — and on a
+    multi-user host the first creator owned the shared base. One
+    helper for both connector modules so the scheme cannot drift."""
+    base = os.path.join(
+        tempfile.gettempdir(), f"{namespace}_{os.getpid()}"
+    )
     os.makedirs(base, exist_ok=True)
     return os.path.join(base, kind)
+
+
+def _sink_dir(kind: str) -> str:
+    return scratch_dir("frinesis_spark_sinks", kind)
 
 
 def q_sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -77,6 +93,11 @@ def bucketed_join_tables(spark: SparkSession, sf_dir: str) -> None:
         with open(marker) as fh:
             if fh.read().strip() == sf_dir:
                 return
+    # Invalidate BEFORE rebuilding (review wave 3): a failure between
+    # the saveAsTable calls and the marker write must not leave a
+    # stale marker vouching for tables built from a different sf_dir.
+    if os.path.exists(marker):
+        os.remove(marker)
     spark.sql("DROP TABLE IF EXISTS orders_bucketed")
     spark.sql("DROP TABLE IF EXISTS lineitem_bucketed")
     (
@@ -143,6 +164,12 @@ def compact_parquet(
     rewrite for every future scan's speedup. (Table formats ship this
     as OPTIMIZE/rewrite_data_files; on raw parquet it is exactly this
     repartition+write.)
+
+    Precondition (review wave 3): ``path`` must be DISTINCT from the
+    frame's own source — Spark refuses to overwrite a path it is
+    reading ("Cannot overwrite a path that is also being read from"),
+    so in-place compaction needs a side-dir write + rename on top of
+    this helper.
     """
     (
         df.repartition(target_files)
@@ -196,7 +223,7 @@ def q_sink_sorted_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     path = _sink_dir("lineitem_clustered")
     (
-        li.repartitionByRange(_N_BUCKETS, "l_shipdate")
+        li.repartitionByRange(_N_CLUSTER_FILES, "l_shipdate")
         .sortWithinPartitions("l_shipdate")
         .write.mode("overwrite")
         .parquet(path)

@@ -28,9 +28,9 @@ from frinesis_spark.functions.numeric import dsum, oracle_dsum
 
 
 def _roundtrip_dir(fmt: str) -> str:
-    base = os.path.join(tempfile.gettempdir(), "frinesis_spark_roundtrip")
-    os.makedirs(base, exist_ok=True)
-    return os.path.join(base, fmt)
+    from frinesis_spark.sinks.files import scratch_dir
+
+    return scratch_dir("frinesis_spark_roundtrip", fmt)
 
 
 # Lossless CSV round-trip contract (r7 differential finds — the bare
