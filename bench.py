@@ -50,6 +50,9 @@ HEADLINE = [
     "time_resample_interp",
     "analytics_ab_test",
     "agg_mode_frequent",
+    "source_compressed_roundtrip",
+    "window_ewma_smooth",
+    "join_interval_buckets",
     "agg_group_sum",
     "join_multiway_star",
     "join_broadcast",

@@ -233,14 +233,27 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def approx_distinct_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw HLL++ estimates next to the exact counts — the frame
     ``q_agg_approx_distinct`` checks; the sharper observed error bound
-    is pinned on this directly in tests/test_oracle_parity.py."""
+    is pinned on this directly in tests/test_oracle_parity.py.
+
+    Two separate aggregates joined on the group key, NOT one mixed
+    aggregate: 2 DISTINCT columns + 2 HLL buffers in a single agg
+    compiles to Expand(×3) feeding an ObjectHashAggregate whose
+    sort-based fallback OOMs a default-1g driver heap at sf0.1 (the
+    scale-insurance sweep caught this in r8 — the sf0.01 driver run
+    passes either way). Each piece alone is a proven-at-1g shape
+    (``agg_distinct`` / the r7 HLL-only form); the join is
+    |groups| rows.
+    """
     li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    hll = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
         F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+    )
+    exact = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("exact_parts"),
         F.countDistinct("l_orderkey").alias("exact_orders"),
     )
+    return hll.join(exact, "l_returnflag")
 
 
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -720,9 +720,165 @@ def q_analytics_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# EWMA decay per step and trailing depth. Depth 10 truncates the tail
+# at alpha^10 ≈ 0.107 of a full-history EWMA's weight — the windowed
+# approximation every streaming metrics stack uses (a true recursive
+# EWMA is order-dependent state, not a frame aggregate).
+_EWMA_ALPHA = 0.8
+_EWMA_DEPTH = 10
+
+
+def q_window_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average per series over a
+    trailing ``_EWMA_DEPTH``-row frame — the standard low-latency
+    smoother (monitoring dashboards, anomaly baselines), as a pure
+    window expression.
+
+    Expressed as an explicit ``lag`` chain sharing ONE window sort:
+    ewma = Σ αʲ·x₋ⱼ / Σ αʲ over the lags present (series heads use
+    the shorter frame — same truncation contract as the rolling
+    quantile). Both engines evaluate the identical left-to-right IEEE
+    sum of ≤10 terms with compile-time-constant weights, so doubles
+    hash-match untouched. Catalyst collapses the 10 lags into one
+    WindowExec pass; NULL values contribute nothing to either sum
+    (numerator and weight mask use the same CASE).
+
+    Scale: one shuffle + sort per series key, O(depth) per row, no
+    frame buffer at all (contrast the percentile evaluator). Same
+    few-long-series caveat and re-chunking answer as the rolling
+    quantile.
+    """
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for j in range(_EWMA_DEPTH):
+        lag_j = F.lag("value", j).over(w)
+        wgt = _EWMA_ALPHA**j
+        num = num + F.when(lag_j.isNotNull(), lag_j * F.lit(wgt)).otherwise(
+            F.lit(0.0)
+        )
+        den = den + F.when(lag_j.isNotNull(), F.lit(wgt)).otherwise(
+            F.lit(0.0)
+        )
+    return e.select(
+        "event_id",
+        "event_type",
+        "ts",
+        "value",
+        # Rounded at 6 dp: the 10-term chain folds with ulp-level
+        # (≤3e-14) differences between the engines despite identical
+        # expression text — the agg_regression treatment.
+        F.round(F.try_divide(num, den), 6).alias("ewma"),
+    )
+
+
+# Campaign windows: two fixed 2-hour slots per day — deterministic
+# calendar intervals the oracle rebuilds (the merge-queries pattern).
+_CAMPAIGN_SLOTS = ((9, 11), (15, 17))
+
+
+def q_join_interval_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join, bucketed: user sessions (closed
+    [start, end] intervals from the gaps-and-islands sessionizer)
+    matched to campaign windows (half-open [c_start, c_end) calendar
+    intervals) — the ad-attribution / genomics / downtime-correlation
+    shape.
+
+    The scalable idiom: EXPLODE each interval into its covered hour
+    buckets (bounded: sessions are gap-bounded, campaigns fixed 2 h —
+    the explode factor is small and known), EQUI-join on the bucket,
+    de-duplicate candidate pairs, and re-verify the exact predicate
+    (bucket sharing is necessary but not sufficient). Never the
+    quadratic theta join — which is exactly what the ORACLE runs
+    (DuckDB, small side), so the hash compare proves the bucketed
+    plan ≡ the naive one. Overlap contract: ``s_start < c_end AND
+    c_start <= s_end``.
+
+    At 100 TB the bucket join shuffles |intervals × covered-buckets|
+    rows on a well-distributed key; skew = the busiest hour, already
+    bounded by the bucket width (halve it to split further).
+    """
+    e = table(spark, sf_dir, "events")
+    sessions = sessionize_events(e).select(
+        "user_id",
+        "session_seq",
+        "session_start",
+        "session_end",
+        "value_sum",
+    )
+    span = e.agg(
+        F.min(F.date_trunc("day", "ts")).alias("d0"),
+        F.max(F.date_trunc("day", "ts")).alias("d1"),
+    )
+    days = span.select(
+        F.explode(
+            F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    camps = None
+    for h0, h1 in _CAMPAIGN_SLOTS:
+        c = days.select(
+            F.concat(
+                F.date_format("day", "yyyy-MM-dd"), F.lit(f"#{h0}")
+            ).alias("campaign_id"),
+            (F.col("day") + F.expr(f"INTERVAL {h0} HOURS")).alias("c_start"),
+            (F.col("day") + F.expr(f"INTERVAL {h1} HOURS")).alias("c_end"),
+        )
+        camps = c if camps is None else camps.unionByName(c)
+    hour = "INTERVAL 1 HOUR"
+    s_buckets = sessions.select(
+        "user_id",
+        "session_seq",
+        "session_start",
+        "session_end",
+        "value_sum",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "session_start"),
+                F.date_trunc("hour", "session_end"),
+                F.expr(hour),
+            )
+        ).alias("bucket"),
+    )
+    c_buckets = camps.select(
+        "campaign_id",
+        "c_start",
+        "c_end",
+        F.explode(
+            F.sequence(
+                F.col("c_start"),
+                F.col("c_end") - F.expr(hour),
+                F.expr(hour),
+            )
+        ).alias("bucket"),
+    )
+    pairs = (
+        s_buckets.join(c_buckets, "bucket")
+        .where(
+            (F.col("session_start") < F.col("c_end"))
+            & (F.col("c_start") <= F.col("session_end"))
+        )
+        .select(
+            "campaign_id",
+            "c_start",
+            "user_id",
+            "session_seq",
+            "value_sum",
+        )
+        .distinct()
+    )
+    return pairs.groupBy("campaign_id", "c_start").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        dsum("value_sum").alias("value_sum_total"),
+    )
+
+
 QUERIES = {
     "time_resample_interp": q_time_resample_interp,
     "analytics_ab_test": q_analytics_ab_test,
+    "window_ewma_smooth": q_window_ewma_smooth,
+    "join_interval_buckets": q_join_interval_buckets,
     "time_gapfill_locf": q_time_gapfill_locf,
     "window_session_islands": q_window_session_islands,
     "analytics_retention_cohort": q_analytics_retention_cohort,
@@ -732,6 +888,87 @@ QUERIES = {
 }
 
 ORACLE = {
+    # The NAIVE theta join — deliberately: hash-equality proves the
+    # Spark side's bucketed plan computes the identical relation.
+    # Session CTEs mirror window_session_islands' oracle.
+    "join_interval_buckets": f"""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                > {_SESSION_GAP_US}
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sessions AS (
+            SELECT *,
+                   SUM(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS session_seq
+            FROM flagged
+        ), sess AS (
+            SELECT user_id, session_seq,
+                   MIN(ts) AS session_start,
+                   MAX(ts) AS session_end,
+                   {oracle_dsum('value')} AS value_sum
+            FROM sessions GROUP BY user_id, session_seq
+        ), span AS (
+            SELECT MIN(date_trunc('day', ts)) AS d0,
+                   MAX(date_trunc('day', ts)) AS d1
+            FROM events
+        ), days AS (
+            SELECT UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+            FROM span
+        ), camps AS (
+            SELECT strftime(day, '%Y-%m-%d') || '#9' AS campaign_id,
+                   day + INTERVAL 9 HOUR AS c_start,
+                   day + INTERVAL 11 HOUR AS c_end
+            FROM days
+            UNION ALL
+            SELECT strftime(day, '%Y-%m-%d') || '#15' AS campaign_id,
+                   day + INTERVAL 15 HOUR AS c_start,
+                   day + INTERVAL 17 HOUR AS c_end
+            FROM days
+        )
+        SELECT campaign_id, c_start,
+               COUNT(*) AS n_sessions,
+               {oracle_dsum('value_sum')} AS value_sum_total
+        FROM camps JOIN sess
+          ON session_start < c_end AND c_start <= session_end
+        GROUP BY campaign_id, c_start
+    """,
+    # Identical lag chain, identical compile-time weight constants
+    # (repr of the same Python doubles the Spark side embeds);
+    # rounded at 6 dp — even identical expression text folds the
+    # 10-term chain with ulp-level differences across engines.
+    "window_ewma_smooth": """
+        SELECT event_id, event_type, ts, value,
+               ROUND((0.0
+                 + CASE WHEN LAG(value, 0) OVER w IS NOT NULL THEN (LAG(value, 0) OVER w) * 1.0 ELSE 0.0 END
+                 + CASE WHEN LAG(value, 1) OVER w IS NOT NULL THEN (LAG(value, 1) OVER w) * 0.8 ELSE 0.0 END
+                 + CASE WHEN LAG(value, 2) OVER w IS NOT NULL THEN (LAG(value, 2) OVER w) * 0.6400000000000001 ELSE 0.0 END
+                 + CASE WHEN LAG(value, 3) OVER w IS NOT NULL THEN (LAG(value, 3) OVER w) * 0.5120000000000001 ELSE 0.0 END
+                 + CASE WHEN LAG(value, 4) OVER w IS NOT NULL THEN (LAG(value, 4) OVER w) * 0.4096000000000001 ELSE 0.0 END
+                 + CASE WHEN LAG(value, 5) OVER w IS NOT NULL THEN (LAG(value, 5) OVER w) * 0.3276800000000001 ELSE 0.0 END
+                 + CASE WHEN LAG(value, 6) OVER w IS NOT NULL THEN (LAG(value, 6) OVER w) * 0.2621440000000001 ELSE 0.0 END
+                 + CASE WHEN LAG(value, 7) OVER w IS NOT NULL THEN (LAG(value, 7) OVER w) * 0.20971520000000007 ELSE 0.0 END
+                 + CASE WHEN LAG(value, 8) OVER w IS NOT NULL THEN (LAG(value, 8) OVER w) * 0.1677721600000001 ELSE 0.0 END
+                 + CASE WHEN LAG(value, 9) OVER w IS NOT NULL THEN (LAG(value, 9) OVER w) * 0.13421772800000006 ELSE 0.0 END)
+               / NULLIF((0.0
+                 + CASE WHEN LAG(value, 0) OVER w IS NOT NULL THEN 1.0 ELSE 0.0 END
+                 + CASE WHEN LAG(value, 1) OVER w IS NOT NULL THEN 0.8 ELSE 0.0 END
+                 + CASE WHEN LAG(value, 2) OVER w IS NOT NULL THEN 0.6400000000000001 ELSE 0.0 END
+                 + CASE WHEN LAG(value, 3) OVER w IS NOT NULL THEN 0.5120000000000001 ELSE 0.0 END
+                 + CASE WHEN LAG(value, 4) OVER w IS NOT NULL THEN 0.4096000000000001 ELSE 0.0 END
+                 + CASE WHEN LAG(value, 5) OVER w IS NOT NULL THEN 0.3276800000000001 ELSE 0.0 END
+                 + CASE WHEN LAG(value, 6) OVER w IS NOT NULL THEN 0.2621440000000001 ELSE 0.0 END
+                 + CASE WHEN LAG(value, 7) OVER w IS NOT NULL THEN 0.20971520000000007 ELSE 0.0 END
+                 + CASE WHEN LAG(value, 8) OVER w IS NOT NULL THEN 0.1677721600000001 ELSE 0.0 END
+                 + CASE WHEN LAG(value, 9) OVER w IS NOT NULL THEN 0.13421772800000006 ELSE 0.0 END), 0.0), 6) AS ewma
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    """,
     # Same one-pass construction: conditional decimal-exact sums, then
     # the identical IEEE post-aggregate arithmetic (see the Spark
     # docstring). DuckDB % on non-negative user_id equals pmod.

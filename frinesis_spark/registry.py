@@ -71,15 +71,17 @@ def _load_modules():
 #      then the 41 r6-green rows absent from the r7 window (43 were
 #      refreshed as r6-stale; 2 — the ANN pair — moved to tier 0);
 #   3. green in CORRECTNESS_r07 (freshest evidence, cheapest to skip).
-# Window arithmetic (r8): 128 carried + 5 new (join_bloom_prefilter,
+# Window arithmetic (r8): 128 carried + 8 new (join_bloom_prefilter,
 # text_url_canonicalize, time_resample_interp, analytics_ab_test,
-# agg_mode_frequent — tier 1 by construction, verified in their debut
-# round) = 133 registered. The 35 r5 rows MUST all land in the
+# agg_mode_frequent, source_compressed_roundtrip, window_ewma_smooth,
+# join_interval_buckets — tier 1 by construction, verified in their
+# debut round) = 136 registered. The 35 r5 rows MUST all land in the
 # ~50-slot window (r7 verdict item 1: "no registered query's evidence
 # older than r6" at the r8 verdict); the window fills as |tier0|=5 +
-# 5 never-verified + 35 r5-stale = 45 ≤ 50, so the guarantee holds
-# with 5 slots of slack (the r7 tier-0 policy holds: only
-# BEHAVIOR-relevant changes consume slots). The 41 remaining r6 rows
+# 8 never-verified + 35 r5-stale = 48 ≤ 50, so the guarantee holds
+# with 2 slots of slack (the r7 tier-0 policy holds: only
+# BEHAVIOR-relevant changes consume slots; registration growth is
+# now frozen for r8 — the slack is the contingency budget). The 41 remaining r6 rows
 # then age to 2 rounds — still inside the registry's ≤2-round
 # guarantee — and lead r9.
 _CHANGED_SINCE_VERDICT = (

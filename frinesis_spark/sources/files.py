@@ -201,7 +201,60 @@ def q_source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_compressed_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Compressed-codec round-trips: `customer` written as gzip JSONL
+    AND zstd parquet, both read back, aggregated, and cross-checked —
+    100 TB corpora ship compressed, so codec handling is part of the
+    connector surface (gzip: whole-file, NOT splittable — one task
+    per file, keep files shard-sized; zstd parquet: block-compressed,
+    fully splittable, the storage default at scale).
+
+    Output is one row per nation with the gzip-path aggregates plus a
+    ``codecs_agree`` boolean pinning that the zstd path produced the
+    IDENTICAL aggregates (doubles survive both round-trips bit-exactly
+    — JSONL via shortest-repr parse, parquet natively); the oracle
+    recomputes the aggregates from the original table and asserts
+    TRUE.
+    """
+    c = table(spark, sf_dir, "customer")
+    gz_path = _roundtrip_dir("json_gz")
+    zstd_path = _roundtrip_dir("parquet_zstd")
+    c.write.mode("overwrite").option("compression", "gzip").json(gz_path)
+    c.write.mode("overwrite").option("compression", "zstd").parquet(
+        zstd_path
+    )
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("c_nationkey").agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal").alias("acctbal_sum"),
+        )
+
+    gz = agg(spark.read.schema(c.schema).json(gz_path))
+    zs = agg(spark.read.parquet(zstd_path)).select(
+        F.col("c_nationkey").alias("z_nationkey"),
+        F.col("n_customers").alias("z_n"),
+        F.col("acctbal_sum").alias("z_sum"),
+    )
+    return (
+        gz.join(zs, gz["c_nationkey"] == zs["z_nationkey"], "full_outer")
+        .select(
+            "c_nationkey",
+            "n_customers",
+            "acctbal_sum",
+            (
+                F.col("z_nationkey").isNotNull()
+                & (F.col("n_customers") == F.col("z_n"))
+                & (F.col("acctbal_sum") == F.col("z_sum"))
+            ).alias("codecs_agree"),
+        )
+    )
+
+
 QUERIES = {
+    "source_compressed_roundtrip": q_source_compressed_roundtrip,
     "source_csv_roundtrip": q_source_csv_roundtrip,
     "source_json_roundtrip": q_source_json_roundtrip,
     "source_orc_roundtrip": q_source_orc_roundtrip,
@@ -210,6 +263,14 @@ QUERIES = {
 }
 
 ORACLE = {
+    "source_compressed_roundtrip": f"""
+        SELECT c_nationkey,
+               COUNT(*) AS n_customers,
+               {oracle_dsum('c_acctbal')} AS acctbal_sum,
+               TRUE AS codecs_agree
+        FROM customer
+        GROUP BY c_nationkey
+    """,
     # Rebuild the two-generation view: v1 rows (pre-1997) existed
     # before o_orderpriority did, so the merged reader must surface
     # them with a NULL priority.

@@ -225,3 +225,102 @@ def test_mode_tie_break_is_declared(spark, monkeypatch):
     assert by_status.loc["O", "mode_priority"] == "1-URGENT"  # ASC tie win
     assert by_status.loc["O", "mode_count"] == 2
     assert abs(by_status.loc["O", "mode_share"] - 0.4) < 1e-12
+
+
+def test_compressed_roundtrip_codecs_agree(spark, sf_dir):
+    from frinesis_spark.sources.files import QUERIES
+
+    pdf = QUERIES["source_compressed_roundtrip"](spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    assert pdf["codecs_agree"].all()
+
+
+def test_ewma_hand_computed(spark, monkeypatch):
+    """Tiny series with a NULL mid-stream and a truncated head: EWMA
+    must skip the NULL in both numerator and weight mass, and heads
+    use the shorter frame."""
+    import datetime as dt
+
+    import frinesis_spark.operators.timeseries as ts_mod
+    from frinesis_spark import catalog
+
+    B = dt.datetime(2007, 1, 1)
+    E = [
+        (1, B + dt.timedelta(minutes=1), 1, "s", 10.0, "{}"),
+        (2, B + dt.timedelta(minutes=2), 1, "s", 20.0, "{}"),
+        (3, B + dt.timedelta(minutes=3), 1, "s", None, "{}"),
+        (4, B + dt.timedelta(minutes=4), 1, "s", 40.0, "{}"),
+    ]
+    events = spark.createDataFrame(
+        E,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+    real_table = catalog.table
+    monkeypatch.setattr(
+        ts_mod,
+        "table",
+        lambda s, d, n: events if n == "events" else real_table(s, d, n),
+    )
+    duck = duckdb.connect()
+    duck.register("events", events.toPandas())
+    spark_pdf = ts_mod.QUERIES["window_ewma_smooth"](
+        spark, "crafted://ewma"
+    ).toPandas()
+    duck_pdf = duck.sql(ts_mod.ORACLE["window_ewma_smooth"]).df()
+    assert_frames_match(spark_pdf, duck_pdf, "window_ewma_smooth")
+    got = dict(zip(spark_pdf["event_id"], spark_pdf["ewma"]))
+    a = 0.8
+    assert got[1] == 10.0  # head: frame of one
+    assert abs(got[2] - (20 + a * 10) / (1 + a)) < 1e-6
+    # row 3: own value NULL — weight mass excludes lag0
+    assert abs(got[3] - (a * 20 + a * a * 10) / (a + a * a)) < 1e-6
+    # row 4: NULL at lag1 skipped
+    assert abs(
+        got[4] - (40 + a * a * 20 + a**3 * 10) / (1 + a * a + a**3)
+    ) < 1e-6
+
+
+def test_interval_buckets_edge_semantics(spark, monkeypatch):
+    """Boundary contract: a session ENDING exactly at c_start overlaps
+    (c_start <= s_end); a session STARTING exactly at c_end does NOT
+    (s_start < c_end strict); both engines agree."""
+    import datetime as dt
+
+    import frinesis_spark.operators.timeseries as ts_mod
+    from frinesis_spark import catalog
+
+    D = dt.datetime(2007, 3, 5)  # one day → campaigns 09-11 and 15-17
+    E = [
+        # session A: 08:40 .. 09:00:00 exactly → overlaps 9h campaign
+        (1, D + dt.timedelta(hours=8, minutes=40), 1, "x", 1.0, "{}"),
+        (2, D + dt.timedelta(hours=9), 1, "x", 2.0, "{}"),
+        # session B (user 2): starts exactly 11:00 → NOT in 9-11h
+        (3, D + dt.timedelta(hours=11), 2, "x", 4.0, "{}"),
+        (4, D + dt.timedelta(hours=11, minutes=10), 2, "x", 8.0, "{}"),
+        # session C (user 3): inside 15-17h
+        (5, D + dt.timedelta(hours=15, minutes=30), 3, "x", 16.0, "{}"),
+    ]
+    events = spark.createDataFrame(
+        E,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+    real_table = catalog.table
+    monkeypatch.setattr(
+        ts_mod,
+        "table",
+        lambda s, d, n: events if n == "events" else real_table(s, d, n),
+    )
+    duck = duckdb.connect()
+    duck.register("events", events.toPandas())
+    spark_pdf = ts_mod.QUERIES["join_interval_buckets"](
+        spark, "crafted://iv"
+    ).toPandas()
+    duck_pdf = duck.sql(ts_mod.ORACLE["join_interval_buckets"]).df()
+    assert_frames_match(spark_pdf, duck_pdf, "join_interval_buckets")
+    by = spark_pdf.set_index("campaign_id")
+    assert by.loc["2007-03-05#9", "n_sessions"] == 1  # A only, not B
+    assert by.loc["2007-03-05#9", "value_sum_total"] == 3.0
+    assert by.loc["2007-03-05#15", "n_sessions"] == 1
+    assert by.loc["2007-03-05#15", "value_sum_total"] == 16.0

@@ -91,6 +91,9 @@ AUDITED = [
     "time_resample_interp",
     "analytics_ab_test",
     "agg_mode_frequent",
+    "source_compressed_roundtrip",
+    "window_ewma_smooth",
+    "join_interval_buckets",
     # the r5 rotation dozen (oldest driver evidence) — plan evidence
     # rides along with their fresh correctness rows
     "agg_percentile",
