@@ -59,6 +59,15 @@ def events_ts_unit(path: str) -> str:
         t = pq.read_schema(probe).field("ts").type
         unit = getattr(t, "unit", None)
         if unit == "ns" or t == pa.int64():
+            # Arrow reports BOTH parquet TIMESTAMP(NANOS) and INT96 as
+            # timestamp[ns]; Spark loads INT96 natively but rejects
+            # TIMESTAMP(NANOS) — distinguish via the PHYSICAL type
+            # (r8: an INT96-written fixture broke the ns branch with a
+            # 'ts div 1000' type error).
+            pf_schema = pq.ParquetFile(probe).schema
+            idx = pf_schema.names.index("ts")
+            if pf_schema.column(idx).physical_type == "INT96":
+                return "ts"
             return "ns"  # nanos: legacy long read + div-1000 conversion
         if unit in ("s", "ms", "us"):
             return "ts"  # Spark loads these natively

@@ -47,11 +47,16 @@ def _stage_dir(sf_dir: str, name: str) -> str:
     stage = os.path.join(tempfile.gettempdir(), f"fs_stream_{key}")
     target = os.path.join(stage, f"{name}.parquet")
     src = os.path.join(sf_dir, f"{name}.parquet")
-    if not (
-        os.path.exists(target) and os.path.getsize(target) == os.path.getsize(src)
-    ):
+    # Size AND mtime: the fixture is regenerated between rounds into
+    # the same path — a same-size regeneration must not serve a stale
+    # staged copy to the streaming queries while batch reads fresh.
+    def _sig(p: str) -> tuple[int, int]:
+        st = os.stat(p)
+        return st.st_size, st.st_mtime_ns
+
+    if not (os.path.exists(target) and _sig(target) == _sig(src)):
         os.makedirs(stage, exist_ok=True)
-        shutil.copy(src, target)
+        shutil.copy2(src, target)  # copy2 preserves mtime for _sig
     return stage
 
 

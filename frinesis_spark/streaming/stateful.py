@@ -114,11 +114,17 @@ def _user_profile(key, pdfs, state: GroupState):
         n, maxv, types, counts = state.get
         type_counts = dict(zip(list(types), list(counts)))
     else:
-        n, maxv, type_counts = 0, float("-inf"), {}
+        n, maxv, type_counts = 0, None, {}
 
     for pdf in pdfs:
         n += len(pdf)
-        maxv = max(maxv, float(pdf["value"].max()))
+        # NULL-skipping max like SQL MAX: a user whose values are all
+        # NULL must emit NULL, not a -inf sentinel (the oracle's MAX
+        # ignores NULLs; an all-NULL user would otherwise diverge).
+        vals = pdf["value"].dropna()
+        if len(vals):
+            batch_max = float(vals.max())
+            maxv = batch_max if maxv is None else max(maxv, batch_max)
         for t, c in pdf["event_type"].value_counts().items():
             type_counts[t] = type_counts.get(t, 0) + int(c)
 

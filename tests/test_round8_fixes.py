@@ -548,3 +548,84 @@ def test_resample_interp_pre_epoch_degenerate_span(spark, monkeypatch):
     assert set(spark_pdf["event_type"]) == {"ok"}
     assert len(spark_pdf) == 1  # midnight grid point only
     assert abs(spark_pdf.iloc[0]["v_interp"] - 6.0) < 1e-12
+
+
+def test_stream_user_profile_all_null_user(spark, monkeypatch, tmp_path):
+    """A user whose values are ALL NULL must emit NULL max_value (SQL
+    MAX semantics), not a -inf sentinel — and state must round-trip
+    the None through the flat state tuple."""
+    import frinesis_spark.streaming.stateful as st_mod
+    from frinesis_spark.streaming import runner
+
+    B = datetime.datetime(2007, 1, 1)
+    events = spark.createDataFrame(
+        [
+            (1, B, 1, "a", None, "{}"),
+            (2, B + datetime.timedelta(minutes=1), 1, "b", None, "{}"),
+            (3, B, 2, "a", 5.0, "{}"),
+        ],
+        _SCHEMA,
+    )
+    # Route the staged stream at a crafted parquet dir. Write µs
+    # timestamps explicitly: the session default (INT96) reads back
+    # as ns in pyarrow and mis-drives the catalog's footer probe.
+    d = tmp_path / "events_stage"
+    d.mkdir()
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
+    try:
+        events.coalesce(1).write.mode("overwrite").parquet(
+            str(d / "stage")
+        )
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    import glob
+    import shutil
+
+    part = glob.glob(str(d / "stage" / "part-*.parquet"))[0]
+    sf_like = tmp_path / "sf"
+    sf_like.mkdir()
+    shutil.copy(part, str(sf_like / "events.parquet"))
+
+    out = st_mod.QUERIES["stream_user_profile"](
+        spark, str(sf_like)
+    ).toPandas()
+    by = out.set_index("user_id")
+    assert pd.isna(by.loc[1, "max_value"])
+    assert by.loc[1, "n_events"] == 2 and by.loc[1, "n_types"] == 2
+    assert by.loc[2, "max_value"] == 5.0
+
+
+def test_events_ts_probe_handles_int96(spark, tmp_path):
+    """Arrow reports both parquet TIMESTAMP(NANOS) and INT96 as
+    timestamp[ns]; Spark loads INT96 natively — the footer probe must
+    classify it 'ts', not route it down the nanos-as-long branch
+    (which fails with a 'ts div 1000' type error)."""
+    from frinesis_spark import catalog
+
+    B = datetime.datetime(2007, 1, 1)
+    events = spark.createDataFrame(
+        [(1, B, 1, "a", 1.0, "{}")], _SCHEMA
+    )
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    try:
+        events.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "ev")
+        )
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    import glob
+
+    part = glob.glob(str(tmp_path / "ev" / "part-*.parquet"))[0]
+    assert catalog.events_ts_unit(part) == "ts"
+    # And the table loader round-trips it.
+    import shutil
+
+    sf_like = tmp_path / "sf"
+    sf_like.mkdir()
+    shutil.copy(part, str(sf_like / "events.parquet"))
+    got = catalog.table(spark, str(sf_like), "events").collect()
+    assert len(got) == 1 and got[0]["event_id"] == 1
