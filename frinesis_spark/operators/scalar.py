@@ -158,8 +158,17 @@ def q_scalar_conditional_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("status_or_np"),
         F.greatest(price, F.lit(100_000.0)).alias("price_floor100k"),
         F.least(price, F.lit(100_000.0)).alias("price_cap100k"),
-        F.regexp_extract(F.col("o_orderpriority"), "^([0-9]+)-", 1)
-        .cast("long")
+        # No-match contract pinned NULL on both engines: Spark's
+        # regexp_extract returns '' on no match and a bare ANSI cast
+        # of '' to long KILLS the job (the r6/r7/r8 job-kill class —
+        # the fixture's priorities always match, so only crafted data
+        # ever sees it); nullif('')+try_cast makes no-match → NULL
+        # regardless of each engine's no-match representation.
+        F.nullif(
+            F.regexp_extract(F.col("o_orderpriority"), "^([0-9]+)-", 1),
+            F.lit(""),
+        )
+        .try_cast("long")
         .alias("prio_num"),
         F.regexp_replace(F.col("o_orderpriority"), "[^A-Z]", "")
         .alias("prio_letters"),
@@ -418,8 +427,9 @@ ORACLE = {
                COALESCE(NULLIF(o_orderstatus, 'P'), 'NP') AS status_or_np,
                GREATEST(o_totalprice, 100000.0) AS price_floor100k,
                LEAST(o_totalprice, 100000.0) AS price_cap100k,
-               CAST(REGEXP_EXTRACT(o_orderpriority, '^([0-9]+)-', 1) AS BIGINT)
-                   AS prio_num,
+               TRY_CAST(NULLIF(REGEXP_EXTRACT(o_orderpriority,
+                                               '^([0-9]+)-', 1), '')
+                   AS BIGINT) AS prio_num,
                REGEXP_REPLACE(o_orderpriority, '[^A-Z]', '', 'g') AS prio_letters,
                REGEXP_MATCHES(o_orderpriority, 'URGENT$') AS is_urgent_suffix
         FROM orders

@@ -103,6 +103,9 @@ _CHANGED_SINCE_VERDICT = (
     # differently, so it re-verifies (merge_upsert, also refactored
     # onto the shared core, is already at the head of the stale tier)
     "merge_scd2",
+    # r8: prio_num's no-match path pinned NULL (bare ANSI cast of
+    # regexp_extract's '' no-match killed the job on crafted data)
+    "scalar_conditional_regex",
 )
 
 _STALE_EVIDENCE = {
@@ -153,7 +156,6 @@ _STALE_EVIDENCE = {
     "multimodal_join": 6,
     "multimodal_resize": 6,
     "scalar_array_map_json": 6,
-    "scalar_conditional_regex": 6,
     "scalar_string_date_math": 6,
     "similarity_topk_cosine": 6,
     "source_json_roundtrip": 6,

@@ -629,3 +629,37 @@ def test_events_ts_probe_handles_int96(spark, tmp_path):
     shutil.copy(part, str(sf_like / "events.parquet"))
     got = catalog.table(spark, str(sf_like), "events").collect()
     assert len(got) == 1 and got[0]["event_id"] == 1
+
+
+def test_conditional_regex_no_match_priority(spark, monkeypatch):
+    """A priority with no leading digits previously KILLED the job
+    (Spark regexp_extract no-match returns '' and ANSI cast of '' to
+    long throws); contract is now NULL on both engines."""
+    import frinesis_spark.operators.relational  # noqa: F401
+    import frinesis_spark.operators.scalar as sc_mod
+    from frinesis_spark import catalog
+
+    orders = spark.createDataFrame(
+        [
+            (1, "O", "1-URGENT", 100.0, datetime.date(1996, 1, 1)),
+            (2, "F", "EXPEDITE", 200.0, datetime.date(1996, 1, 2)),
+        ],
+        "o_orderkey long, o_orderstatus string, o_orderpriority string, "
+        "o_totalprice double, o_orderdate date",
+    )
+    real_table = catalog.table
+    monkeypatch.setattr(
+        sc_mod,
+        "table",
+        lambda s, d, n: orders if n == "orders" else real_table(s, d, n),
+    )
+    duck = duckdb.connect()
+    duck.register("orders", orders.toPandas())
+    spark_pdf = sc_mod.QUERIES["scalar_conditional_regex"](
+        spark, "crafted://prio"
+    ).toPandas()
+    duck_pdf = duck.sql(sc_mod.ORACLE["scalar_conditional_regex"]).df()
+    assert_frames_match(spark_pdf, duck_pdf, "scalar_conditional_regex")
+    by = spark_pdf.set_index("o_orderkey")
+    assert by.loc[1, "prio_num"] == 1
+    assert pd.isna(by.loc[2, "prio_num"])
