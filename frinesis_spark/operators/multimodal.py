@@ -66,19 +66,35 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "'fake' codec is implemented"
             )
         payload = pdf["payload"]
-        n_bytes = payload.map(len)
+        # NULL payloads (a NULL text upstream) yield NULL features —
+        # SQL semantics, matching the oracle's MD5(NULL)/LEN(NULL)
+        # row; len(None)/bytes(None) previously killed the whole job
+        # (review wave 4 find).
+        n_bytes = payload.map(lambda b: None if b is None else len(b))
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
                 "codec": pdf["codec"],
-                "n_bytes": n_bytes,
+                "n_bytes": pd.array(n_bytes, dtype="Int64"),
                 "content_hash": payload.map(
-                    lambda b: hashlib.md5(bytes(b)).hexdigest()
+                    lambda b: None
+                    if b is None
+                    else hashlib.md5(bytes(b)).hexdigest()
                 ),
                 # Deterministic fake "decoded dimensions" derived from
                 # the payload — stands in for real width/height.
-                "width": (n_bytes % 640 + 1).astype("int32"),
-                "height": (n_bytes % 480 + 1).astype("int32"),
+                "width": pd.array(
+                    n_bytes.map(
+                        lambda n: None if n is None else n % 640 + 1
+                    ),
+                    dtype="Int32",
+                ),
+                "height": pd.array(
+                    n_bytes.map(
+                        lambda n: None if n is None else n % 480 + 1
+                    ),
+                    dtype="Int32",
+                ),
             }
         )
 
@@ -138,12 +154,25 @@ def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode → resize chain: the decode stage's fake dimensions feed
-    an aspect-preserving 128×128 thumbnail fit, all map-only
-    ``mapInPandas`` stages (zero shuffle at any corpus size)."""
-    return q_multimodal_decode(spark, sf_dir).select(
-        "doc_id", "width", "height"
-    ).mapInPandas(_resize_batches, schema=_RESIZE_SCHEMA)
+    """Dimension extraction → resize chain: the payload's fake
+    dimensions feed an aspect-preserving 128×128 thumbnail fit in a
+    map-only ``mapInPandas`` stage (zero shuffle at any corpus size).
+
+    The dims come from a Catalyst projection of the payload length —
+    NOT from the full decode stage: routing through
+    ``q_multimodal_decode`` md5-hashed every payload just to throw
+    the hash away (review wave 4 find; at media scale that is a full
+    wasted hash pass). NULL payloads are filtered up front on both
+    engines (a thumbnail of nothing is no row, matching the oracle).
+    """
+    d = table(spark, sf_dir, "documents")
+    n_bytes = F.length(F.encode(F.col("text"), "utf-8"))
+    dims = d.where(F.col("text").isNotNull()).select(
+        "doc_id",
+        (n_bytes % 640 + 1).cast("int").alias("width"),
+        (n_bytes % 480 + 1).cast("int").alias("height"),
+    )
+    return dims.mapInPandas(_resize_batches, schema=_RESIZE_SCHEMA)
 
 
 _FRAME_SCHEMA = "doc_id long, frame_idx int, frame_hash string"
@@ -155,12 +184,17 @@ def _frame_sample_batches(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
     """Fake 'video frame sampler': one input row fans out to one row
-    per sampled frame (every 10th of n_bytes/1000+1 frames) — the
-    row-expanding batch shape a real ffmpeg keyframe sampler produces.
+    per sampled frame (every ``_FRAME_STRIDE``-th of
+    n_bytes/``_FRAME_BYTES``+1 frames — the constants, not the old
+    10/1000 the docstring used to claim) — the row-expanding batch
+    shape a real ffmpeg keyframe sampler produces. NULL payloads fan
+    out to zero rows (the oracle's UNNEST over a NULL range).
     """
     for pdf in batches:
         ids, idxs, hashes = [], [], []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            if payload is None:
+                continue
             raw = bytes(payload)
             n_frames = len(raw) // _FRAME_BYTES + 1
             for idx in range(0, n_frames, _FRAME_STRIDE):
@@ -218,7 +252,7 @@ ORACLE = {
             SELECT doc_id,
                    CAST(OCTET_LENGTH(ENCODE(text)) % 640 + 1 AS BIGINT) AS w,
                    CAST(OCTET_LENGTH(ENCODE(text)) % 480 + 1 AS BIGINT) AS h
-            FROM documents
+            FROM documents WHERE text IS NOT NULL
         )
         SELECT doc_id,
                CAST(w AS INT) AS width,

@@ -107,6 +107,14 @@ _CHANGED_SINCE_VERDICT = (
     # regexp_extract's '' no-match killed the job on crafted data)
     "scalar_conditional_regex",
 )
+# Demoted under the tier-0 policy (fixture output BIT-IDENTICAL —
+# re-verified by full local sims this round — with crafted-frame
+# differential evidence in tests/test_round8_fixes.py): the
+# multimodal trio's NULL-payload paths (fixture has no NULL text),
+# q_multimodal_resize's hash-free dims projection (same values,
+# cheaper plan), stream_user_profile's NULL-skipping max and
+# stream_custom_sessionize's integer-µs gap compare (no fixture gap
+# sits on the boundary; sessionize is in the r5-stale window anyway).
 
 _STALE_EVIDENCE = {
     "agg_bool_bitwise": 5,

@@ -47,16 +47,42 @@ def _stage_dir(sf_dir: str, name: str) -> str:
     stage = os.path.join(tempfile.gettempdir(), f"fs_stream_{key}")
     target = os.path.join(stage, f"{name}.parquet")
     src = os.path.join(sf_dir, f"{name}.parquet")
+
     # Size AND mtime: the fixture is regenerated between rounds into
     # the same path — a same-size regeneration must not serve a stale
     # staged copy to the streaming queries while batch reads fresh.
-    def _sig(p: str) -> tuple[int, int]:
-        st = os.stat(p)
-        return st.st_size, st.st_mtime_ns
+    def _sig(path: str) -> tuple:
+        if os.path.isdir(path):
+            out = []
+            for n in sorted(os.listdir(path)):
+                if n.endswith(".parquet"):
+                    st = os.stat(os.path.join(path, n))
+                    out.append((n, st.st_size, st.st_mtime_ns))
+            return tuple(out)
+        st = os.stat(path)
+        return (st.st_size, st.st_mtime_ns)
 
     if not (os.path.exists(target) and _sig(target) == _sig(src)):
         os.makedirs(stage, exist_ok=True)
-        shutil.copy2(src, target)  # copy2 preserves mtime for _sig
+        # Atomic publish (copy to a temp name, rename): the stage dir
+        # is shared across processes by design (keyed on sf_dir, so
+        # repeat runs reuse the copy) — an in-place rewrite would let
+        # a concurrent run's file source read a half-written footer.
+        tmp = target + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        if os.path.isfile(tmp):
+            os.remove(tmp)
+        if os.path.isdir(src):
+            # directory-layout fixture (catalog.py supports it; the
+            # stream source must too)
+            shutil.copytree(src, tmp, copy_function=shutil.copy2)
+        else:
+            shutil.copy2(src, tmp)  # copy2 preserves mtime for _sig
+        if os.path.isdir(target):
+            shutil.rmtree(target, ignore_errors=True)
+        os.replace(tmp, target) if os.path.isfile(tmp) else os.rename(
+            tmp, target
+        )
     return stage
 
 
@@ -116,6 +142,8 @@ def run_append_to_files(stream_df: DataFrame, spark: SparkSession) -> DataFrame:
     )
     track_output_dir(outdir)
     ckpt = tempfile.mkdtemp(prefix="fs_ckpt_")
+    # The frame's own session is authoritative (a caller-passed one
+    # could be a different session whose conf changes wouldn't bind).
     spark = stream_df.sparkSession
     # Streaming gets no AQE coalescing: shuffle.partitions fixes the
     # state-store partition count for the query's lifetime, and a

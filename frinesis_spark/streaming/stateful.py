@@ -50,9 +50,17 @@ def _sessionize(key, pdfs, state: GroupState):
 
     ts = pd.concat([pdf["ts"] for pdf in pdfs]).sort_values()
     # Pin the unit before the epoch conversion — Arrow can hand pandas
-    # either ns- or µs-resolution datetimes depending on version.
-    for t in ts.astype("datetime64[ns]").astype("int64").to_numpy() / 1e9:
-        if cur_len == 0 or t - last_ts > _GAP_S or cur_len >= _CAP:
+    # either ns- or µs-resolution datetimes depending on version. The
+    # gap compares in EXACT integer µs (stored as a double — µs epochs
+    # are < 2^53, exact): dividing epoch ns to float seconds first
+    # puts ~256 ns of ulp on each operand, enough to flip an
+    # exactly-30:00 gap to a spurious extra session vs the oracle's
+    # exact INTERVAL compare (review wave 4 find).
+    gap_us = _GAP_S * 1_000_000.0
+    for t in (
+        ts.astype("datetime64[ns]").astype("int64").to_numpy() // 1000
+    ).astype("float64"):
+        if cur_len == 0 or t - last_ts > gap_us or cur_len >= _CAP:
             n_sessions += 1
             cur_len = 0
         cur_len += 1
@@ -128,14 +136,8 @@ def _user_profile(key, pdfs, state: GroupState):
         for t, c in pdf["event_type"].value_counts().items():
             type_counts[t] = type_counts.get(t, 0) + int(c)
 
-    state.update(
-        (
-            n,
-            maxv,
-            sorted(type_counts),
-            [type_counts[t] for t in sorted(type_counts)],
-        )
-    )
+    keys = sorted(type_counts)
+    state.update((n, maxv, keys, [type_counts[t] for t in keys]))
     yield pd.DataFrame(
         [
             {

@@ -663,3 +663,43 @@ def test_conditional_regex_no_match_priority(spark, monkeypatch):
     by = spark_pdf.set_index("o_orderkey")
     assert by.loc[1, "prio_num"] == 1
     assert pd.isna(by.loc[2, "prio_num"])
+
+
+def test_multimodal_null_text_rows(spark, monkeypatch):
+    """NULL text documents: decode emits NULL-feature rows (SQL
+    semantics — previously len(None) killed the job), frame sampling
+    fans out to zero rows, resize drops them — all matching the
+    oracles on a crafted frame."""
+    import frinesis_spark.operators.multimodal as mm_mod
+    from frinesis_spark import catalog
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hello world text", "en", "s0", 16),
+            (2, None, "en", "s0", None),
+        ],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    real_table = catalog.table
+    monkeypatch.setattr(
+        mm_mod,
+        "table",
+        lambda s, d, n: docs if n == "documents" else real_table(s, d, n),
+    )
+    duck = duckdb.connect()
+    duck.register("documents", docs.toPandas())
+    for name in (
+        "multimodal_decode",
+        "multimodal_resize",
+        "multimodal_frame_sample",
+    ):
+        spark_pdf = mm_mod.QUERIES[name](spark, "crafted://mm").toPandas()
+        duck_pdf = duck.sql(mm_mod.ORACLE[name]).df()
+        assert_frames_match(spark_pdf, duck_pdf, name)
+    dec = mm_mod.QUERIES["multimodal_decode"](
+        spark, "crafted://mm"
+    ).toPandas().set_index("doc_id")
+    assert pd.isna(dec.loc[2, "content_hash"]) and pd.isna(
+        dec.loc[2, "n_bytes"]
+    )
