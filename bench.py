@@ -357,31 +357,37 @@ def compact_line(
     }
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1800:  # belt-and-braces: never outgrow the capture again
-        # Truncate the queries map FIRST — the regression alarm is the
-        # one thing the tail capture must never lose, and the old
-        # drop-regressions-first order lost it exactly in the
-        # mass-regression case that makes the line long (r6 review fix).
-        compact["queries"] = {
-            n: t for n, t in sorted(
-                compact["queries"].items(), key=lambda kv: -kv[1]
-            )[:30]
-        }
-        line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1800:
-        compact["regressions"] = {
-            n: r for n, r in sorted(
-                regressions.items(), key=lambda kv: -kv[1]
-            )[:20]
-        }
+        # The regression alarm is the one thing the tail capture must
+        # never lose (r6 review fix) — cap it at the 20 worst ratios
+        # (annotated) rather than letting a mass-regression map starve
+        # everything else out of the line.
         if len(regressions) > 20:
+            compact["regressions"] = {
+                n: r for n, r in sorted(
+                    regressions.items(), key=lambda kv: -kv[1]
+                )[:20]
+            }
             compact["regressions_truncated"] = len(regressions) - 20
-        line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1800:
-        # Hard fallback (pathological query names): the queries map is
-        # reconstructible from BENCH_full.json, the regression alarm
-        # is not — drop the map, keep the alarm.
-        compact["queries"] = {}
-        compact["queries_dropped"] = len(timings)
+        # Then BUDGET the queries map, slowest first (r8: the headline
+        # grew past what fits whole): keep as many entries as fit —
+        # the dropped tail is the FASTEST queries, which sit under the
+        # regression alarm's noise floor anyway, so losing their
+        # next-round anchors costs nothing the alarm could have used.
+        ordered = sorted(compact["queries"].items(), key=lambda kv: -kv[1])
+        base = dict(compact)
+        base["queries"] = {}
+        budget = 1800 - len(json.dumps(base, separators=(",", ":")))
+        kept: dict = {}
+        used = 0
+        for n, t in ordered:
+            entry = len(json.dumps({n: t}, separators=(",", ":")))
+            if used + entry > budget:
+                break
+            kept[n] = t
+            used += entry
+        compact["queries"] = kept
+        if len(kept) < len(timings):
+            compact["queries_truncated"] = len(timings) - len(kept)
         line = json.dumps(compact, separators=(",", ":"))
     return line
 

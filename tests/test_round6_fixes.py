@@ -207,14 +207,21 @@ def test_bench_compact_line_fits_driver_capture():
 
     worst = _json.loads(line)
     assert len(worst.get("regressions", {})) >= min(20, len(regressions))
-    # And the normal case keeps the full per-query map intact.
+    # Normal case: the budget keeps the line under the capture while
+    # retaining nearly the whole per-query map — and anything dropped
+    # is annotated (r8: 71 headline entries no longer fit whole; the
+    # dropped tail is the FASTEST queries, which sit under the
+    # regression alarm's noise floor anyway).
     import json
 
-    normal = bench.compact_line(
-        {n: 1.23 for n in bench.HEADLINE}, {}, 0.1, 46.74
+    normal = json.loads(
+        bench.compact_line({n: 1.23 for n in bench.HEADLINE}, {}, 0.1, 46.74)
     )
-    assert set(json.loads(normal)["queries"]) == set(bench.HEADLINE)
-    assert len(normal) < 1800
+    kept = set(normal["queries"])
+    assert len(kept) >= len(bench.HEADLINE) - 8
+    dropped = set(bench.HEADLINE) - kept
+    assert normal.get("queries_truncated", 0) == len(dropped)
+    assert len(json.dumps(normal, separators=(",", ":"))) < 1800
 
 
 def _swap_documents(spark, monkeypatch, module, docs):
