@@ -376,6 +376,9 @@ def compact_line(
         ordered = sorted(compact["queries"].items(), key=lambda kv: -kv[1])
         base = dict(compact)
         base["queries"] = {}
+        # Pre-reserve the annotation key: appending it AFTER budgeting
+        # would push the final line past the target (review find).
+        base["queries_truncated"] = len(timings)
         budget = 1800 - len(json.dumps(base, separators=(",", ":")))
         kept: dict = {}
         used = 0

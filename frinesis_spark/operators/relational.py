@@ -249,11 +249,16 @@ def approx_distinct_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
         F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
     )
-    exact = li.groupBy("l_returnflag").agg(
+    exact = li.groupBy(F.col("l_returnflag").alias("_rf")).agg(
         F.countDistinct("l_partkey").alias("exact_parts"),
         F.countDistinct("l_orderkey").alias("exact_orders"),
     )
-    return hll.join(exact, "l_returnflag")
+    # Null-SAFE join key: a NULL l_returnflag group exists on both
+    # sides and the oracle's GROUP BY keeps it — a null-unsafe join
+    # would silently drop it (review find; the scd2 eqNullSafe class).
+    return hll.join(
+        exact, F.col("l_returnflag").eqNullSafe(F.col("_rf"))
+    ).drop("_rf")
 
 
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -77,11 +77,11 @@ def _load_modules():
 # join_interval_buckets — tier 1 by construction, verified in their
 # debut round) = 136 registered. The 35 r5 rows MUST all land in the
 # ~50-slot window (r7 verdict item 1: "no registered query's evidence
-# older than r6" at the r8 verdict); the window fills as |tier0|=5 +
-# 8 never-verified + 35 r5-stale = 48 ≤ 50, so the guarantee holds
-# with 2 slots of slack (the r7 tier-0 policy holds: only
-# BEHAVIOR-relevant changes consume slots; registration growth is
-# now frozen for r8 — the slack is the contingency budget). The 41 remaining r6 rows
+# older than r6" at the r8 verdict); the window fills as |tier0|=6 +
+# 8 never-verified + 35 r5-stale = 49 ≤ 50, so the guarantee holds
+# with ONE slot of slack (the r7 tier-0 policy holds: only
+# BEHAVIOR-relevant changes consume slots; registration growth and
+# further tier-0 promotion are frozen for r8 — the slack is spent). The 41 remaining r6 rows
 # then age to 2 rounds — still inside the registry's ≤2-round
 # guarantee — and lead r9.
 _CHANGED_SINCE_VERDICT = (
@@ -113,8 +113,9 @@ _CHANGED_SINCE_VERDICT = (
 # multimodal trio's NULL-payload paths (fixture has no NULL text),
 # q_multimodal_resize's hash-free dims projection (same values,
 # cheaper plan), stream_user_profile's NULL-skipping max and
-# stream_custom_sessionize's integer-µs gap compare (no fixture gap
-# sits on the boundary; sessionize is in the r5-stale window anyway).
+# stream_custom_sessionize's integer-µs gap compare (boundary-gap
+# crafted stream test in tests/test_round8_fixes.py; sessionize is in
+# the r5-stale window anyway so it re-verifies regardless).
 
 _STALE_EVIDENCE = {
     "agg_bool_bitwise": 5,

@@ -19,7 +19,9 @@ Exchange).
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -36,15 +38,24 @@ _N_BUCKETS = 8
 _N_CLUSTER_FILES = 8
 
 
+_SCRATCH_BASES: set = set()
+
+
 def scratch_dir(namespace: str, kind: str) -> str:
     """Per-PROCESS scratch path (review wave 3): the earlier fixed
     shared path let two processes on one host (bench + pytest, two CI
     jobs) overwrite/delete each other's artifacts mid-read — and on a
     multi-user host the first creator owned the shared base. One
-    helper for both connector modules so the scheme cannot drift."""
+    helper for both connector modules so the scheme cannot drift.
+    Per-pid bases are reclaimed atexit (unlike the old fixed path,
+    which each run overwrote in place, per-pid dirs would otherwise
+    accumulate a fixture-sized copy per run — review find)."""
     base = os.path.join(
         tempfile.gettempdir(), f"{namespace}_{os.getpid()}"
     )
+    if base not in _SCRATCH_BASES:
+        _SCRATCH_BASES.add(base)
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
     os.makedirs(base, exist_ok=True)
     return os.path.join(base, kind)
 

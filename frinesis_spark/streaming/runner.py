@@ -41,16 +41,18 @@ def _cleanup_output_dirs() -> None:  # pragma: no cover - exit hook
 
 
 def _stage_dir(sf_dir: str, name: str) -> str:
-    """Copy one table's parquet into a per-(sf_dir, table) temp directory —
-    the file stream source requires a directory, not a bare file."""
+    """Immutable VERSIONED staging for the file stream source (which
+    requires a directory): the staged copy lives under a directory
+    named by the source's (size, mtime) signature, so a regenerated
+    fixture gets a FRESH version dir instead of an in-place rewrite —
+    no reader can ever see a half-written footer, and concurrent
+    stagers race only on an atomic rename (loser discards its temp).
+    Both file- and directory-layout fixtures land as parquet files
+    inside the version dir."""
     key = hashlib.md5(f"{sf_dir}/{name}".encode()).hexdigest()[:12]
     stage = os.path.join(tempfile.gettempdir(), f"fs_stream_{key}")
-    target = os.path.join(stage, f"{name}.parquet")
     src = os.path.join(sf_dir, f"{name}.parquet")
 
-    # Size AND mtime: the fixture is regenerated between rounds into
-    # the same path — a same-size regeneration must not serve a stale
-    # staged copy to the streaming queries while batch reads fresh.
     def _sig(path: str) -> tuple:
         if os.path.isdir(path):
             out = []
@@ -62,28 +64,27 @@ def _stage_dir(sf_dir: str, name: str) -> str:
         st = os.stat(path)
         return (st.st_size, st.st_mtime_ns)
 
-    if not (os.path.exists(target) and _sig(target) == _sig(src)):
+    sig = hashlib.md5(repr(_sig(src)).encode()).hexdigest()[:12]
+    vdir = os.path.join(stage, f"v_{sig}")
+    if not os.path.exists(vdir):
         os.makedirs(stage, exist_ok=True)
-        # Atomic publish (copy to a temp name, rename): the stage dir
-        # is shared across processes by design (keyed on sf_dir, so
-        # repeat runs reuse the copy) — an in-place rewrite would let
-        # a concurrent run's file source read a half-written footer.
-        tmp = target + ".tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
-        if os.path.isfile(tmp):
-            os.remove(tmp)
-        if os.path.isdir(src):
-            # directory-layout fixture (catalog.py supports it; the
-            # stream source must too)
-            shutil.copytree(src, tmp, copy_function=shutil.copy2)
-        else:
-            shutil.copy2(src, tmp)  # copy2 preserves mtime for _sig
-        if os.path.isdir(target):
-            shutil.rmtree(target, ignore_errors=True)
-        os.replace(tmp, target) if os.path.isfile(tmp) else os.rename(
-            tmp, target
+        tmp = os.path.join(
+            stage, f"tmp_{os.getpid()}_{uuid.uuid4().hex[:6]}"
         )
-    return stage
+        os.makedirs(tmp)
+        if os.path.isdir(src):
+            # directory-layout fixture: flatten the part files in
+            # (each parquet part is self-contained)
+            for n in sorted(os.listdir(src)):
+                if n.endswith(".parquet"):
+                    shutil.copy2(os.path.join(src, n), os.path.join(tmp, n))
+        else:
+            shutil.copy2(src, os.path.join(tmp, f"{name}.parquet"))
+        try:
+            os.rename(tmp, vdir)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+    return vdir
 
 
 def events_stream(
@@ -102,11 +103,12 @@ def events_stream(
     from ..catalog import events_ts_unit
 
     stage = _stage_dir(sf_dir, "events")
-    path = os.path.join(stage, "events.parquet")
-    is_nanos = events_ts_unit(path) == "ns"
+    # The version dir holds parquet files whatever the fixture layout;
+    # the footer probe handles directories.
+    is_nanos = events_ts_unit(stage) == "ns"
     if is_nanos:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(path).schema
+    schema = spark.read.parquet(stage).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

@@ -703,3 +703,54 @@ def test_multimodal_null_text_rows(spark, monkeypatch):
     assert pd.isna(dec.loc[2, "content_hash"]) and pd.isna(
         dec.loc[2, "n_bytes"]
     )
+
+
+def test_stream_sessionize_exact_gap_boundary(spark, tmp_path):
+    """An EXACTLY-30:00.000000 gap must stay in one session (strict >
+    split) through the real streaming path — the float-seconds gap
+    compare carried ~256ns of ulp per operand, enough to flip this
+    boundary; the integer-µs compare cannot."""
+    import glob
+    import shutil
+
+    import frinesis_spark.streaming.stateful as st_mod
+
+    B = datetime.datetime(2007, 1, 1, 12, 0, 0)
+    events = spark.createDataFrame(
+        [
+            (1, B, 1, "a", 1.0, "{}"),
+            (2, B + datetime.timedelta(minutes=30), 1, "a", 1.0, "{}"),
+            # 30min + 1µs after event 2 → splits
+            (
+                3,
+                B + datetime.timedelta(minutes=60, microseconds=1),
+                1,
+                "a",
+                1.0,
+                "{}",
+            ),
+        ],
+        _SCHEMA,
+    )
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
+    try:
+        events.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "stage")
+        )
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    part = glob.glob(str(tmp_path / "stage" / "part-*.parquet"))[0]
+    sf_like = tmp_path / "sf"
+    sf_like.mkdir()
+    shutil.copy(part, str(sf_like / "events.parquet"))
+    out = st_mod.QUERIES["stream_custom_sessionize"](
+        spark, str(sf_like)
+    ).collect()
+    assert len(out) == 1
+    # events 1+2 share a session (exact 30:00 does NOT split); event 3
+    # opens the second.
+    assert out[0]["n_sessions"] == 2
+    assert out[0]["max_session_len"] == 2
