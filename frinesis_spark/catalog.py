@@ -120,6 +120,19 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Repartition ONLY when the scan yields fewer partitions than
+    cores (the one-file test corpus): an unconditional repartition is
+    a full shuffle of the corpus, never the advertised no-op — at real
+    scale the scan already has many splits and this returns df as-is.
+    (Hoisted from similarity.py so the dedup artifact builders share
+    one definition — they each carried the unconditional form.)"""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par)
+
+
 def session_key(spark: SparkSession) -> tuple[str, int]:
     """Stable cache key for per-session derived state.
 

@@ -26,7 +26,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from frinesis_spark.catalog import table
+from frinesis_spark.catalog import spread, table
 
 # MinHash parameters: 128-long signature, 32 bands × 4 rows.
 # P(candidate | jaccard j) = 1-(1-j^4)^32 → ~0.99 at j=0.5, ~0.04 at j=0.1.
@@ -100,9 +100,8 @@ def _shingle_index(docs: DataFrame, max_df: int = _MAX_DF) -> DataFrame:
     split restores the r3 plan in the common case while keeping the
     hot-bucket bound contractual.
     """
-    par = docs.sparkSession.sparkContext.defaultParallelism
     inv = (
-        docs.repartition(par)
+        spread(docs)
         .select("doc_id", F.explode(_shingles()).alias("shingle"))
         .localCheckpoint(eager=True)
     )
@@ -149,8 +148,8 @@ def _corpus_fingerprint(sf_dir: str) -> str:
 
 
 def _store_load_or_build(
-    spark: SparkSession, sf_dir: str, artifact: str, build
-) -> tuple[DataFrame, str]:
+    spark: SparkSession, sf_dir: str, artifact: str, build, localize=False
+) -> DataFrame:
     """Resolve a derived corpus artifact, persisted-table mode aware.
 
     With ``SPARK_GRAFT_INDEX_STORE`` unset (the default), just builds —
@@ -169,13 +168,19 @@ def _store_load_or_build(
     fail that caller's next action mid-job. (A real deployment with
     time-travel needs would keep N generations.)
 
-    Returns ``(frame, fingerprint)`` — the fingerprint ("" when the
-    store is off) belongs in the in-memory cache key so a corpus
-    refresh mid-session is seen, not masked by the session cache.
+    Returns the frame (callers never used the old fingerprint tuple
+    member — caches.cached owns the fingerprint for the in-memory
+    key; review wave 5 dropped the dead return and its duplicate
+    fingerprint pass). ``localize=True`` applies an eager
+    localCheckpoint ONLY on the no-store path: in store mode the
+    parquet write IS the materialization, and a checkpoint inside the
+    build lambda ran one full redundant job per cache miss (review
+    wave 5).
     """
     store = os.environ.get("SPARK_GRAFT_INDEX_STORE")
     if not store:
-        return build(), ""
+        built = build()
+        return built.localCheckpoint(eager=True) if localize else built
     import glob
     import shutil
 
@@ -183,7 +188,7 @@ def _store_load_or_build(
     base = os.path.join(store, artifact)
     path = os.path.join(base, f"fp={fp}")
     if os.path.exists(os.path.join(path, "_SUCCESS")):
-        return spark.read.parquet(path), fp
+        return spark.read.parquet(path)
     df = build()
     df.write.mode("overwrite").parquet(path)
     superseded = sorted(
@@ -197,7 +202,7 @@ def _store_load_or_build(
     )
     for d in superseded[1:]:  # keep the newest superseded generation
         shutil.rmtree(d, ignore_errors=True)
-    return spark.read.parquet(path), fp
+    return spark.read.parquet(path)
 
 
 def _cached(cache: dict, spark: SparkSession, sf_dir: str, build) -> DataFrame:
@@ -218,7 +223,7 @@ def _cached_shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             sf_dir,
             "shingle_index",
             lambda: _shingle_index(table(spark, sf_dir, "documents")),
-        )[0],
+        ),
     )
 
 
@@ -229,30 +234,80 @@ def _simhash_fingerprints(docs: DataFrame) -> DataFrame:
     numpy via ``mapInPandas`` (token hashing stays JVM-side); see
     :func:`q_dedup_simhash` for the design rationale.
     """
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    hashed = docs.repartition(par).select(
+    # NULL text → empty token list up front: split(NULL) is NULL and
+    # len(None)/np.concatenate crash the Python worker (review wave 5;
+    # the multimodal NULL-payload class). An empty doc fingerprints to
+    # 0 — every bit loses its vote — deterministically on any engine.
+    hashed = spread(docs).select(
         "doc_id",
         F.transform(
-            F.split("text", " "), lambda t: F.xxhash64(t)
+            F.coalesce(F.split("text", " "), F.array().cast("array<string>")),
+            lambda t: F.xxhash64(t),
         ).alias("hs"),
     )
 
-    blk = 4096  # docs per vote matrix → ~tokens×64 ints stays in-cache
+    # TOKEN-budgeted blocks, like _minhash_signatures' _SH_BUDGET: the
+    # old 4096-DOC blocks bounded the vote matrix by doc count, which
+    # is unbounded in document LENGTH (4096 × ~2.5k-token web docs →
+    # a ~5 GB transient — review wave 5). The matrix is now ≤
+    # budget × 64 ints, and a single document larger than the whole
+    # budget is sub-chunked with its bit-votes SUMMED across chunks
+    # (votes are additive, so the fingerprint is identical).
+    tok_budget = 1 << 18
 
     def gen(batches):
         import numpy as np
         import pandas as pd
 
         bit_idx = np.arange(64, dtype=np.uint64)
+
+        def vote_sums(flat_i64):
+            """token-hash array → per-bit vote sum, sub-chunked so the
+            transient never exceeds budget × 64."""
+            total = np.zeros(64, dtype=np.int64)
+            for c in range(0, len(flat_i64), tok_budget):
+                chunk = flat_i64[c : c + tok_budget]
+                bits = (chunk.view(np.uint64)[:, None] >> bit_idx) & np.uint64(1)
+                total += (bits.astype(np.int32) * 2 - 1).sum(
+                    axis=0, dtype=np.int64
+                )
+            return total
+
         for pdf in batches:
-            for s in range(0, len(pdf), blk):
-                part = pdf.iloc[s : s + blk]
-                lens = part["hs"].map(len).to_numpy()
-                flat = np.concatenate(part["hs"].to_numpy()).astype(np.int64)
-                bits = (flat.view(np.uint64)[:, None] >> bit_idx) & np.uint64(1)
-                votes = bits.astype(np.int32) * 2 - 1
-                offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
-                sums = np.add.reduceat(votes, offsets, axis=0)
+            lens_all = pdf["hs"].map(len).to_numpy()
+            n = len(pdf)
+            start = 0
+            while start < n:
+                end, tot = start, 0
+                while end < n and (
+                    tot == 0 or tot + lens_all[end] <= tok_budget
+                ):
+                    tot += lens_all[end]
+                    end += 1
+                part = pdf.iloc[start:end]
+                lens = lens_all[start:end]
+                if len(part) == 1 and lens[0] > tok_budget:
+                    flat = np.asarray(part["hs"].iloc[0], dtype=np.int64)
+                    sums = vote_sums(flat)[None, :]
+                elif lens.sum() == 0:
+                    # all-empty block (NULL texts): reduceat over an
+                    # empty array raises; all bits lose their votes
+                    sums = np.zeros((len(part), 64), dtype=np.int64)
+                else:
+                    flat = np.concatenate(part["hs"].to_numpy()).astype(
+                        np.int64
+                    )
+                    bits = (
+                        flat.view(np.uint64)[:, None] >> bit_idx
+                    ) & np.uint64(1)
+                    votes = bits.astype(np.int32) * 2 - 1
+                    offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                    sums = np.add.reduceat(votes, offsets, axis=0)
+                    # reduceat on a zero-length segment returns the
+                    # NEXT segment's first element; empty docs (NULL
+                    # text) must vote all-zero instead
+                    if (lens == 0).any():
+                        sums[lens == 0] = 0
                 fp = ((sums > 0).astype(np.uint64) << bit_idx).sum(
                     axis=1, dtype=np.uint64
                 )
@@ -262,6 +317,7 @@ def _simhash_fingerprints(docs: DataFrame) -> DataFrame:
                         "simhash": fp.view(np.int64),
                     }
                 )
+                start = end
 
     return hashed.mapInPandas(gen, "doc_id long, simhash long")
 
@@ -304,9 +360,9 @@ def _cached_shingle_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _cached_shingle_index(spark, sf_dir)
                 .groupBy("doc_id")
                 .agg(F.count(F.lit(1)).alias("n_sh"))
-                .localCheckpoint(eager=True)
             ),
-        )[0],
+            localize=True,
+        ),
     )
 
 
@@ -383,12 +439,11 @@ def _minhash_signatures(docs: DataFrame, max_df: int = _MAX_DF) -> DataFrame:
     discriminative to dedup on); min over a set is order-insensitive,
     so surviving signatures are identical across the three paths.
     """
-    par = docs.sparkSession.sparkContext.defaultParallelism
     # Checkpointed: the stop-set job and the signature pass both read
     # the hashed-shingle arrays — one shingle/hash pass total, K longs
     # per doc (tiny next to the raw text).
     base = (
-        docs.repartition(par)
+        spread(docs)
         .select(
             "doc_id",
             F.transform(_shingles(), lambda s: F.xxhash64(s)).alias("hs"),
@@ -446,12 +501,32 @@ def _minhash_signatures(docs: DataFrame, max_df: int = _MAX_DF) -> DataFrame:
                     end += 1
                 part = pdf.iloc[start:end]
                 lens = lens_all[start:end]
-                flat = np.concatenate(part["hs"].to_numpy()).astype(np.int64)
-                h = flat.view(np.uint64)
-                offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
-                with np.errstate(over="ignore"):
-                    perms = h[:, None] * a[None, :] + b[None, :]
-                sig = np.minimum.reduceat(perms, offsets, axis=0)
+                if len(part) == 1 and lens[0] > _SH_BUDGET:
+                    # One document larger than the whole budget: the
+                    # tot==0 clause admits it alone, but a single
+                    # (shingles × K) matrix would still be unbounded
+                    # in per-doc shingle count (review wave 5) — min
+                    # is associative, so sub-chunk and combine.
+                    flat = np.asarray(
+                        part["hs"].iloc[0], dtype=np.int64
+                    )
+                    h_all = flat.view(np.uint64)
+                    sig_min = np.full(_K, np.uint64(0xFFFFFFFFFFFFFFFF))
+                    for c in range(0, len(h_all), _SH_BUDGET):
+                        hc = h_all[c : c + _SH_BUDGET]
+                        with np.errstate(over="ignore"):
+                            pc = hc[:, None] * a[None, :] + b[None, :]
+                        sig_min = np.minimum(sig_min, pc.min(axis=0))
+                    sig = sig_min[None, :]
+                else:
+                    flat = np.concatenate(part["hs"].to_numpy()).astype(
+                        np.int64
+                    )
+                    h = flat.view(np.uint64)
+                    offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                    with np.errstate(over="ignore"):
+                        perms = h[:, None] * a[None, :] + b[None, :]
+                    sig = np.minimum.reduceat(perms, offsets, axis=0)
                 out = part[["doc_id"]].copy()
                 out["sig"] = list(sig.view(np.int64))
                 yield out
@@ -712,7 +787,17 @@ def q_dedup_cluster_cc(
     Oracle: DuckDB ``WITH RECURSIVE`` reachability (min reachable
     label ≡ min label propagation fixpoint).
     """
+    prev_ckpt_dir = None
     if checkpoint_dir is not None:
+        # Save/restore: setCheckpointDir is SESSION-GLOBAL state, and
+        # the old code left it pointing at this query's (possibly
+        # temp) directory for the rest of the session (review wave 5).
+        # All checkpoints here run eagerly inside this function, so
+        # restoring on exit is safe; if no dir was set before, the
+        # setting unavoidably persists (Spark has no unset) — that
+        # case is the status quo ante.
+        opt = spark.sparkContext._jsc.sc().getCheckpointDir()
+        prev_ckpt_dir = opt.get() if opt.isDefined() else None
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
 
     def ckpt(df: DataFrame) -> DataFrame:
@@ -765,6 +850,8 @@ def q_dedup_cluster_cc(
             break
         prev_sum = cur_sum
 
+    if checkpoint_dir is not None and prev_ckpt_dir is not None:
+        spark.sparkContext.setCheckpointDir(prev_ckpt_dir)
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     return labels.join(sizes, "label").select(
         F.col("node").alias("doc_id"),

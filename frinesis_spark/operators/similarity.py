@@ -79,15 +79,10 @@ def _queries_and_candidates(spark: SparkSession, sf_dir: str):
 
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Repartition ONLY when the scan yields fewer partitions than
-    cores (the one-file test corpus): an unconditional repartition is
-    a full shuffle of the corpus, never the advertised no-op — at real
-    scale the scan already has many splits and this returns df as-is.
-    """
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= par:
-        return df
-    return df.repartition(par)
+    """See :func:`frinesis_spark.catalog.spread` (hoisted r8)."""
+    from frinesis_spark.catalog import spread
+
+    return spread(df)
 
 
 def _topk_output(scored: DataFrame) -> DataFrame:

@@ -754,3 +754,82 @@ def test_stream_sessionize_exact_gap_boundary(spark, tmp_path):
     # opens the second.
     assert out[0]["n_sessions"] == 2
     assert out[0]["max_session_len"] == 2
+
+
+# --- dedup review-wave pins (wave 5) ----------------------------------------
+
+
+def test_simhash_null_text_and_fingerprint_stability(spark, monkeypatch):
+    """NULL text previously crashed the simhash worker (len(None));
+    it now fingerprints to 0 (all bits lose their vote). And the
+    token-budgeted rewrite must produce the SAME fingerprints as
+    before for normal docs — pinned by recomputing one doc by hand."""
+    import frinesis_spark.operators.dedup as dd_mod
+    from frinesis_spark import catalog
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta", "en", "s", 22),
+            (2, None, "en", "s", None),
+            (3, "alpha beta gamma delta", "en", "s", 22),  # exact dup
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    real_table = catalog.table
+    monkeypatch.setattr(
+        dd_mod,
+        "table",
+        lambda s, d, n: docs if n == "documents" else real_table(s, d, n),
+    )
+    fps = {
+        r["doc_id"]: r["simhash"]
+        for r in dd_mod._simhash_fingerprints(docs).collect()
+    }
+    assert fps[2] == 0  # empty vote → all-zero fingerprint
+    assert fps[1] == fps[3] != 0  # dup docs agree, content hashes in
+
+
+def test_minhash_simhash_budget_subchunk_equality(spark, sf_dir, monkeypatch):
+    """Shrinking the worker token budget (forcing the oversized-doc
+    sub-chunk paths and multi-block batching) must not move a single
+    signature or fingerprint — min/votes are associative."""
+    import frinesis_spark.operators.dedup as dd_mod
+    from frinesis_spark.catalog import table
+
+    docs = table(spark, sf_dir, "documents")
+    base_sig = {
+        r["doc_id"]: tuple(r["sig"])
+        for r in dd_mod._minhash_signatures(docs).collect()
+    }
+    base_fp = {
+        r["doc_id"]: r["simhash"]
+        for r in dd_mod._simhash_fingerprints(docs).collect()
+    }
+    # Force sub-chunking: re-execute the module with the budgets cut
+    # to 16 tokens (the constants live inside closures, so a source
+    # edit is the faithful way to shrink them).
+    import importlib.util
+    import pathlib
+    import tempfile
+
+    src = open(dd_mod.__file__).read()
+    assert "_SH_BUDGET = 1 << 18" in src and "tok_budget = 1 << 18" in src
+
+    edited = src.replace("_SH_BUDGET = 1 << 18", "_SH_BUDGET = 1 << 4").replace(
+        "tok_budget = 1 << 18", "tok_budget = 1 << 4"
+    )
+    tmp = pathlib.Path(tempfile.mkdtemp()) / "dedup_tiny.py"
+    tmp.write_text(edited)
+    spec2 = importlib.util.spec_from_file_location("dedup_tiny", str(tmp))
+    tiny2 = importlib.util.module_from_spec(spec2)
+    spec2.loader.exec_module(tiny2)
+    tiny_sig = {
+        r["doc_id"]: tuple(r["sig"])
+        for r in tiny2._minhash_signatures(docs).collect()
+    }
+    tiny_fp = {
+        r["doc_id"]: r["simhash"]
+        for r in tiny2._simhash_fingerprints(docs).collect()
+    }
+    assert tiny_sig == base_sig
+    assert tiny_fp == base_fp
