@@ -50,6 +50,12 @@ def cached(cache: dict, spark, sf_dir: str, build, table: str = "documents"):
     about different corpora. ONE definition of the pattern
     (dedup/similarity both route through here): eviction-policy or
     key-scheme fixes land in this function, not in per-module copies.
+    Note the store-mode build path (_store_load_or_build) re-computes
+    the fingerprint for its directory name — a cheap footer-stat
+    sweep; a corpus refresh landing in that microsecond window would
+    memo a new-corpus artifact under the old key for the session's
+    remainder, an accepted race (the driver's fixtures are immutable
+    within a run).
     """
     from frinesis_spark.catalog import session_key
 
@@ -59,7 +65,12 @@ def cached(cache: dict, spark, sf_dir: str, build, table: str = "documents"):
     val = cache.get(key)
     if val is None:
         if len(cache) >= 4:
-            cache.clear()
+            # Evict the OLDEST entry, not the whole cache: a session
+            # alternating over ≥5 corpora previously degraded to a 0%
+            # hit rate — every lookup wiped the 4 hot entries and
+            # rebuilt a full index per call (review wave 6). Same
+            # 4-entry memory bound, insertion-ordered dict.
+            del cache[next(iter(cache))]
         val = build()
         cache[key] = val
     return val

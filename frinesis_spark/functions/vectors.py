@@ -39,10 +39,21 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     encode — real embedding corpora contain them) makes the divisor 0,
     and under Spark's default ANSI mode a plain ``/`` would KILL the
     whole job with DIVIDE_BY_ZERO on that one row (caught by the r6
-    adversarial differential test). ``try_divide`` yields NULL
-    instead, which is bit-for-bit what DuckDB's ``/`` already returns
-    for x/0 — so the oracle needs no change, NULL cosines rank last
-    under both engines' default DESC NULLS LAST, and threshold filters
-    (``cos >= t``) exclude them identically.
+    adversarial differential test). ``try_divide`` yields NULL; the
+    oracles wrap their divisors in ``NULLIF(d, 0)`` for the same NULL
+    on ANY DuckDB version (x/0 is NULL only on duckdb ≤ 1.0 — ≥ 1.1
+    defaults to IEEE NaN, which would sort ABOVE all reals in ORDER BY
+    cos DESC; review wave 6). NULL cosines rank last and threshold
+    filters exclude them identically on both engines.
     """
     return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
+
+
+def cosine_from_norms(d: Column, na: Column, nb: Column) -> Column:
+    """Cosine from a precomputed dot and per-side norms — the hot-path
+    form: on a pair join, inlining :func:`cosine_similarity` re-walks
+    BOTH arrays' norms per pair (~3× the array passes); precomputing
+    each side's norm once before the join is bit-identical IEEE
+    arithmetic (same operand values, same final multiply/divide) at a
+    third of the per-pair cost (review wave 6)."""
+    return F.try_divide(d, na * nb)

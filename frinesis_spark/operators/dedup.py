@@ -1327,22 +1327,26 @@ ORACLE = {
         WHERE LEVENSHTEIN(a.text, b.text) <= {_EDIT_MAX}
     """,
     "dedup_embedding_cosine": """
+        -- NULLIF on the divisors: duckdb>=1.1 returns IEEE NaN for
+        -- 0/0 (<=1.0 returned NULL); a NaN would pass neither the
+        -- threshold nor ranking identically to Spark's try_divide
+        -- NULL (review wave 6, the version-proofing sweep).
         SELECT a.vec_id AS a_id, b.vec_id AS b_id,
                ROUND(
                    LIST_DOT_PRODUCT(CAST(a.embedding AS DOUBLE[]),
                                     CAST(b.embedding AS DOUBLE[]))
-                   / (SQRT(LIST_DOT_PRODUCT(CAST(a.embedding AS DOUBLE[]),
+                   / NULLIF(SQRT(LIST_DOT_PRODUCT(CAST(a.embedding AS DOUBLE[]),
                                             CAST(a.embedding AS DOUBLE[])))
                       * SQRT(LIST_DOT_PRODUCT(CAST(b.embedding AS DOUBLE[]),
-                                              CAST(b.embedding AS DOUBLE[])))),
+                                              CAST(b.embedding AS DOUBLE[]))), 0),
                    6) AS cos_sim
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE LIST_DOT_PRODUCT(CAST(a.embedding AS DOUBLE[]),
                                CAST(b.embedding AS DOUBLE[]))
-              / (SQRT(LIST_DOT_PRODUCT(CAST(a.embedding AS DOUBLE[]),
+              / NULLIF(SQRT(LIST_DOT_PRODUCT(CAST(a.embedding AS DOUBLE[]),
                                        CAST(a.embedding AS DOUBLE[])))
                  * SQRT(LIST_DOT_PRODUCT(CAST(b.embedding AS DOUBLE[]),
-                                         CAST(b.embedding AS DOUBLE[]))))
+                                         CAST(b.embedding AS DOUBLE[]))), 0)
               >= 0.45
     """,
 }

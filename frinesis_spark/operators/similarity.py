@@ -24,7 +24,11 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from frinesis_spark.catalog import table
-from frinesis_spark.functions.vectors import cosine_similarity
+from frinesis_spark.functions.vectors import (
+    cosine_from_norms,
+    dot,
+    l2_norm,
+)
 
 _N_QUERIES = 10  # vec_id < 10 form the query set
 _TOP_K = 5
@@ -65,15 +69,23 @@ def _hyperplane(plane: int) -> list[float]:
 
 def _queries_and_candidates(spark: SparkSession, sf_dir: str):
     e = table(spark, sf_dir, "embeddings")
+    # Norms precomputed ONCE per side (review wave 6): inlining the
+    # full cosine on a pair join re-walks both arrays' norms per pair
+    # — ~3× the array passes on the exact-scan hot path. Same IEEE
+    # operand values, same final ops — bit-identical cosines.
     q = e.where(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        l2_norm(F.col("embedding")).alias("qn"),
     )
     # The test corpus is one parquet file → one input split; spread the
     # per-pair cosine work across all cores. Conditional: at real scale
     # the scan already has ≥cores splits and _spread returns the scan
     # untouched (no shuffle).
     c = _spread(e).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        l2_norm(F.col("embedding")).alias("cn"),
     )
     return q, c
 
@@ -115,7 +127,9 @@ def q_similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     window input (Spark pushes rank-filter into the window sort).
     """
     q, c = _queries_and_candidates(spark, sf_dir)
-    cos = cosine_similarity(F.col("qe"), F.col("ce"))
+    cos = cosine_from_norms(
+        dot(F.col("qe"), F.col("ce")), F.col("qn"), F.col("cn")
+    )
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -328,7 +342,9 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.join(F.broadcast(q), "query_id")
         .join(c, "neighbor_id")
     )
-    cos = cosine_similarity(F.col("qe"), F.col("ce"))
+    cos = cosine_from_norms(
+        dot(F.col("qe"), F.col("ce")), F.col("qn"), F.col("cn")
+    )
     return _topk_output(cand.select("query_id", "neighbor_id", cos.alias("cos")))
 
 
@@ -572,7 +588,13 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     id. Re-rank exactness is covered by ``similarity_topk_cosine``.
     """
     cells, probed = _ivf_cells_and_probes(spark, sf_dir)
-    cos = cosine_similarity(F.col("qe"), F.col("ce"))
+    # Norms once per SIDE ROW (the mapInPandas index schemas don't
+    # carry them), never per joined pair.
+    cells = cells.withColumn("cn", l2_norm(F.col("ce")))
+    probed = probed.withColumn("qn", l2_norm(F.col("qe")))
+    cos = cosine_from_norms(
+        dot(F.col("qe"), F.col("ce")), F.col("qn"), F.col("cn")
+    )
     return _topk_output(
         probed.join(cells, "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
@@ -645,10 +667,14 @@ QUERIES = {
     "embedding_quantize_int8": q_embedding_quantize_int8,
 }
 
+# NULLIF on the divisor: x/0 is NULL only on duckdb<=1.0 (>=1.1
+# defaults to IEEE ±inf/NaN, and a NaN cosine would sort ABOVE every
+# real in ORDER BY cos DESC, admitting a zero-norm row into the top-k
+# that Spark's try_divide NULL excludes — review wave 6 find).
 _COS_SQL = """
     LIST_DOT_PRODUCT(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
-    / (SQRT(LIST_DOT_PRODUCT(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
-       * SQRT(LIST_DOT_PRODUCT(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))))
+    / NULLIF(SQRT(LIST_DOT_PRODUCT(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+       * SQRT(LIST_DOT_PRODUCT(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))), 0)
 """
 
 ORACLE = {

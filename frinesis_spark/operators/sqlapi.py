@@ -479,8 +479,10 @@ _Q15 = f"""
 # find): the first cut used s_acctbal < 0, which matches ZERO
 # suppliers at sf0.001 — the null-aware anti-join ran against an
 # empty build side locally, so a broken NOT-IN rewrite could pass
-# the local parity check; min + 5% of the range matches ≥1 supplier
-# at every sf by construction (the min row always qualifies).
+# the local parity check. <= min + 5% of the range matches ≥1
+# supplier at every sf TRULY by construction (r8 review: with the
+# old strict <, an all-equal-acctbal fixture has range 0 and the
+# min row no longer qualifies — the vacuity hole reopens).
 _Q16 = """
     SELECT p_brand, p_type, p_size,
            COUNT(DISTINCT l_suppkey) AS supplier_cnt
@@ -491,7 +493,7 @@ _Q16 = """
       AND p_size IN (1, 4, 7, 10, 13, 16, 19, 23)
       AND l_suppkey NOT IN (
             SELECT s_suppkey FROM supplier
-            WHERE s_acctbal < (SELECT MIN(s_acctbal)
+            WHERE s_acctbal <= (SELECT MIN(s_acctbal)
                                + 0.05 * (MAX(s_acctbal) - MIN(s_acctbal))
                                FROM supplier)
           )

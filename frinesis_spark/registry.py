@@ -115,7 +115,12 @@ _CHANGED_SINCE_VERDICT = (
 # cheaper plan), stream_user_profile's NULL-skipping max and
 # stream_custom_sessionize's integer-µs gap compare (boundary-gap
 # crafted stream test in tests/test_round8_fixes.py; sessionize is in
-# the r5-stale window anyway so it re-verifies regardless).
+# the r5-stale window anyway so it re-verifies regardless); wave 6's
+# cosine-oracle NULLIF (inert on this duckdb — 1.0 already NULLs x/0;
+# version-proofing only), the norm-precompute (bit-identical cosines,
+# local sim re-verified), and sql_tpch_q16's <= threshold guard (ONE
+# shared SQL text runs on both engines, so it re-agrees by
+# construction — the r7 q7/q8 demotion precedent; local sim green).
 
 _STALE_EVIDENCE = {
     "agg_bool_bitwise": 5,
