@@ -65,14 +65,20 @@ def cached(cache: dict, spark, sf_dir: str, build, table: str = "documents"):
     val = cache.get(key)
     if val is None:
         if len(cache) >= 4:
-            # Evict the OLDEST entry, not the whole cache: a session
-            # alternating over ≥5 corpora previously degraded to a 0%
-            # hit rate — every lookup wiped the 4 hot entries and
-            # rebuilt a full index per call (review wave 6). Same
-            # 4-entry memory bound, insertion-ordered dict.
+            # Evict the LEAST-RECENTLY-USED entry, not the whole
+            # cache: a session alternating over ≥5 corpora previously
+            # degraded to a 0% hit rate — every lookup wiped the 4 hot
+            # entries and rebuilt a full index per call (review wave
+            # 6). Same 4-entry memory bound, insertion-ordered dict
+            # with hits refreshed to the end (below), so the front IS
+            # the LRU entry (ADVICE r8: pure insertion order evicted a
+            # first-inserted-but-hottest artifact).
             del cache[next(iter(cache))]
         val = build()
         cache[key] = val
+    else:
+        # Refresh recency on hit so eviction is LRU, not FIFO.
+        cache[key] = cache.pop(key)
     return val
 
 

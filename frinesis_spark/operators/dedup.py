@@ -301,13 +301,18 @@ def _simhash_fingerprints(docs: DataFrame) -> DataFrame:
                         flat.view(np.uint64)[:, None] >> bit_idx
                     ) & np.uint64(1)
                     votes = bits.astype(np.int32) * 2 - 1
-                    offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
-                    sums = np.add.reduceat(votes, offsets, axis=0)
-                    # reduceat on a zero-length segment returns the
-                    # NEXT segment's first element; empty docs (NULL
-                    # text) must vote all-zero instead
-                    if (lens == 0).any():
-                        sums[lens == 0] = 0
+                    # reduceat only over the NONZERO-length docs: a
+                    # zero-length segment returns the next segment's
+                    # first element, and a TRAILING zero-length doc
+                    # puts cumsum == len(flat) in offsets, which
+                    # reduceat rejects as out-of-bounds (IndexError,
+                    # killing the worker — lens=[5,0]). Scatter the
+                    # per-doc sums back; empty docs vote all-zero.
+                    nz = lens > 0
+                    lens_nz = lens[nz]
+                    offsets = np.concatenate(([0], np.cumsum(lens_nz)[:-1]))
+                    sums = np.zeros((len(part), 64), dtype=np.int64)
+                    sums[nz] = np.add.reduceat(votes, offsets, axis=0)
                 fp = ((sums > 0).astype(np.uint64) << bit_idx).sum(
                     axis=1, dtype=np.uint64
                 )

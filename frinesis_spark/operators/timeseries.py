@@ -348,31 +348,50 @@ def rolling_quantile_chunked(
         "_cnt",
         F.sum("_cnt").over(w_cum).alias("_cum"),  # rows ≤ this segment
     )
-    src = cum.select(
-        "event_type",
-        F.col("_seg").alias("_src_seg"),
-        F.col("_cum").alias("_src_cum"),
-    )
-    tgt = cum.select(
-        "event_type",
-        F.col("_seg").alias("_tgt_seg"),
-        (F.col("_cum") - F.col("_cnt")).alias("_tgt_before"),
-    )
     # A source row with reverse rank rr sits (tgt_before − src_cum + rr)
-    # rows before the target segment; keep it iff that ≤ frame−1.
-    pairs = src.join(tgt, "event_type").where(
-        (F.col("_src_seg") < F.col("_tgt_seg"))
-        & (F.col("_tgt_before") - F.col("_src_cum") < frame - 1)
-    ).select(
-        # Renamed join keys: pairs shares lineage with ranked (a
-        # self-join through the count table), so same-name attribute
-        # references would be ambiguous.
-        F.col("event_type").alias("_p_type"),
-        F.col("_src_seg"),
-        "_tgt_seg",
-        (
-            F.lit(frame - 1) - (F.col("_tgt_before") - F.col("_src_cum"))
-        ).alias("_rr_max"),
+    # rows before the target segment; keep it iff that ≤ frame−1. A
+    # qualifying source can be at most frame−1 segments back (every
+    # intermediate non-empty segment contributes ≥1 row), so the
+    # candidate (src, tgt) pairs come from a BOUNDED lag window over
+    # the count table — never a segment self-join, whose intermediate
+    # grows as |segments|² per series before the filter (quadratic in
+    # segment count for fine widths over long histories; ADVICE r8).
+    w_prev = (
+        W.partitionBy("event_type")
+        .orderBy("_seg")
+        .rowsBetween(-(frame - 1), -1)
+    )
+    pairs = (
+        cum.select(
+            "event_type",
+            F.col("_seg").alias("_tgt_seg"),
+            (F.col("_cum") - F.col("_cnt")).alias("_tgt_before"),
+            F.collect_list(
+                F.struct(
+                    F.col("_seg").alias("s"), F.col("_cum").alias("c")
+                )
+            )
+            .over(w_prev)
+            .alias("_prev"),
+        )
+        .select(
+            # Renamed keys: pairs shares lineage with ranked (a
+            # self-join through the count table), so same-name
+            # attribute references would be ambiguous downstream.
+            F.col("event_type").alias("_p_type"),
+            "_tgt_seg",
+            "_tgt_before",
+            F.explode("_prev").alias("_p"),
+        )
+        .where(F.col("_tgt_before") - F.col("_p.c") < frame - 1)
+        .select(
+            "_p_type",
+            F.col("_p.s").alias("_src_seg"),
+            "_tgt_seg",
+            (
+                F.lit(frame - 1) - (F.col("_tgt_before") - F.col("_p.c"))
+            ).alias("_rr_max"),
+        )
     )
     ctx = (
         ranked.join(

@@ -245,9 +245,14 @@ def q_source_compressed_roundtrip(
             "n_customers",
             "acctbal_sum",
             (
+                # eqNullSafe: a nation group whose acctbal values are
+                # all NULL sums to NULL on both paths, and null-unsafe
+                # `==` would turn TRUE-agreement into NULL while the
+                # oracle pins TRUE (ADVICE r8 — same class this round
+                # fixed elsewhere).
                 F.col("z_nationkey").isNotNull()
-                & (F.col("n_customers") == F.col("z_n"))
-                & (F.col("acctbal_sum") == F.col("z_sum"))
+                & F.col("n_customers").eqNullSafe(F.col("z_n"))
+                & F.col("acctbal_sum").eqNullSafe(F.col("z_sum"))
             ).alias("codecs_agree"),
         )
     )

@@ -1,0 +1,167 @@
+"""Round-9 fix pins (the four r8 ADVICE items).
+
+1. high — simhash vote reduceat: a NULL-text doc as the LAST row of a
+   token-budget block put cumsum == len(flat) into the reduceat
+   offsets → IndexError killed the Python worker (lens=[5,0]). Fixed
+   by reducing only over nonzero-length docs and scattering back.
+2. low — rolling_quantile_chunked context pairs are now derived from a
+   bounded lag window over the count table, not a |segments|² per-series
+   self-join (bit-identity re-pinned by the existing r8 differentials).
+3. low — source_compressed_roundtrip codecs_agree used null-unsafe ==
+   on the aggregate comparison: an all-NULL-acctbal nation made the
+   boolean NULL while the oracle pins TRUE. Now eqNullSafe.
+4. low — artifact cache eviction was FIFO (hits never refreshed
+   position); now LRU.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _one_partition(df):
+    return df.coalesce(1)
+
+
+def test_simhash_trailing_null_text_in_block(spark, monkeypatch):
+    """A NULL-text doc as the LAST doc of a vote block (lens=[5,0])
+    previously raised IndexError in np.add.reduceat and killed the
+    worker (ADVICE r8 high). Pin: fingerprints compute, empty doc → 0,
+    non-empty doc unchanged vs computing it alone."""
+    import frinesis_spark.operators.dedup as dd_mod
+
+    # spread() would scatter the 2 rows over 32 partitions; force one
+    # partition so both docs land in one Arrow batch in row order —
+    # the exact trailing-empty geometry the bug needs.
+    monkeypatch.setattr(dd_mod, "spread", _one_partition)
+
+    schema = (
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    )
+    solo = spark.createDataFrame(
+        [(1, "alpha beta gamma delta eps", "en", "s", 26)], schema
+    )
+    fp_solo = dd_mod._simhash_fingerprints(solo).collect()[0]["simhash"]
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta eps", "en", "s", 26),
+            (2, None, "en", "s", None),  # trailing empty doc
+        ],
+        schema,
+    )
+    fps = {
+        r["doc_id"]: r["simhash"]
+        for r in dd_mod._simhash_fingerprints(docs).collect()
+    }
+    assert fps[2] == 0
+    assert fps[1] == fp_solo != 0
+
+
+def test_simhash_interleaved_null_text_scatter_back(spark, monkeypatch):
+    """Interleaved empty docs ([3 tokens, 0, 5 tokens, 0]) exercise the
+    scatter-back path: every non-empty doc's fingerprint must equal the
+    solo computation, every empty doc must be 0."""
+    import frinesis_spark.operators.dedup as dd_mod
+
+    monkeypatch.setattr(dd_mod, "spread", _one_partition)
+
+    schema = (
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    )
+    t1, t2 = "alpha beta gamma", "one two three four five"
+    solo = {
+        r["doc_id"]: r["simhash"]
+        for r in dd_mod._simhash_fingerprints(
+            spark.createDataFrame(
+                [(1, t1, "en", "s", 16), (3, t2, "en", "s", 23)], schema
+            )
+        ).collect()
+    }
+    docs = spark.createDataFrame(
+        [
+            (1, t1, "en", "s", 16),
+            (2, None, "en", "s", None),
+            (3, t2, "en", "s", 23),
+            (4, None, "en", "s", None),
+        ],
+        schema,
+    )
+    fps = {
+        r["doc_id"]: r["simhash"]
+        for r in dd_mod._simhash_fingerprints(docs).collect()
+    }
+    assert fps[1] == solo[1] and fps[3] == solo[3]
+    assert fps[2] == 0 and fps[4] == 0
+
+
+def test_codecs_agree_null_safe_on_all_null_acctbal(spark, monkeypatch):
+    """A nation whose customers all carry NULL acctbal sums to NULL on
+    BOTH codec paths; null-unsafe == made codecs_agree NULL while the
+    oracle pins TRUE (ADVICE r8). eqNullSafe keeps it TRUE."""
+    import frinesis_spark.sources.files as files_mod
+    from frinesis_spark import catalog
+
+    crafted = spark.createDataFrame(
+        [
+            (1, "Customer#1", "addr", 7, "11-x", None, "SEG", "c"),
+            (2, "Customer#2", "addr", 7, "11-y", None, "SEG", "c"),
+            (3, "Customer#3", "addr", 8, "12-z", 100.25, "SEG", "c"),
+        ],
+        "c_custkey long, c_name string, c_address string, "
+        "c_nationkey long, c_phone string, c_acctbal double, "
+        "c_mktsegment string, c_comment string",
+    )
+    real_table = catalog.table
+    monkeypatch.setattr(
+        files_mod,
+        "table",
+        lambda s, d, n: crafted if n == "customer" else real_table(s, d, n),
+    )
+    out = files_mod.QUERIES["source_compressed_roundtrip"](
+        spark, "crafted://nullbal"
+    ).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r["codecs_agree"] is True  # never NULL, never False
+
+
+def test_artifact_cache_eviction_is_lru_not_fifo():
+    """A hit must refresh recency: insert d1..d4, re-hit d1, insert d5
+    → d2 (least recently used) is evicted and d1 survives. The FIFO
+    form evicted d1 even though it was the hottest entry (ADVICE r8)."""
+    from frinesis_spark import caches
+    import frinesis_spark.catalog as cat
+
+    cache: dict = {}
+    calls = []
+
+    class FakeSpark:
+        class sparkContext:
+            applicationId = "app"
+
+    def build_for(d):
+        def b():
+            calls.append(d)
+            return f"artifact-{d}"
+
+        return b
+
+    orig = cat.session_key
+    cat.session_key = lambda s: ("app", 1)
+    try:
+        for d in ("d1", "d2", "d3", "d4"):
+            caches.cached(cache, FakeSpark, d, build_for(d))
+        caches.cached(cache, FakeSpark, "d1", build_for("d1"))  # hit
+        assert calls == ["d1", "d2", "d3", "d4"]
+        caches.cached(cache, FakeSpark, "d5", build_for("d5"))
+        assert len(cache) == 4
+        # d1 survived its refresh; d2 was the LRU victim.
+        caches.cached(cache, FakeSpark, "d1", build_for("d1"))
+        assert calls == ["d1", "d2", "d3", "d4", "d5"]  # d1 still a hit
+        caches.cached(cache, FakeSpark, "d2", build_for("d2"))
+        assert calls[-1] == "d2"  # d2 was rebuilt → it was evicted
+    finally:
+        cat.session_key = orig
