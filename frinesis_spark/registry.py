@@ -61,103 +61,39 @@ def _load_modules():
 
 
 # The driver checks ~50 queries per round in registration order, so the
-# order is a verification budget. Four tiers (refreshed at r8 start from
-# CORRECTNESS_r07.json via tools/refresh_tiers.py):
-#   0. changed since the r7 verdict — operators whose behavior this
+# order is a verification budget. Four tiers (refreshed at r9 start from
+# CORRECTNESS_r08.json via tools/refresh_tiers.py):
+#   0. changed since the r8 verdict — operators whose behavior this
 #      round touched, so their green rows no longer cover them;
 #   1. never driver-verified (implicit: in no list);
 #   2. stale evidence, ordered OLDEST ROUND FIRST within the tier:
-#      the 35 r5-green rows the r7 verdict flagged as the backlog lead,
-#      then the 41 r6-green rows absent from the r7 window (43 were
-#      refreshed as r6-stale; 2 — the ANN pair — moved to tier 0);
-#   3. green in CORRECTNESS_r07 (freshest evidence, cheapest to skip).
-# Window arithmetic (r8): 128 carried + 8 new (join_bloom_prefilter,
-# text_url_canonicalize, time_resample_interp, analytics_ab_test,
-# agg_mode_frequent, source_compressed_roundtrip, window_ewma_smooth,
-# join_interval_buckets — tier 1 by construction, verified in their
-# debut round) = 136 registered. The 35 r5 rows MUST all land in the
-# ~50-slot window (r7 verdict item 1: "no registered query's evidence
-# older than r6" at the r8 verdict); the window fills as |tier0|=6 +
-# 8 never-verified + 35 r5-stale = 49 ≤ 50, so the guarantee holds
-# with ONE slot of slack (the r7 tier-0 policy holds: only
-# BEHAVIOR-relevant changes consume slots; registration growth and
-# further tier-0 promotion are frozen for r8 — the slack is spent). The 41 remaining r6 rows
-# then age to 2 rounds — still inside the registry's ≤2-round
-# guarantee — and lead r9.
+#      the 39 r6-green rows the r8 verdict flagged as the backlog lead,
+#      then the 47 r7-green rows absent from the r8 window;
+#   3. green in CORRECTNESS_r08 (freshest evidence, cheapest to skip).
+# Window arithmetic (r9): |tier0| + new tier-1 registrations + the 39
+# r6-stale rows must fit the ~50-slot window (r8 verdict item 1: "no
+# registered query's evidence older than r7" at the r9 verdict). With
+# tier0 = 2 and each new registration consuming one slot, the budget
+# for new queries this round is ~50 - 2 - 39 = 9; stay well under it.
 _CHANGED_SINCE_VERDICT = (
-    # r8: window_rolling_quantile re-planned onto bounded-overlap
-    # re-chunking (r7 verdict item 2) — parallelism no longer bounded
-    # by |event_type|; same oracle, differential-pinned vs old plan
-    "window_rolling_quantile",
-    # r8: the rows-only trio became self-checking (VERDICT r7 item 4):
-    # agg_approx_distinct emits exact counts + a 4σ error-bound
-    # boolean; the ANN pair emit (n_queries, k, recall-floor boolean)
-    # graded in-query against the exact top-k — all three now carry
-    # DuckDB oracles and must re-verify
-    "agg_approx_distinct",
-    "similarity_ann_lsh",
-    "similarity_ann_ivf",
-    # r8: scd2 merge core gained the change-detection guard that makes
-    # at-least-once batch replay idempotent (r7 verdict item 6) —
-    # fixture output is bit-identical but no-op updates now behave
-    # differently, so it re-verifies (merge_upsert, also refactored
-    # onto the shared core, is already at the head of the stale tier)
-    "merge_scd2",
-    # r8: prio_num's no-match path pinned NULL (bare ANSI cast of
-    # regexp_extract's '' no-match killed the job on crafted data)
-    "scalar_conditional_regex",
+    # r9: the last two rows-only queries became self-grading (VERDICT
+    # r8 item 2): both now join their candidate pairs against the
+    # exact n-gram Jaccard pair set in-query and emit a recall-floor
+    # boolean the DuckDB oracle asserts — they carry oracles for the
+    # first time and must verify under them
+    "dedup_near_minhash",
+    "dedup_simhash",
 )
-# Demoted under the tier-0 policy (fixture output BIT-IDENTICAL —
-# re-verified by full local sims this round — with crafted-frame
-# differential evidence in tests/test_round8_fixes.py): the
-# multimodal trio's NULL-payload paths (fixture has no NULL text),
-# q_multimodal_resize's hash-free dims projection (same values,
-# cheaper plan), stream_user_profile's NULL-skipping max and
-# stream_custom_sessionize's integer-µs gap compare (boundary-gap
-# crafted stream test in tests/test_round8_fixes.py; sessionize is in
-# the r5-stale window anyway so it re-verifies regardless); wave 6's
-# cosine-oracle NULLIF (inert on this duckdb — 1.0 already NULLs x/0;
-# version-proofing only), the norm-precompute (bit-identical cosines,
-# local sim re-verified), and sql_tpch_q16's <= threshold guard (ONE
-# shared SQL text runs on both engines, so it re-agrees by
-# construction — the r7 q7/q8 demotion precedent; local sim green).
+# Demoted under the tier-0 policy (fixture output BIT-IDENTICAL,
+# re-verified by a full local driver sim at r9 start): the simhash
+# fingerprint worker's trailing-NULL-text reduceat fix (fixture has no
+# NULL text; crafted-frame pins in tests/test_round9_fixes.py),
+# window_rolling_quantile's bounded context-pair window (bit-identity
+# vs the serial plan re-pinned by the r8 differentials), and
+# source_compressed_roundtrip's eqNullSafe codecs_agree (fixture has
+# no all-NULL-acctbal nation; crafted pin in test_round9_fixes.py).
 
 _STALE_EVIDENCE = {
-    "agg_bool_bitwise": 5,
-    "agg_histogram": 5,
-    "agg_percentile": 5,
-    "agg_pivot": 5,
-    "dedup_cluster_cc": 5,
-    "dedup_incremental_jaccard": 5,
-    "dedup_near_minhash": 5,
-    "dedup_ngram_jaccard": 5,
-    "dedup_simhash": 5,
-    "join_asof": 5,
-    "join_cross_dims": 5,
-    "join_range_theta": 5,
-    "join_salted_skew": 5,
-    "merge_upsert": 5,
-    "sample_stratified_hash": 5,
-    "set_union_except_intersect": 5,
-    "sink_kinesis_batched": 5,
-    "sort_limit": 5,
-    "source_kinesis_datasource": 5,
-    "source_kinesis_read": 5,
-    "source_orc_roundtrip": 5,
-    "sql_tpch_q10": 5,
-    "sql_tpch_q5": 5,
-    "sql_tpch_q6": 5,
-    "stream_custom_sessionize": 5,
-    "stream_dedup_stateful": 5,
-    "stream_sliding_agg": 5,
-    "stream_stream_join": 5,
-    "stream_tumbling_agg": 5,
-    "stream_watermark_late": 5,
-    "text_ngram_profile": 5,
-    "time_rollup_hypertable": 5,
-    "udtf_table_chunks": 5,
-    "window_rank_topk": 5,
-    "window_time_range": 5,
     "agg_filtered_conditional": 6,
     "agg_regression": 6,
     "agg_rollup_cube": 6,
@@ -192,62 +128,109 @@ _STALE_EVIDENCE = {
     "text_language_id": 6,
     "text_pii_scrub": 6,
     "text_quality_score": 6,
-    "text_repetition_filter": 6,
     "text_token_count": 6,
     "time_ohlc_bars": 6,
     "tokenize_pack_sequences": 6,
     "udf_python": 6,
     "window_lag_lead": 6,
+    "agg_collect_sorted": 7,
+    "agg_distinct": 7,
+    "agg_group_sum": 7,
+    "agg_grouping_sets": 7,
+    "agg_stats_corr": 7,
+    "agg_string_concat": 7,
+    "analytics_cumulative_distinct": 7,
+    "analytics_retention_cohort": 7,
+    "dedup_decontaminate": 7,
+    "dedup_substring_chunks": 7,
+    "embedding_quantize_int8": 7,
+    "explode_token_freq": 7,
+    "filter_in_between_like": 7,
+    "funnel_conversion": 7,
+    "join_anti": 7,
+    "join_broadcast": 7,
+    "join_bucketed_colocated": 7,
+    "join_inner_equi": 7,
+    "join_left_outer": 7,
+    "join_multiway_star": 7,
+    "join_semi": 7,
+    "pipeline_llm_prep": 7,
+    "pipeline_shuffle_shard": 7,
+    "pipeline_source_mixture": 7,
+    "project_filter": 7,
+    "scalar_variant_shred": 7,
+    "scan_parquet": 7,
+    "sink_compacted_parquet": 7,
+    "sink_partitioned_parquet": 7,
+    "sink_sorted_clustered": 7,
+    "source_csv_roundtrip": 7,
+    "source_schema_evolution": 7,
+    "source_text_lines_roundtrip": 7,
+    "sql_tpch_q1": 7,
+    "sql_tpch_q14": 7,
+    "sql_tpch_q17": 7,
+    "sql_tpch_q21": 7,
+    "sql_tpch_q22": 7,
+    "sql_tpch_q3": 7,
+    "sql_tpch_q4": 7,
+    "stream_foreach_batch_upsert": 7,
+    "time_downsample_m4": 7,
+    "time_gapfill_locf": 7,
+    "window_first_last": 7,
+    "window_ranking_suite": 7,
+    "window_running_frame": 7,
+    "window_session_islands": 7,
 }
 _VERIFIED_LAST = frozenset(
     {
-        "agg_collect_sorted",
-        "agg_distinct",
-        "agg_group_sum",
-        "agg_grouping_sets",
-        "agg_stats_corr",
-        "agg_string_concat",
-        "analytics_cumulative_distinct",
-        "analytics_retention_cohort",
-        "dedup_decontaminate",
-        "dedup_substring_chunks",
-        "embedding_quantize_int8",
-        "explode_token_freq",
-        "filter_in_between_like",
-        "funnel_conversion",
-        "join_anti",
-        "join_broadcast",
-        "join_bucketed_colocated",
-        "join_inner_equi",
-        "join_left_outer",
-        "join_multiway_star",
-        "join_semi",
-        "pipeline_llm_prep",
-        "pipeline_shuffle_shard",
-        "pipeline_source_mixture",
-        "project_filter",
-        "scalar_variant_shred",
-        "scan_parquet",
-        "sink_compacted_parquet",
-        "sink_partitioned_parquet",
-        "sink_sorted_clustered",
-        "source_csv_roundtrip",
-        "source_schema_evolution",
-        "source_text_lines_roundtrip",
-        "sql_tpch_q1",
-        "sql_tpch_q14",
-        "sql_tpch_q17",
-        "sql_tpch_q21",
-        "sql_tpch_q22",
-        "sql_tpch_q3",
-        "sql_tpch_q4",
-        "stream_foreach_batch_upsert",
-        "time_downsample_m4",
-        "time_gapfill_locf",
-        "window_first_last",
-        "window_ranking_suite",
-        "window_running_frame",
-        "window_session_islands",
+        "agg_approx_distinct",
+        "agg_bool_bitwise",
+        "agg_histogram",
+        "agg_mode_frequent",
+        "agg_percentile",
+        "agg_pivot",
+        "analytics_ab_test",
+        "dedup_cluster_cc",
+        "dedup_incremental_jaccard",
+        "dedup_ngram_jaccard",
+        "join_asof",
+        "join_bloom_prefilter",
+        "join_cross_dims",
+        "join_interval_buckets",
+        "join_range_theta",
+        "join_salted_skew",
+        "merge_scd2",
+        "merge_upsert",
+        "sample_stratified_hash",
+        "scalar_conditional_regex",
+        "set_union_except_intersect",
+        "similarity_ann_ivf",
+        "similarity_ann_lsh",
+        "sink_kinesis_batched",
+        "sort_limit",
+        "source_compressed_roundtrip",
+        "source_kinesis_datasource",
+        "source_kinesis_read",
+        "source_orc_roundtrip",
+        "sql_tpch_q10",
+        "sql_tpch_q5",
+        "sql_tpch_q6",
+        "stream_custom_sessionize",
+        "stream_dedup_stateful",
+        "stream_sliding_agg",
+        "stream_stream_join",
+        "stream_tumbling_agg",
+        "stream_watermark_late",
+        "text_ngram_profile",
+        "text_repetition_filter",
+        "text_url_canonicalize",
+        "time_resample_interp",
+        "time_rollup_hypertable",
+        "udtf_table_chunks",
+        "window_ewma_smooth",
+        "window_rank_topk",
+        "window_rolling_quantile",
+        "window_time_range",
     }
 )
 
