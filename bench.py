@@ -41,6 +41,12 @@ _EXPECTED_SHIFTS = {
     # so their wall time includes the grader term vs any anchor ≤ r7.
     "similarity_ann_lsh": (7, "r8: in-query recall grade adds the exact grader"),
     "similarity_ann_ivf": (7, "r8: in-query recall grade adds the exact grader"),
+    # r9: the last two rows-only dedup queries became self-grading
+    # (VERDICT r8 item 2) — the exact-Jaccard grader (the full
+    # dedup_ngram_jaccard inverted-index join) now runs inside the
+    # timed query vs any anchor ≤ r8.
+    "dedup_near_minhash": (8, "r9: in-query recall grade adds the exact-Jaccard grader"),
+    "dedup_simhash": (8, "r9: in-query recall grade adds the exact-Jaccard grader"),
 }
 
 HEADLINE = [

@@ -540,16 +540,17 @@ def _minhash_signatures(docs: DataFrame, max_df: int = _MAX_DF) -> DataFrame:
     return base.mapInPandas(gen, "doc_id long, sig array<long>")
 
 
-def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + banded LSH near-duplicate pairs (est. Jaccard ≥ 0.5).
+def near_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH near-duplicate pairs (est. Jaccard ≥ 0.5)
+    — the raw pair output; the registered query wraps it in the
+    recall grade (see ``q_dedup_near_minhash``).
 
     Pipeline: shingle → K-long MinHash signature → 32 band hashes →
     self-join on (band_idx, band_hash) → verify candidates by exact
     signature agreement fraction. The band join is the only shuffle
     that grows with corpus size; candidate pairs are bucket-local.
 
-    No DuckDB oracle (hash family not reproducible in SQL) →
-    rows-only check. Deterministic: fixed hash seeds, fixed threshold.
+    Deterministic: fixed hash seeds, fixed threshold.
     """
     # The signature table is referenced three more times below (band
     # self-join + both verify sides); unmaterialized, Spark recomputes
@@ -612,8 +613,10 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash near-duplicate pairs (Hamming ≤ 8).
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-duplicate pairs (Hamming ≤ 8) — the raw
+    pair output; the registered query wraps it in the recall grade
+    (see ``q_dedup_simhash``).
 
     Per-token xxhash64 votes on each of the 64 bits. Token hashes are
     computed JVM-side (string hashing never reaches Python); the
@@ -623,8 +626,6 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     cold latency. Blocking: 4 bands of 16 bits — a pair at Hamming ≤ 8
     can miss all bands only if every band differs, so recall is high
     for small distances; verify computes exact ``bit_count(xor)``.
-
-    Rows-only check (bit-level hash family not SQL-reproducible).
     """
     fingerprint = _cached_simhash_fingerprints(spark, sf_dir)
 
@@ -661,6 +662,83 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pairs.where(F.col("hamming") <= _HAMMING_MAX)
+
+
+# Driver-verifiable recall floors for the two hash-family dedup
+# queries, as integer PERCENT of the exact-Jaccard pair set recovered
+# (integer cross-multiplication below — engine-exact, no float
+# compare). Everything is deterministic (fixed minhash seeds,
+# xxhash64 token votes), so the observed recalls are constants per
+# fixture: minhash 1.00/1.00/1.00 and simhash 0.93/0.92/0.89 at
+# sf0.001/0.01/0.1 — floors sit a full step below the worst observed
+# so fixture regeneration noise can't flip the boolean, while a
+# broken index (scrambled hashes, wrong column, empty candidates)
+# lands far below. Sharp per-sf recall/precision margins stay pinned
+# in tests/test_round5_fixes.py.
+_MINHASH_RECALL_FLOOR_PCT = 80
+_SIMHASH_RECALL_FLOOR_PCT = 75
+
+
+def _pair_recall_check(
+    exact: DataFrame, cand: DataFrame, floor_pct: int
+) -> DataFrame:
+    """One-row frame: (n_exact_pairs, recall_floor_met) — a candidate
+    pair set graded in-query against the exact-Jaccard pair set, so
+    the driver's DuckDB hash-compare can verify a hash-family operator
+    (r8 verdict item 2; the same contract the ANN pair adopted in r8:
+    the oracle recomputes n_exact_pairs exactly — the shared
+    ``dedup_ngram_jaccard`` CTE chain — and asserts the boolean TRUE).
+
+    ONE reference to the exact side (the ANN review lesson: a second
+    reference re-runs the whole exact pipeline): left-join the exact
+    pairs to the candidates and aggregate size and hits in one pass.
+    The floor compare is integer cross-multiplication, and an empty
+    exact set grades 0 ≥ 0 → TRUE (vacuously met, never NULL)."""
+    marked = exact.select("doc_a", "doc_b").join(
+        cand.select("doc_a", "doc_b").withColumn("_hit", F.lit(1)),
+        ["doc_a", "doc_b"],
+        "left",
+    )
+    return marked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact_pairs"),
+        (
+            F.count("_hit") * 100 >= F.lit(floor_pct) * F.count(F.lit(1))
+        ).alias("recall_floor_met"),
+    )
+
+
+def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup detection with an in-query recall grade:
+    runs the full ``near_minhash_pairs`` path, joins it to the exact
+    3-gram-Jaccard pair set (``q_dedup_ngram_jaccard`` — itself
+    oracle-verified), and emits whether recovered-pair recall clears
+    the floor. An approximate dedup pass is exactly as good as its
+    recall of the true near-dup pairs, so the recall IS the checkable
+    output — the r8 self-grading contract that took the ANN pair and
+    the HLL sketch off the rows-only list, applied to the last two.
+    Scale note: the exact-Jaccard grader is the inverted-index join
+    (never all-pairs), and at production scale it is a sampled audit
+    query — the serving-path cost is only the minhash pipeline being
+    graded."""
+    return _pair_recall_check(
+        q_dedup_ngram_jaccard(spark, sf_dir),
+        near_minhash_pairs(spark, sf_dir),
+        _MINHASH_RECALL_FLOOR_PCT,
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup detection with an in-query recall grade —
+    same contract as ``q_dedup_near_minhash``: the Hamming ≤ 8 pair
+    set must recover ≥ ``_SIMHASH_RECALL_FLOOR_PCT``% of the exact
+    Jaccard ≥ 0.5 pairs. SimHash's token-frequency similarity is a
+    looser notion than set Jaccard, so only recall is graded, not
+    precision (the operator's declared contract since r4)."""
+    return _pair_recall_check(
+        q_dedup_ngram_jaccard(spark, sf_dir),
+        simhash_pairs(spark, sf_dir),
+        _SIMHASH_RECALL_FLOOR_PCT,
+    )
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1241,11 +1319,10 @@ ORACLE = {
         FROM chunks c JOIN freq f USING (chunk_hash)
         GROUP BY c.doc_id
     """,
-    # dedup_near_minhash / dedup_simhash: intentionally no oracle —
-    # xxhash64/murmur3 hash families are not reproducible in DuckDB SQL
-    # → driver rows-only check; exactness is covered by
-    # dedup_ngram_jaccard, which verifies the same planted near-dup
-    # pairs with exact Jaccard.
+    # dedup_near_minhash / dedup_simhash: the raw hash-family pairs
+    # (xxhash64/murmur3) are not reproducible in DuckDB SQL, so the
+    # registered queries grade them in-query against the exact-Jaccard
+    # pair set instead (self-grading contract, r9) — oracles above.
     "dedup_ngram_jaccard": f"""
         WITH {_INV_SQL},
         common AS (
@@ -1257,6 +1334,41 @@ ORACLE = {
         SELECT doc_a, doc_b,
                ROUND(n_common / (na.n_sh + nb.n_sh - n_common), 6) AS jaccard,
                CAST(n_common AS BIGINT) AS n_common
+        FROM common
+        JOIN sizes na ON na.doc_id = doc_a
+        JOIN sizes nb ON nb.doc_id = doc_b
+        WHERE n_common / (na.n_sh + nb.n_sh - n_common) >= {_JACCARD_THRESHOLD}
+    """,
+    # Self-grading contracts (r9, VERDICT r8 item 2): the Spark side
+    # grades its hash-family candidate pairs against the exact-Jaccard
+    # pair set in-query; the oracle recomputes the exact pair COUNT
+    # via the same CTE chain as dedup_ngram_jaccard and asserts the
+    # recall-floor boolean TRUE.
+    "dedup_near_minhash": f"""
+        WITH {_INV_SQL},
+        common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+            FROM inv a JOIN inv b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+               TRUE AS recall_floor_met
+        FROM common
+        JOIN sizes na ON na.doc_id = doc_a
+        JOIN sizes nb ON nb.doc_id = doc_b
+        WHERE n_common / (na.n_sh + nb.n_sh - n_common) >= {_JACCARD_THRESHOLD}
+    """,
+    "dedup_simhash": f"""
+        WITH {_INV_SQL},
+        common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+            FROM inv a JOIN inv b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+               TRUE AS recall_floor_met
         FROM common
         JOIN sizes na ON na.doc_id = doc_a
         JOIN sizes nb ON nb.doc_id = doc_b

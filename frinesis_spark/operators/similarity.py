@@ -12,7 +12,8 @@ Two operators:
 - ``similarity_ann_lsh`` — random-hyperplane LSH: bucket the corpus by
   sign-bit bands, join queries to bucket-colliding candidates only,
   re-rank exactly. Sub-linear candidate volume; recall < 1 by design
-  → rows-only check.
+  → self-grading (r8): the registered query emits an in-query
+  recall-floor boolean vs the exact top-k that the oracle asserts.
 """
 
 from __future__ import annotations

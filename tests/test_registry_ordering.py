@@ -66,18 +66,15 @@ def test_oracle_order_mirrors_query_order():
 
 
 def test_rows_only_set_is_closed():
-    """Every registered query carries an oracle except the two
-    declared rows-only-by-design entries (hash families not
-    reproducible in DuckDB SQL — SURVEY §2B/§2C). Down from five in
-    r8 (VERDICT r7 item 4): agg_approx_distinct now emits a 4σ
-    error-bound boolean and the ANN pair emit recall-floor booleans,
-    all three hash-verified by the driver's oracle. A new operator
-    landing without an oracle must either get one or be added HERE
-    with its declared justification."""
-    rows_only = {
-        "dedup_near_minhash",  # xxhash64 family; exact-Jaccard twin
-        "dedup_simhash",  # same hash-family argument
-    }
+    """EVERY registered query carries an oracle — the rows-only set
+    reached zero in r9 (VERDICT r8 item 2): dedup_near_minhash and
+    dedup_simhash now grade their hash-family candidate pairs against
+    the exact-Jaccard pair set in-query and emit a recall-floor
+    boolean the oracle asserts, the same self-grading contract that
+    took the HLL sketch and the ANN pair off the list in r8. A new
+    operator landing without an oracle must either get one or be
+    added HERE with its declared justification."""
+    rows_only: set[str] = set()
     q = set(registry.queries())
     o = set(registry.oracle_sql())
     assert q - o == rows_only

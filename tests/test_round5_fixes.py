@@ -319,7 +319,7 @@ def test_minhash_agrees_with_exact_jaccard(spark, sf_dir):
     }
     est = {
         (r.doc_a, r.doc_b): r.est_jaccard
-        for r in dedup.q_dedup_near_minhash(spark, sf_dir).collect()
+        for r in dedup.near_minhash_pairs(spark, sf_dir).collect()
     }
     assert exact, "fixture must contain planted near-dup pairs"
     hits = set(exact) & set(est)
@@ -344,7 +344,7 @@ def test_simhash_recovers_exact_near_dups(spark, sf_dir):
     }
     sh = {
         (r.doc_a, r.doc_b)
-        for r in dedup.q_dedup_simhash(spark, sf_dir).collect()
+        for r in dedup.simhash_pairs(spark, sf_dir).collect()
     }
     assert exact
     recall = len(exact & sh) / len(exact)

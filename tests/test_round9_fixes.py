@@ -165,3 +165,45 @@ def test_artifact_cache_eviction_is_lru_not_fifo():
         assert calls[-1] == "d2"  # d2 was rebuilt → it was evicted
     finally:
         cat.session_key = orig
+
+
+# --- self-grading dedup (VERDICT r8 item 2) ---------------------------------
+
+
+def test_dedup_self_grading_counts_and_floor(spark, sf_dir):
+    """Both registered hash-family dedup queries emit one row whose
+    n_exact_pairs equals the oracle-verified exact-Jaccard pair count
+    and whose recall floor is met on the fixture."""
+    from frinesis_spark.operators import dedup
+
+    n_exact = dedup.q_dedup_ngram_jaccard(spark, sf_dir).count()
+    for q in ("dedup_near_minhash", "dedup_simhash"):
+        out = dedup.QUERIES[q](spark, sf_dir).collect()
+        assert len(out) == 1
+        assert out[0]["n_exact_pairs"] == n_exact
+        assert out[0]["recall_floor_met"] is True
+
+
+def test_pair_recall_check_fails_on_broken_candidates(spark):
+    """The grade must be a real grade: a candidate set that misses the
+    exact pairs lands recall_floor_met = False (a scrambled index
+    can't silently pass), and an empty exact set grades vacuously
+    TRUE, never NULL."""
+    from frinesis_spark.operators.dedup import _pair_recall_check
+
+    exact = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6), (7, 8)], "doc_a long, doc_b long"
+    )
+    wrong = spark.createDataFrame([(9, 10)], "doc_a long, doc_b long")
+    row = _pair_recall_check(exact, wrong, 75).collect()[0]
+    assert row["n_exact_pairs"] == 4 and row["recall_floor_met"] is False
+
+    partial = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6)], "doc_a long, doc_b long"
+    )
+    row = _pair_recall_check(exact, partial, 75).collect()[0]
+    assert row["recall_floor_met"] is True  # 3/4 = 75% meets a 75 floor
+
+    empty = exact.where("doc_a < 0")
+    row = _pair_recall_check(empty, wrong, 75).collect()[0]
+    assert row["n_exact_pairs"] == 0 and row["recall_floor_met"] is True
