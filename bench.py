@@ -72,6 +72,7 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
+    "dedup_embedding_ann",
     "similarity_topk_cosine",
     "similarity_ann_lsh",
     "text_analysis_stats",

@@ -967,8 +967,10 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scale knob; see ``_COS_BLOCKS``). Each unordered vector pair
     lands in exactly one group, so the result is exact and
     duplicate-free. O(n²) compute is inherent to the exact scan —
+    ``q_dedup_embedding_ann`` (below) is the registered, driver-graded
+    100 TB handoff (IVF-probe candidates + exact re-rank), with
     ``similarity_ann_ivf`` / ``similarity_ann_lsh`` (similarity.py)
-    are the sub-linear 100 TB paths.
+    as the top-k siblings.
 
     Oracle parity: dot/norms accumulate in float64; 6-dp rounding
     absorbs the summation-order difference vs DuckDB.
@@ -1053,6 +1055,119 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return expanded.groupBy("bi", "bj").applyInPandas(
         block_pairs, "a_id long, b_id long, cos_sim double"
     )
+
+
+# Embedding-dup cosine threshold — the twin of the 0.45 literals in
+# q_dedup_embedding_cosine's numpy kernel and its oracle SQL (change
+# all three or the ANN grade drifts from the baseline it grades
+# against).
+_COS_DUP_THRESHOLD = 0.45
+
+# Dedup probes wider than the top-k search path: this fixture's
+# 0.45-threshold geometry is HARD for any bucketing scheme
+# (qualifying pairs at cosine 0.45–0.6 vs background p90 0.16 — see
+# q_dedup_embedding_cosine's docstring), and the measured recall /
+# candidate-fraction frontier at sf0.1 is probe-4: 0.69 @ 11%,
+# probe-8: 0.81 @ 22%, probe-12: 0.90 @ 32%, probe-16: 0.97 @ 42% of
+# all pairs. probe-8 is the chosen point: a missed dup stays in the
+# training set, so dedup pays double the probes the search path does
+# for the recall step, while still cutting the exact scan's FLOPs
+# ~4.6× (and far more at real scale, where lists grow ∝ √n and the
+# probed fraction shrinks accordingly).
+_EMB_ANN_PROBE = 8
+
+# Recall floor, percent of the exact pair set recovered.
+# Deterministic per fixture (fixed k-means seeds): observed at
+# probe-8 — 1.00/0.93/0.81 at sf0.001/0.01/0.1 — the floor sits a
+# full step below the worst observed (same slack policy as
+# _MINHASH_RECALL_FLOOR_PCT).
+_EMB_ANN_RECALL_FLOOR_PCT = 70
+
+
+def embedding_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup candidate pairs via the IVF index + exact
+    cosine re-rank — the raw pair output; the registered query wraps
+    it in the recall grade (see ``q_dedup_embedding_ann``).
+
+    Candidate generation: every corpus vector probes its
+    ``_IVF_PROBE`` nearest cells (the SAME cached index artifact the
+    ANN top-k query uses — one index, two access patterns); a pair is
+    a candidate iff either member's home cell is among the other's
+    probed cells. Join is on the cell id, so per-cell work is
+    |probes_in_cell| × |members| — the classic IVF-blocking bound of
+    ~probe/lists × n² FLOPs instead of n², and never an all-pairs
+    shuffle. Verification joins the two embedding columns back by id
+    (candidates are int pairs until then) and keeps exact cosine ≥
+    the shared 0.45 threshold.
+    """
+    from frinesis_spark.functions.vectors import (
+        cosine_from_norms,
+        dot,
+        l2_norm,
+    )
+    from frinesis_spark.operators import similarity as sim
+
+    cells, cents = sim.ivf_index(spark, sf_dir)
+    probes = sim._ivf_probes(
+        cells.select(
+            F.col("neighbor_id").alias("query_id"), F.col("ce").alias("qe")
+        ),
+        cents,
+        n_probe=_EMB_ANN_PROBE,
+    )
+    cand = (
+        probes.select(F.col("query_id").alias("p_id"), "cell")
+        .join(
+            cells.select(F.col("neighbor_id").alias("m_id"), "cell"), "cell"
+        )
+        .where(F.col("p_id") != F.col("m_id"))
+        # least/greatest canonicalization: a pair can surface in both
+        # probe orientations and in several shared cells — one row out.
+        .select(
+            F.least("p_id", "m_id").alias("a_id"),
+            F.greatest("p_id", "m_id").alias("b_id"),
+        )
+        .distinct()
+    )
+    e = table(spark, sf_dir, "embeddings")
+    ea = e.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("ea"),
+        l2_norm(F.col("embedding")).alias("na"),
+    )
+    eb = e.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("eb"),
+        l2_norm(F.col("embedding")).alias("nb"),
+    )
+    cos = cosine_from_norms(
+        dot(F.col("ea"), F.col("eb")), F.col("na"), F.col("nb")
+    )
+    return (
+        cand.join(ea, "a_id")
+        .join(eb, "b_id")
+        .where(cos >= _COS_DUP_THRESHOLD)
+        .select("a_id", "b_id", F.round(cos, 6).alias("cos_sim"))
+    )
+
+
+def q_dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN-backed embedding dedup with an in-query recall grade — the
+    executable 100 TB handoff from ``q_dedup_embedding_cosine`` (r8
+    verdict item 3): the IVF candidate pass + exact re-rank runs in
+    full and is graded against the exact O(n²) baseline's pair set;
+    the output is (n_exact_pairs, recall_floor_met), with the oracle
+    recomputing the exact pair count (the naive theta-join SQL) and
+    asserting the boolean TRUE. The exact baseline stays registered
+    as the correctness primitive; THIS query is the plan you run at
+    scale, where the grader term becomes a sampled audit."""
+    exact = q_dedup_embedding_cosine(spark, sf_dir).select(
+        F.col("a_id").alias("doc_a"), F.col("b_id").alias("doc_b")
+    )
+    cand = embedding_ann_pairs(spark, sf_dir).select(
+        F.col("a_id").alias("doc_a"), F.col("b_id").alias("doc_b")
+    )
+    return _pair_recall_check(exact, cand, _EMB_ANN_RECALL_FLOOR_PCT)
 
 
 _EDIT_MAX = 25  # max edit distance for a fuzzy-dup pair
@@ -1235,6 +1350,7 @@ QUERIES = {
     "dedup_incremental_jaccard": q_dedup_incremental_jaccard,
     "dedup_cluster_cc": q_dedup_cluster_cc,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "dedup_embedding_ann": q_dedup_embedding_ann,
     "dedup_fuzzy_editdist": q_dedup_fuzzy_editdist,
     "dedup_decontaminate": q_dedup_decontaminate,
     "dedup_substring_chunks": q_dedup_substring_chunks,
@@ -1457,6 +1573,23 @@ ORACLE = {
                       * SQRT(LIST_DOT_PRODUCT(CAST(b.embedding AS DOUBLE[]),
                                               CAST(b.embedding AS DOUBLE[]))), 0),
                    6) AS cos_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE LIST_DOT_PRODUCT(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[]))
+              / NULLIF(SQRT(LIST_DOT_PRODUCT(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(a.embedding AS DOUBLE[])))
+                 * SQRT(LIST_DOT_PRODUCT(CAST(b.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[]))), 0)
+              >= 0.45
+    """,
+    # dedup_embedding_ann: self-grading — the Spark side grades the
+    # IVF-candidate + exact-re-rank pairs against the exact O(n²)
+    # baseline in-query; the oracle recomputes the exact pair COUNT
+    # via the same naive theta join as dedup_embedding_cosine and
+    # asserts the recall-floor boolean TRUE.
+    "dedup_embedding_ann": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+               TRUE AS recall_floor_met
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE LIST_DOT_PRODUCT(CAST(a.embedding AS DOUBLE[]),
                                CAST(b.embedding AS DOUBLE[]))

@@ -492,10 +492,13 @@ _IVF_INDEX_CACHE: dict[tuple[tuple[str, int], str], tuple] = {}
 _LSH_INDEX_CACHE: dict[tuple[tuple[str, int], str], DataFrame] = {}
 
 
-def _ivf_cells_and_probes(spark: SparkSession, sf_dir: str):
-    """Shared IVF machinery: (corpus rows tagged with their cell,
-    query rows repeated per probed cell). The (cells, centroids)
-    index half comes from the per-(session, corpus) cache."""
+def ivf_index(spark: SparkSession, sf_dir: str):
+    """The IVF index half: (corpus rows tagged with their home cell,
+    trained centroids ndarray), from the per-(session, corpus) cache.
+    Shared by the ANN top-k query here and by ``dedup_embedding_ann``
+    (dedup.py), which probes it corpus×corpus instead of query×corpus
+    — ONE index artifact serves both access patterns, exactly as a
+    persisted production index would."""
     from frinesis_spark.caches import cached as _memo
 
     def build():
@@ -533,16 +536,23 @@ def _ivf_cells_and_probes(spark: SparkSession, sf_dir: str):
         return cells, cents
 
     # Embeddings-keyed shared artifact memo (see lsh_candidate_pairs).
-    cells, cents = _memo(
-        _IVF_INDEX_CACHE, spark, sf_dir, build, table="embeddings"
-    )
+    return _memo(_IVF_INDEX_CACHE, spark, sf_dir, build, table="embeddings")
+
+
+def _ivf_cells_and_probes(spark: SparkSession, sf_dir: str):
+    """Query-side IVF access: (corpus cells, query rows repeated per
+    probed cell)."""
+    cells, cents = ivf_index(spark, sf_dir)
     q, _ = _queries_and_candidates(spark, sf_dir)
     return cells, _ivf_probes(q, cents)
 
 
-def _ivf_probes(q: DataFrame, cents) -> DataFrame:
+def _ivf_probes(q: DataFrame, cents, n_probe: int = _IVF_PROBE) -> DataFrame:
     """Query rows repeated per probed cell (per-call — queries are the
-    ad-hoc side; the index half is cached)."""
+    ad-hoc side; the index half is cached). ``n_probe`` defaults to
+    the top-k search setting; ``dedup_embedding_ann`` probes wider
+    (recall is the binding constraint for dedup, where a missed dup
+    stays in the training set)."""
 
     def probe(batches):
         import numpy as np
@@ -553,8 +563,8 @@ def _ivf_probes(q: DataFrame, cents) -> DataFrame:
             emb_n = emb / np.maximum(
                 np.linalg.norm(emb, axis=1)[:, None], 1e-12
             )
-            order = np.argsort(-(emb_n @ cents.T), axis=1)[:, :_IVF_PROBE]
-            out = pdf.loc[pdf.index.repeat(_IVF_PROBE)].reset_index(drop=True)
+            order = np.argsort(-(emb_n @ cents.T), axis=1)[:, :n_probe]
+            out = pdf.loc[pdf.index.repeat(n_probe)].reset_index(drop=True)
             out["cell"] = order.ravel().astype(np.int32)
             yield out[["query_id", "qe", "cell"]]
 

@@ -207,3 +207,43 @@ def test_pair_recall_check_fails_on_broken_candidates(spark):
     empty = exact.where("doc_a < 0")
     row = _pair_recall_check(empty, wrong, 75).collect()[0]
     assert row["n_exact_pairs"] == 0 and row["recall_floor_met"] is True
+
+
+# --- dedup_embedding_ann (VERDICT r8 item 3) ---------------------------------
+
+
+def test_embedding_ann_pairs_subset_of_exact(spark, sf_dir):
+    """The ANN path re-ranks candidates with the same exact cosine and
+    threshold as the baseline, so its pair set must be a SUBSET of the
+    exact pair set (pure recall loss, zero false positives), and the
+    registered grade must clear its floor on the fixture."""
+    from frinesis_spark.operators import dedup
+
+    exact = {
+        (r.a_id, r.b_id)
+        for r in dedup.q_dedup_embedding_cosine(spark, sf_dir).collect()
+    }
+    ann = {
+        (r.a_id, r.b_id)
+        for r in dedup.embedding_ann_pairs(spark, sf_dir).collect()
+    }
+    assert ann <= exact
+    assert len(ann) >= 0.7 * len(exact)  # sharper local floor than the grade
+    row = dedup.QUERIES["dedup_embedding_ann"](spark, sf_dir).collect()[0]
+    assert row["n_exact_pairs"] == len(exact)
+    assert row["recall_floor_met"] is True
+
+
+def test_embedding_ann_reuses_cached_ivf_index(spark, sf_dir):
+    """The dedup pass must consume the SAME cached IVF index artifact
+    as the ANN top-k query — one (session, corpus) build, two access
+    patterns."""
+    import frinesis_spark.operators.similarity as sim
+    from frinesis_spark.operators import dedup
+
+    sim._IVF_INDEX_CACHE.clear()
+    dedup.embedding_ann_pairs(spark, sf_dir).count()
+    assert len(sim._IVF_INDEX_CACHE) == 1
+    key = next(iter(sim._IVF_INDEX_CACHE))
+    sim.ann_ivf_topk(spark, sf_dir).count()
+    assert list(sim._IVF_INDEX_CACHE) == [key]  # hit, not a second build

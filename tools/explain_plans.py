@@ -45,6 +45,7 @@ AUDITED = [
     "dedup_cluster_cc",
     "pipeline_llm_prep",
     "dedup_embedding_cosine",
+    "dedup_embedding_ann",
     "similarity_ann_lsh",
     "similarity_ann_ivf",
     "join_asof_tolerance",
