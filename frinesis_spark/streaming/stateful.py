@@ -95,9 +95,11 @@ def q_stream_custom_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Per-user activity profile — the transformWithState semantics
-# (streaming/tws.py) re-expressed on applyInPandasWithState, so the
-# query is driver-verifiable even where the TWS protobuf worker
-# protocol is unavailable (this container). Same output, same oracle:
+# (tests/fixtures/tws_user_profile.py) re-expressed on
+# applyInPandasWithState, so the query is driver-verifiable even
+# where the TWS protobuf worker protocol is unavailable (this
+# container, eight straight rounds — final disposition r9: the TWS
+# module is retired to a fixture). Same output, same oracle:
 # per user, total events, distinct event types, max value. The TWS
 # MapState("type_counts") becomes a pair of aligned arrays in the flat
 # state tuple — the flat-tuple API's encoding of a keyed sub-map.
@@ -201,7 +203,8 @@ ORACLE = {
         GROUP BY user_id
     """,
     # Bounded one-batch replay emits one row per user == batch GROUP BY
-    # (same oracle as the TWS variant it mirrors, streaming/tws.py:123).
+    # (same oracle as the retired TWS variant it mirrors,
+    # tests/fixtures/tws_user_profile.py).
     "stream_user_profile": """
         SELECT user_id,
                COUNT(*) AS n_events,

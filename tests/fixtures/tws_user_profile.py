@@ -1,3 +1,20 @@
+"""RETIRED (r9): transformWithStateInPandas reference implementation.
+
+Kept as a fixture, not a registered operator: the TWS worker protocol
+requires ``google.protobuf``, which this container has lacked for
+eight straight rounds (r9 final check: `import google.protobuf` fails
+and a filesystem search finds no wheel or site-packages copy to
+vendor; installing packages is out of scope for this environment).
+``stream_user_profile`` (frinesis_spark/streaming/stateful.py)
+carries the same semantics on ``applyInPandasWithState`` and is
+driver-verified. If a future environment ships protobuf, move this
+module back to ``frinesis_spark/streaming/tws.py``, register
+``stream_tws_user_profile``, and reuse the batch GROUP BY oracle from
+``stream_user_profile``.
+
+Original module docstring follows.
+"""
+
 """Arbitrary stateful operator on the ``transformWithStateInPandas``
 API (Spark 4): per-user activity profile with TYPED state variables.
 
