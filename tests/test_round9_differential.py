@@ -1,0 +1,225 @@
+"""Adversarial differentials for the round-8 operators (VERDICT r8
+item 7): the registered oracle contracts re-run on crafted frames the
+fixture never produces — NULL join keys through the Bloom path,
+all-NULL / single-observation / no-hour-boundary series through the
+interpolating resampler, NULL gaps through the EWMA lag chain, and
+single-variant / single-sample / constant-value groups through the
+A/B readout.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import duckdb
+import pytest
+
+from tests.parity import assert_frames_match
+
+_B = datetime.datetime(2003, 3, 1, 0, 0, 0)
+
+
+def _ts(**kw):
+    return _B + datetime.timedelta(**kw)
+
+
+_EV_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, "
+    "event_type string, value double, props string"
+)
+
+
+def _crafted_events():
+    """One frame, every r8-operator hazard:
+
+    - ``allnull``: values all NULL (resample drops the series; EWMA
+      divides 0.0/0.0 → NULL on both engines).
+    - ``single_on``: one observation exactly ON an hour boundary
+      (grid = that hour, exact passthrough; t1 has no successor).
+    - ``single_off``: one observation at :17 (no hour boundary in its
+      span — degenerate series both engines must emit zero grid rows
+      for; Spark's sequence() would raise on start > stop).
+    - ``nohour``: three observations inside one hour, boundary-free.
+    - ``gappy``: NULL values interleaved with reals across several
+      hours, plus an exact-timestamp tie (EWMA NULL-gap weights;
+      resample must interpolate ACROSS the dropped NULL rows).
+    - ``only_a``: every user_id even → variant B empty (n_b = 0,
+      NULL mean/lift/t).
+    - ``one_b``: one single B sample (n−1 = 0 variance must stay
+      NULL, not clamp to 0).
+    - ``constv``: both variants the same fractional constant (the
+      Σv² − (Σv)²/n tiny-negative sqrt hazard).
+    - one NULL user_id and one NULL value row in a normal series
+      (both filters must agree across engines).
+    """
+    rows = []
+    eid = 0
+
+    def add(ts, uid, etype, value):
+        nonlocal eid
+        eid += 1
+        rows.append((eid, ts, uid, etype, value, "{}"))
+
+    for i in range(5):
+        add(_ts(hours=i, minutes=13), 1, "allnull", None)
+    add(_ts(hours=2), 2, "single_on", 7.5)
+    add(_ts(minutes=17), 3, "single_off", 3.25)
+    for m in (10, 25, 50):
+        add(_ts(hours=1, minutes=m), 4, "nohour", float(m))
+    seq = [1.0, None, 2.5, None, None, 4.0, 8.0, None, 0.5, 6.25]
+    for i, v in enumerate(seq):
+        add(_ts(minutes=37 * i + 11), 5 + (i % 3), "gappy", v)
+    add(_ts(minutes=37 * 2 + 11), 9, "gappy", 9.0)  # exact ts tie
+    for i in range(6):
+        add(_ts(hours=i), 2 * i, "only_a", float(i) + 0.25)
+    for i in range(5):
+        add(_ts(hours=i, minutes=5), 2 * i, "one_b", 2.0 + i)
+    add(_ts(hours=9), 7, "one_b", 11.5)  # the lone B sample
+    for i in range(8):
+        add(_ts(hours=i, minutes=40), i, "constv", 0.01)
+    add(_ts(hours=3, minutes=3), None, "gappy", 5.0)  # NULL user
+    return rows
+
+
+@pytest.fixture(scope="module")
+def crafted(spark):
+    return spark.createDataFrame(_crafted_events(), _EV_SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def duck_crafted(crafted):
+    con = duckdb.connect()
+    con.register("events", crafted.toPandas())
+    return con
+
+
+def _run_vs_oracle(spark, duck, frame, monkeypatch, mod, name):
+    from frinesis_spark import catalog
+
+    real_table = catalog.table
+    monkeypatch.setattr(
+        mod,
+        "table",
+        lambda s, d, n: frame if n == "events" else real_table(s, d, n),
+    )
+    spark_pdf = mod.QUERIES[name](spark, "crafted://r9diff").toPandas()
+    duck_pdf = duck.sql(mod.ORACLE[name]).df()
+    assert_frames_match(spark_pdf, duck_pdf, name)
+    return spark_pdf
+
+
+def test_resample_interp_degenerate_series(
+    spark, crafted, duck_crafted, monkeypatch
+):
+    import frinesis_spark.operators.timeseries as ts_mod
+
+    pdf = _run_vs_oracle(
+        spark, duck_crafted, crafted, monkeypatch, ts_mod,
+        "time_resample_interp",
+    )
+    kinds = set(pdf["event_type"])
+    # Dropped: all-NULL series and boundary-free spans.
+    assert "allnull" not in kinds
+    assert "single_off" not in kinds
+    assert "nohour" not in kinds
+    # Exact passthrough for the on-boundary single observation.
+    single = pdf[pdf["event_type"] == "single_on"]
+    assert len(single) == 1 and single["v_interp"].iloc[0] == 7.5
+    # The gappy series interpolates across its dropped NULL rows.
+    assert (pdf["event_type"] == "gappy").any()
+
+
+def test_ewma_null_gaps_and_all_null_series(
+    spark, crafted, duck_crafted, monkeypatch
+):
+    import frinesis_spark.operators.timeseries as ts_mod
+
+    pdf = _run_vs_oracle(
+        spark, duck_crafted, crafted, monkeypatch, ts_mod,
+        "window_ewma_smooth",
+    )
+    # All-NULL series: weight mass 0 → NULL ewma on every row.
+    allnull = pdf[pdf["event_type"] == "allnull"]
+    assert len(allnull) == 5 and allnull["ewma"].isna().all()
+    # A row whose own value is NULL still gets an EWMA from its
+    # predecessors (the lag-0 term drops out, weights renormalize).
+    gappy = pdf[pdf["event_type"] == "gappy"].sort_values("event_id")
+    null_rows = gappy[gappy["value"].isna()]
+    assert len(null_rows) > 0 and null_rows["ewma"].notna().any()
+
+
+def test_ab_test_degenerate_variants(
+    spark, crafted, duck_crafted, monkeypatch
+):
+    import frinesis_spark.operators.timeseries as ts_mod
+
+    pdf = _run_vs_oracle(
+        spark, duck_crafted, crafted, monkeypatch, ts_mod,
+        "analytics_ab_test",
+    )
+    by = pdf.set_index("event_type")
+    # Variant B empty: counts exact, everything derived NULL.
+    assert by.loc["only_a", "n_b"] == 0
+    assert by.loc["only_a", ["mean_b", "lift", "t_stat"]].isna().all()
+    # Single B sample: mean defined, but n−1 = 0 variance must leave
+    # t NULL (the numerator-clamp contract — a quotient clamp would
+    # resurrect it as 0).
+    assert by.loc["one_b", "n_b"] == 1
+    assert by.loc["one_b", "mean_b"] == 11.5
+    assert by.loc["one_b"][["t_stat"]].isna().all()
+    # Constant fractional value both variants: zero variance → zero
+    # pooled denominator → NULL t (and no NaN from a −1e-19 sqrt).
+    assert by.loc["constv", "mean_a"] == 0.01
+    assert by.loc["constv"][["t_stat"]].isna().all()
+    assert not pdf["t_stat"].apply(
+        lambda x: x == x and abs(x) == float("inf")
+    ).any()
+
+
+def test_bloom_prefilter_null_join_keys(spark, monkeypatch):
+    """NULL keys on BOTH sides of the Bloom-prefiltered join:
+    xxhash64(NULL) hashes to the seed (never NULL), so a NULL build
+    key sets a real bit and a NULL fact key can survive the probe —
+    both must then die in the null-unsafe exact join, leaving the
+    result identical to the plain join the oracle runs."""
+    import frinesis_spark.operators.relational as rel_mod
+    from frinesis_spark import catalog
+
+    orders = spark.createDataFrame(
+        [
+            (1, "1-URGENT"),
+            (2, "1-URGENT"),
+            (None, "1-URGENT"),  # NULL build key
+            (3, "5-LOW"),
+            (None, "5-LOW"),
+        ],
+        "o_orderkey long, o_orderpriority string",
+    )
+    lineitem = spark.createDataFrame(
+        [
+            (1, 100.0, 0.1),
+            (1, 50.0, 0.0),
+            (2, 200.0, 0.25),
+            (None, 999.0, 0.0),  # NULL fact key — guaranteed bloom
+            (None, 1.0, 0.5),  # collision with the NULL build bit
+            (3, 75.0, 0.0),  # non-urgent order
+            (42, 60.0, 0.0),  # key absent from build entirely
+        ],
+        "l_orderkey long, l_extendedprice double, l_discount double",
+    )
+    real_table = catalog.table
+    crafted = {"orders": orders, "lineitem": lineitem}
+    monkeypatch.setattr(
+        rel_mod,
+        "table",
+        lambda s, d, n: crafted[n] if n in crafted else real_table(s, d, n),
+    )
+    duck = duckdb.connect()
+    duck.register("orders", orders.toPandas())
+    duck.register("lineitem", lineitem.toPandas())
+    spark_pdf = rel_mod.QUERIES["join_bloom_prefilter"](
+        spark, "crafted://bloomnull"
+    ).toPandas()
+    duck_pdf = duck.sql(rel_mod.ORACLE["join_bloom_prefilter"]).df()
+    assert_frames_match(spark_pdf, duck_pdf, "join_bloom_prefilter")
+    assert spark_pdf["n_lines"].iloc[0] == 3  # keys 1,1,2 only
