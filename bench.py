@@ -163,6 +163,7 @@ CACHE_BACKED = [
     "dedup_cluster_cc",
     "similarity_ann_lsh",
     "similarity_ann_ivf",
+    "dedup_embedding_ann",  # served from the IVF index cache (r9)
 ]
 
 

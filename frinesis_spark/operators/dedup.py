@@ -279,8 +279,13 @@ def _simhash_fingerprints(docs: DataFrame) -> DataFrame:
             start = 0
             while start < n:
                 end, tot = start, 0
+                # `end == start`, NOT `tot == 0`: a zero-length
+                # (NULL-text) doc leading a block kept tot at 0 and
+                # glued the NEXT doc in even when over-budget,
+                # bypassing the single-doc sub-chunk carve-out below —
+                # unbounded transient again (r9 review wave 1).
                 while end < n and (
-                    tot == 0 or tot + lens_all[end] <= tok_budget
+                    end == start or tot + lens_all[end] <= tok_budget
                 ):
                     tot += lens_all[end]
                     end += 1
@@ -499,8 +504,12 @@ def _minhash_signatures(docs: DataFrame, max_df: int = _MAX_DF) -> DataFrame:
             start = 0
             while start < n:
                 end, tot = start, 0
+                # `end == start` for uniformity with the simhash loop;
+                # here every doc has ≥1 shingle (base filters empties),
+                # so the two forms are equivalent — but only this one
+                # stays safe if that filter ever changes.
                 while end < n and (
-                    tot == 0 or tot + lens_all[end] <= _SH_BUDGET
+                    end == start or tot + lens_all[end] <= _SH_BUDGET
                 ):
                     tot += lens_all[end]
                     end += 1
@@ -1114,6 +1123,9 @@ def embedding_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         cents,
         n_probe=_EMB_ANN_PROBE,
+        # Candidates are int pairs until the verify join — carrying
+        # the embedding here would serialize it n_probe× per vector.
+        with_embedding=False,
     )
     cand = (
         probes.select(F.col("query_id").alias("p_id"), "cell")
@@ -1383,6 +1395,26 @@ _INV_SQL = f"""
         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM inv GROUP BY doc_id)
 """
 
+# Exact-Jaccard pair COUNT + asserted recall boolean — the shared
+# oracle for both self-grading hash-family queries (minhash, simhash):
+# the same common/sizes chain as dedup_ngram_jaccard's pair oracle,
+# reduced to the count the graders emit as n_exact_pairs.
+_EXACT_PAIR_COUNT_SQL = f"""
+        WITH {_INV_SQL},
+        common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+            FROM inv a JOIN inv b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+               TRUE AS recall_floor_met
+        FROM common
+        JOIN sizes na ON na.doc_id = doc_a
+        JOIN sizes nb ON nb.doc_id = doc_b
+        WHERE n_common / (na.n_sh + nb.n_sh - n_common) >= {_JACCARD_THRESHOLD}
+"""
+
 ORACLE = {
     "dedup_decontaminate": f"""
         WITH sets AS ({_SHINGLE_SQL}),
@@ -1459,37 +1491,12 @@ ORACLE = {
     # grades its hash-family candidate pairs against the exact-Jaccard
     # pair set in-query; the oracle recomputes the exact pair COUNT
     # via the same CTE chain as dedup_ngram_jaccard and asserts the
-    # recall-floor boolean TRUE.
-    "dedup_near_minhash": f"""
-        WITH {_INV_SQL},
-        common AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-            FROM inv a JOIN inv b
-              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-            GROUP BY a.doc_id, b.doc_id
-        )
-        SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
-               TRUE AS recall_floor_met
-        FROM common
-        JOIN sizes na ON na.doc_id = doc_a
-        JOIN sizes nb ON nb.doc_id = doc_b
-        WHERE n_common / (na.n_sh + nb.n_sh - n_common) >= {_JACCARD_THRESHOLD}
-    """,
-    "dedup_simhash": f"""
-        WITH {_INV_SQL},
-        common AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-            FROM inv a JOIN inv b
-              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-            GROUP BY a.doc_id, b.doc_id
-        )
-        SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
-               TRUE AS recall_floor_met
-        FROM common
-        JOIN sizes na ON na.doc_id = doc_a
-        JOIN sizes nb ON nb.doc_id = doc_b
-        WHERE n_common / (na.n_sh + nb.n_sh - n_common) >= {_JACCARD_THRESHOLD}
-    """,
+    # recall-floor boolean TRUE. ONE shared SQL text
+    # (_EXACT_PAIR_COUNT_SQL below) — a threshold or CTE change must
+    # not be able to desynchronize the two graders from the pair
+    # oracle they grade against.
+    "dedup_near_minhash": _EXACT_PAIR_COUNT_SQL,
+    "dedup_simhash": _EXACT_PAIR_COUNT_SQL,
     "dedup_incremental_jaccard": f"""
         WITH {_INV_SQL},
         common AS (

@@ -547,12 +547,25 @@ def _ivf_cells_and_probes(spark: SparkSession, sf_dir: str):
     return cells, _ivf_probes(q, cents)
 
 
-def _ivf_probes(q: DataFrame, cents, n_probe: int = _IVF_PROBE) -> DataFrame:
+def _ivf_probes(
+    q: DataFrame,
+    cents,
+    n_probe: int = _IVF_PROBE,
+    with_embedding: bool = True,
+) -> DataFrame:
     """Query rows repeated per probed cell (per-call — queries are the
     ad-hoc side; the index half is cached). ``n_probe`` defaults to
     the top-k search setting; ``dedup_embedding_ann`` probes wider
     (recall is the binding constraint for dedup, where a missed dup
-    stays in the training set)."""
+    stays in the training set) and passes ``with_embedding=False`` —
+    its candidate pass needs only (id, cell), and carrying ``qe``
+    would Arrow-serialize every corpus embedding n_probe times into
+    the shuffle just to be projected away (r9 review wave 1)."""
+    # A tiny corpus trains fewer centroids than n_probe (seeds =
+    # min(corpus, _IVF_LISTS)); argsort then yields < n_probe columns
+    # while the row repeat assumes exactly n_probe — pandas length
+    # mismatch kills the worker (r9 review wave 1). Probe every cell.
+    n_probe = min(n_probe, int(cents.shape[0]))
 
     def probe(batches):
         import numpy as np
@@ -566,9 +579,17 @@ def _ivf_probes(q: DataFrame, cents, n_probe: int = _IVF_PROBE) -> DataFrame:
             order = np.argsort(-(emb_n @ cents.T), axis=1)[:, :n_probe]
             out = pdf.loc[pdf.index.repeat(n_probe)].reset_index(drop=True)
             out["cell"] = order.ravel().astype(np.int32)
-            yield out[["query_id", "qe", "cell"]]
+            cols = ["query_id", "qe", "cell"] if with_embedding else [
+                "query_id", "cell"
+            ]
+            yield out[cols]
 
-    return q.mapInPandas(probe, "query_id long, qe array<float>, cell int")
+    schema = (
+        "query_id long, qe array<float>, cell int"
+        if with_embedding
+        else "query_id long, cell int"
+    )
+    return q.mapInPandas(probe, schema)
 
 
 def ivf_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

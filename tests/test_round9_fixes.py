@@ -413,3 +413,104 @@ def test_bucketed_store_survives_process_restart(spark, tmp_path):
         for r in store2.snapshot(spark).collect()
     }
     assert got == expect
+
+
+# --- review wave 1 pins ------------------------------------------------------
+
+
+def test_simhash_leading_null_then_oversized_doc(spark, monkeypatch):
+    """A zero-length (NULL-text) doc LEADING a block previously kept
+    tot at 0 and glued the next doc in even when over-budget,
+    bypassing the single-doc sub-chunk carve-out (the worker-memory
+    bound). With the `end == start` form the empty doc packs alone and
+    the oversized doc takes the sub-chunk path — fingerprints equal
+    the solo computation either way (votes are associative)."""
+    import importlib.util
+    import pathlib
+    import tempfile
+
+    import frinesis_spark.operators.dedup as dd_mod
+
+    src = open(dd_mod.__file__).read()
+    assert "tok_budget = 1 << 18" in src
+    edited = src.replace("tok_budget = 1 << 18", "tok_budget = 1 << 4")
+    tmp = pathlib.Path(tempfile.mkdtemp()) / "dedup_tiny_r9.py"
+    tmp.write_text(edited)
+    spec = importlib.util.spec_from_file_location("dedup_tiny_r9", str(tmp))
+    tiny = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(tiny)
+    monkeypatch.setattr(tiny, "spread", _one_partition)
+    monkeypatch.setattr(dd_mod, "spread", _one_partition)
+
+    schema = (
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    )
+    big = " ".join(f"tok{i}" for i in range(40))  # 40 > 16-token budget
+    solo = {
+        r["doc_id"]: r["simhash"]
+        for r in dd_mod._simhash_fingerprints(
+            spark.createDataFrame([(2, big, "en", "s", 200)], schema)
+        ).collect()
+    }
+    docs = spark.createDataFrame(
+        [(1, None, "en", "s", None), (2, big, "en", "s", 200)], schema
+    )
+    fps = {
+        r["doc_id"]: r["simhash"]
+        for r in tiny._simhash_fingerprints(docs).collect()
+    }
+    assert fps[1] == 0 and fps[2] == solo[2] != 0
+
+
+def test_ivf_probes_clamp_on_tiny_corpus(spark, monkeypatch):
+    """A corpus smaller than the probe count (or the list count) must
+    not kill the worker with a pandas length mismatch: n_probe clamps
+    to the trained centroid count. Both IVF consumers run end-to-end
+    on a 5-vector corpus."""
+    import frinesis_spark.operators.similarity as sim
+    from frinesis_spark import catalog
+    from frinesis_spark.operators import dedup
+
+    # Two near-dup pairs + one loner, 8-dim.
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.1, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+        (3, [0.0, 0.98, 0.15, 0.0, 0.0, 0.0, 0.0, 0.0]),
+        (4, [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0]),
+    ]
+    tiny = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs],
+        "vec_id long, embedding array<float>",
+    )
+    real_table = catalog.table
+    for mod in (sim, dedup):
+        monkeypatch.setattr(
+            mod,
+            "table",
+            lambda s, d, n: tiny
+            if n == "embeddings"
+            else real_table(s, d, n),
+        )
+    sim._IVF_INDEX_CACHE.clear()
+    try:
+        pairs = {
+            (r.a_id, r.b_id)
+            for r in dedup.embedding_ann_pairs(
+                spark, "crafted://tinycorpus"
+            ).collect()
+        }
+        # With every cell probed, the candidate pass is exhaustive →
+        # recall 1.0 of the exact pairs on this corpus.
+        exact = {
+            (r.a_id, r.b_id)
+            for r in dedup.q_dedup_embedding_cosine(
+                spark, "crafted://tinycorpus"
+            ).collect()
+        }
+        assert pairs == exact and (0, 1) in exact
+        topk = sim.ann_ivf_topk(spark, "crafted://tinycorpus")
+        assert topk.count() > 0
+    finally:
+        sim._IVF_INDEX_CACHE.clear()
