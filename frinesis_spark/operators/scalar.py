@@ -22,12 +22,17 @@ from frinesis_spark.functions.numeric import dsum, oracle_dsum
 
 def _strict_long(c: Column) -> Column:
     """Integer-literal-gated long conversion shared by the JSON and
-    VARIANT operators: only ``^[+-]?[0-9]+$`` strings convert,
-    everything else is NULL. TRY_CAST alone is not enough — DuckDB's
-    rounds '3.5' where Spark NULLs it, and a bare ANSI cast crashes
-    the job. One definition so the two operators' k-parsing contracts
-    cannot drift apart."""
-    return F.when(c.rlike("^[+-]?[0-9]+$"), c).try_cast("long")
+    VARIANT operators: only ``^[+-]?[0-9]+\\z``-anchored integer
+    strings convert, everything else is NULL. TRY_CAST alone is not
+    enough — DuckDB's rounds '3.5' where Spark NULLs it, and a bare
+    ANSI cast crashes the job. One definition so the two operators'
+    k-parsing contracts cannot drift apart. ``\\z`` end anchor, NOT
+    ``$``: Java's ``$`` matches before a FINAL line terminator
+    ('123\\n' passes the gate and try_cast trims it to 123) while
+    RE2's matches end-of-text only — a crafted trailing-newline value
+    diverged the engines (r9 review wave 2); ``\\z`` is strict
+    end-of-text in BOTH dialects (probed)."""
+    return F.when(c.rlike("^[+-]?[0-9]+\\z"), c).try_cast("long")
 
 
 def q_scalar_string_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -172,7 +177,9 @@ def q_scalar_conditional_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("prio_num"),
         F.regexp_replace(F.col("o_orderpriority"), "[^A-Z]", "")
         .alias("prio_letters"),
-        F.col("o_orderpriority").rlike("URGENT$").alias("is_urgent_suffix"),
+        # \z, not $ — same end-anchor dialect divergence as
+        # _strict_long (Java $ matches before a trailing newline).
+        F.col("o_orderpriority").rlike("URGENT\\z").alias("is_urgent_suffix"),
     )
 
 
@@ -271,22 +278,26 @@ def q_scalar_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ARITHMETIC_OVERFLOW on both engines — the guard must not be a
     # member of the job-kill class it guards against.
     k_long = _strict_long(k_str)
+    # event_type IS NOT NULL on BOTH sides (r9 review wave 2): a NULL
+    # interpolated into the payload diverges the engines (Spark concat
+    # nulls the whole payload → NULL vtype group; DuckDB CONCAT skips
+    # the NULL → '' vtype group). And the payload is built with
+    # to_json(struct(...)) ≙ json_object — never raw string concat —
+    # so an event_type containing a quote or backslash is ESCAPED
+    # instead of producing malformed JSON that kills parse_json (the
+    # same job-kill class the k gate closed in r7).
     e = e.where(
         k_long.isNotNull()
+        & F.col("event_type").isNotNull()
         & (k_long > F.lit(-(2**62)))
         & (k_long < F.lit(2**62))
     )
-    k_norm = k_long.cast("string")
-    payload = F.concat(
-        F.lit('{"meta":{"type":"'),
-        F.col("event_type"),
-        F.lit('"},"k":'),
-        k_norm,
-        F.lit(',"ks":['),
-        k_norm,
-        F.lit(","),
-        (k_long * 2).cast("string"),
-        F.lit("]}"),
+    payload = F.to_json(
+        F.struct(
+            F.struct(F.col("event_type").alias("type")).alias("meta"),
+            k_long.alias("k"),
+            F.array(k_long, k_long * 2).alias("ks"),
+        )
     )
     v = F.parse_json(payload)
     shred = e.select(
@@ -332,25 +343,29 @@ ORACLE = {
     """,
     "scalar_variant_shred": """
         WITH payloads AS (
-            -- k_norm mirrors the Spark side: the NORMALIZED integer is
-            -- interpolated (raw '+5'/'007' would be malformed JSON)
-            SELECT CONCAT('{"meta":{"type":"', event_type, '"},"k":',
-                          CAST(TRY_CAST(json_extract_string(props, '$.k')
-                                        AS BIGINT) AS VARCHAR),
-                          ',"ks":[',
-                          CAST(TRY_CAST(json_extract_string(props, '$.k')
-                                        AS BIGINT) AS VARCHAR),
-                          ',',
-                          CAST(TRY_CAST(json_extract_string(props, '$.k')
-                                        AS BIGINT) * 2 AS VARCHAR),
-                          ']}') AS payload
+            -- json_object mirrors the Spark side's to_json(struct):
+            -- proper escaping of event_type (a quote/backslash must
+            -- not produce malformed JSON) and the NORMALIZED integer
+            -- (raw '+5'/'007' would be malformed)
+            SELECT json_object(
+                       'meta', json_object('type', event_type),
+                       'k', TRY_CAST(json_extract_string(props, '$.k')
+                                     AS BIGINT),
+                       'ks', json_array(
+                           TRY_CAST(json_extract_string(props, '$.k')
+                                    AS BIGINT),
+                           TRY_CAST(json_extract_string(props, '$.k')
+                                    AS BIGINT) * 2)
+                   ) AS payload
             FROM events
             -- integer-literal gate + doubling-safe bound, mirroring
             -- the Spark side (r7): non-integral k must drop the row,
-            -- never crash the job or round through TRY_CAST
-            WHERE json_extract_string(props, '$.k') IS NOT NULL
+            -- never crash the job or round through TRY_CAST;
+            -- NULL event_type dropped on both sides (r9)
+            WHERE event_type IS NOT NULL
+              AND json_extract_string(props, '$.k') IS NOT NULL
               AND REGEXP_MATCHES(json_extract_string(props, '$.k'),
-                                 '^[+-]?[0-9]+$')
+                                 '^[+-]?[0-9]+\z')
               AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
                   IS NOT NULL
               -- two-sided range, not ABS: ABS(LONG_MIN) raises on
@@ -403,11 +418,11 @@ ORACLE = {
                    -- bare TRY_CAST would ROUND '3.5' to 4 here while
                    -- Spark's try_cast nulls it (r6 review fix)
                    TRY_CAST(CASE WHEN REGEXP_MATCHES(
-                       JSON_EXTRACT_STRING(props, '$.k'), '^[+-]?[0-9]+$')
+                       JSON_EXTRACT_STRING(props, '$.k'), '^[+-]?[0-9]+\z')
                        THEN JSON_EXTRACT_STRING(props, '$.k') END
                        AS BIGINT) AS k_json,
                    TRY_CAST(CASE WHEN REGEXP_MATCHES(
-                       JSON_EXTRACT_STRING(props, '$.k'), '^[+-]?[0-9]+$')
+                       JSON_EXTRACT_STRING(props, '$.k'), '^[+-]?[0-9]+\z')
                        THEN JSON_EXTRACT_STRING(props, '$.k') END
                        AS BIGINT) AS k_map,
                    -- derived from the JSON itself (ADVICE r4), not a
@@ -431,7 +446,7 @@ ORACLE = {
                                                '^([0-9]+)-', 1), '')
                    AS BIGINT) AS prio_num,
                REGEXP_REPLACE(o_orderpriority, '[^A-Z]', '', 'g') AS prio_letters,
-               REGEXP_MATCHES(o_orderpriority, 'URGENT$') AS is_urgent_suffix
+               REGEXP_MATCHES(o_orderpriority, 'URGENT\z') AS is_urgent_suffix
         FROM orders
     """,
     "udf_python": f"""

@@ -96,6 +96,14 @@ _CHANGED_SINCE_VERDICT = (
 # vs the serial plan re-pinned by the r8 differentials), and
 # source_compressed_roundtrip's eqNullSafe codecs_agree (fixture has
 # no all-NULL-acctbal nation; crafted pin in test_round9_fixes.py).
+# Review-wave-2 demotions (same policy, targeted local sims green):
+# the `\z` end anchors in scalar_conditional_regex /
+# scalar_array_map_json / scalar_variant_shred (fixture has no
+# trailing-newline values; divergence + fix pinned in
+# tests/test_round9_differential.py) and scalar_variant_shred's
+# to_json(struct) payload + NULL-event_type filter (fixture
+# event_types are non-null plain strings — hash unchanged; hostile
+# frames pinned in the same file).
 
 _STALE_EVIDENCE = {
     "agg_filtered_conditional": 6,

@@ -13,15 +13,26 @@ fields.
 
 Scale: listener callbacks run on the driver only and see per-batch
 AGGREGATED metrics (constant size regardless of executor count) — the
-same "stats, not data" contract as the reference's StatReceiver.
+same "stats, not data" contract as the reference's StatReceiver. The
+retained event lists are BOUNDED (``deque(maxlen=...)``) with running
+counters carrying the exact totals, so a listener left registered
+across a long session cannot grow driver memory without limit — the
+reference's Events channel is likewise a bounded buffer
+(event.go / the channel's capacity), not an unbounded log.
 """
 
 from __future__ import annotations
 
 import threading
+from collections import deque
 from dataclasses import dataclass, field
 
 from pyspark.sql.streaming import StreamingQueryListener
+
+# Retained events per category. Totals (rows in/written, progress
+# count) are running counters and stay exact past the horizon; the
+# deques only bound the per-event detail kept for inspection.
+_EVENT_RETENTION = 1024
 
 
 @dataclass
@@ -42,14 +53,21 @@ class EngineEventLog(StreamingQueryListener):
 
     Register with ``spark.streams.addListener(log)``; remove with
     ``removeListener``. Multiple queries multiplex into one log, like
-    the reference's per-topic fan-in (sink.go:96-100).
+    the reference's per-topic fan-in (sink.go:96-100). Event detail
+    retention is bounded at ``_EVENT_RETENTION`` per category
+    (r9 review wave 2: a long-lived listener previously accumulated
+    every micro-batch's progress dict forever); ``stats()`` totals
+    come from running counters and remain exact regardless.
     """
 
     def __init__(self) -> None:
         self._lock = threading.Lock()
-        self.started: list = []
-        self.progress: list = []
-        self.terminated: list = []
+        self.started: deque = deque(maxlen=_EVENT_RETENTION)
+        self.progress: deque = deque(maxlen=_EVENT_RETENTION)
+        self.terminated: deque = deque(maxlen=_EVENT_RETENTION)
+        self._n_progress = 0
+        self._rows_in = 0
+        self._rows_written = 0
 
     # StreamingQueryListener interface ---------------------------------
     def onQueryStarted(self, event) -> None:
@@ -58,15 +76,20 @@ class EngineEventLog(StreamingQueryListener):
 
     def onQueryProgress(self, event) -> None:
         p = event.progress
+        sink_rows = getattr(p.sink, "numOutputRows", -1)
         with self._lock:
             self.progress.append(
                 {
                     "id": str(p.id),
                     "batchId": p.batchId,
                     "numInputRows": p.numInputRows,
-                    "sink_rows": getattr(p.sink, "numOutputRows", -1),
+                    "sink_rows": sink_rows,
                 }
             )
+            self._n_progress += 1
+            self._rows_in += p.numInputRows
+            if sink_rows >= 0:
+                self._rows_written += sink_rows
 
     def onQueryIdle(self, event) -> None:  # pragma: no cover - timing
         pass
@@ -79,10 +102,8 @@ class EngineEventLog(StreamingQueryListener):
     def stats(self) -> StreamStats:
         with self._lock:
             return StreamStats(
-                n_progress_events=len(self.progress),
-                rows_in=sum(p["numInputRows"] for p in self.progress),
-                rows_written=sum(
-                    p["sink_rows"] for p in self.progress if p["sink_rows"] >= 0
-                ),
+                n_progress_events=self._n_progress,
+                rows_in=self._rows_in,
+                rows_written=self._rows_written,
                 errors=[e for _, e in self.terminated if e],
             )

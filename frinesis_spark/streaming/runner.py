@@ -72,18 +72,46 @@ def _stage_dir(sf_dir: str, name: str) -> str:
             stage, f"tmp_{os.getpid()}_{uuid.uuid4().hex[:6]}"
         )
         os.makedirs(tmp)
-        if os.path.isdir(src):
-            # directory-layout fixture: flatten the part files in
-            # (each parquet part is self-contained)
-            for n in sorted(os.listdir(src)):
-                if n.endswith(".parquet"):
-                    shutil.copy2(os.path.join(src, n), os.path.join(tmp, n))
-        else:
-            shutil.copy2(src, os.path.join(tmp, f"{name}.parquet"))
+        try:
+            if os.path.isdir(src):
+                # directory-layout fixture: flatten the part files in
+                # (each parquet part is self-contained)
+                for n in sorted(os.listdir(src)):
+                    if n.endswith(".parquet"):
+                        shutil.copy2(
+                            os.path.join(src, n), os.path.join(tmp, n)
+                        )
+            else:
+                shutil.copy2(src, os.path.join(tmp, f"{name}.parquet"))
+        except BaseException:
+            # A failed copy (disk full, vanished source) must not
+            # strand the tmp dir (r9 review wave 2).
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
         try:
             os.rename(tmp, vdir)
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+        # Version retention: every fixture regeneration mints a fresh
+        # v_<sig>, and nothing else ever deletes the old ones — /tmp
+        # grew one full staged copy per regeneration (r9 review wave
+        # 2). Keep the newest two (the keep-one-generation contract:
+        # a concurrent process lazily scanning the PREVIOUS version
+        # stays readable), reclaim anything older.
+        try:
+            versions = sorted(
+                (
+                    os.path.join(stage, d)
+                    for d in os.listdir(stage)
+                    if d.startswith("v_")
+                ),
+                key=os.path.getmtime,
+                reverse=True,
+            )
+            for old in versions[2:]:
+                shutil.rmtree(old, ignore_errors=True)
+        except OSError:
+            pass  # concurrent stager racing the listing — next call prunes
     return vdir
 
 
@@ -118,7 +146,7 @@ def events_stream(
     return sdf.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
-def run_append_to_files(stream_df: DataFrame, spark: SparkSession) -> DataFrame:
+def run_append_to_files(stream_df: DataFrame) -> DataFrame:
     """Run an append-mode streaming DataFrame to completion through a
     parquet file sink; return a lazy batch scan of the result.
 
@@ -144,8 +172,9 @@ def run_append_to_files(stream_df: DataFrame, spark: SparkSession) -> DataFrame:
     )
     track_output_dir(outdir)
     ckpt = tempfile.mkdtemp(prefix="fs_ckpt_")
-    # The frame's own session is authoritative (a caller-passed one
-    # could be a different session whose conf changes wouldn't bind).
+    # The frame's own session is authoritative — there used to be a
+    # caller-passed session parameter, immediately shadowed by this
+    # line; every call site passed a dead value (r9 review wave 2).
     spark = stream_df.sparkSession
     # Streaming gets no AQE coalescing: shuffle.partitions fixes the
     # state-store partition count for the query's lifetime, and a

@@ -90,7 +90,7 @@ def q_stream_custom_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return run_append_to_files(out, spark)
+    return run_append_to_files(out)
 
 
 # ---------------------------------------------------------------------------
@@ -163,7 +163,7 @@ def q_stream_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return run_append_to_files(out, spark)
+    return run_append_to_files(out)
 
 
 QUERIES = {

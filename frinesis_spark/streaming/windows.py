@@ -130,7 +130,7 @@ def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    return run_append_to_files(agg, spark)
+    return run_append_to_files(agg)
 
 
 def q_stream_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -155,7 +155,7 @@ def q_stream_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["event_id"])
         .select("event_id")
     )
-    return run_append_to_files(deduped, spark)
+    return run_append_to_files(deduped)
 
 
 def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -191,7 +191,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("view_ts").cast("timestamp_ntz").alias("view_ts"),
         F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
     )
-    return run_append_to_files(pairs, spark)
+    return run_append_to_files(pairs)
 
 
 # Snapshot-store bucket count for the foreachBatch upsert. Local

@@ -105,7 +105,7 @@ def q_stream_tws_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="Append",
         timeMode="None",
     )
-    return run_append_to_files(out, spark)
+    return run_append_to_files(out)
 
 
 # OPTIONAL MODULE — not part of the registered driver surface.

@@ -223,3 +223,109 @@ def test_bloom_prefilter_null_join_keys(spark, monkeypatch):
     duck_pdf = duck.sql(rel_mod.ORACLE["join_bloom_prefilter"]).df()
     assert_frames_match(spark_pdf, duck_pdf, "join_bloom_prefilter")
     assert spark_pdf["n_lines"].iloc[0] == 3  # keys 1,1,2 only
+
+
+# --- review wave 2: regex end-anchor dialects + payload escaping -------------
+
+
+def test_strict_long_gate_trailing_newline(spark, monkeypatch):
+    """Java's `$` matches before a FINAL line terminator, RE2's does
+    not: a crafted '123\\n' k-value passed Spark's integer gate (and
+    try_cast trimmed it to 123) while the oracle's REGEXP_MATCHES
+    dropped the row. Both gates now anchor with `\\z` (strict
+    end-of-text in both dialects) — engines agree the row is out."""
+    import frinesis_spark.operators.scalar as sc_mod
+    from frinesis_spark import catalog
+
+    events = spark.createDataFrame(
+        [
+            (1, _ts(hours=1), 1, "view", 1.0, '{"k": "123\\n"}'),
+            (2, _ts(hours=2), 2, "view", 1.0, '{"k": "456"}'),
+            (3, _ts(hours=3), 3, "click", 1.0, '{"k": 7}'),
+        ],
+        _EV_SCHEMA,
+    )
+    real_table = catalog.table
+    monkeypatch.setattr(
+        sc_mod,
+        "table",
+        lambda s, d, n: events if n == "events" else real_table(s, d, n),
+    )
+    duck = duckdb.connect()
+    duck.register("events", events.toPandas())
+    spark_pdf = sc_mod.QUERIES["scalar_variant_shred"](
+        spark, "crafted://newline"
+    ).toPandas()
+    duck_pdf = duck.sql(sc_mod.ORACLE["scalar_variant_shred"]).df()
+    assert_frames_match(spark_pdf, duck_pdf, "scalar_variant_shred")
+    # The trailing-newline row is OUT on both engines.
+    assert int(spark_pdf["n_events"].sum()) == 2
+
+
+def test_urgent_suffix_trailing_newline(spark, monkeypatch):
+    """Same anchor class on the priority suffix: 'X-URGENT\\n' must be
+    is_urgent_suffix = FALSE on BOTH engines (Spark's `$` said True,
+    DuckDB's said False before the `\\z` fix)."""
+    import frinesis_spark.operators.scalar as sc_mod
+    from frinesis_spark import catalog
+
+    orders = spark.createDataFrame(
+        [
+            (1, "O", "1-URGENT", _ts(days=1), 10.0),
+            (2, "O", "1-URGENT\n", _ts(days=2), 20.0),
+            (3, "F", "5-LOW", _ts(days=3), 30.0),
+        ],
+        "o_orderkey long, o_orderstatus string, o_orderpriority string, "
+        "o_orderdate timestamp, o_totalprice double",
+    )
+    real_table = catalog.table
+    monkeypatch.setattr(
+        sc_mod,
+        "table",
+        lambda s, d, n: orders if n == "orders" else real_table(s, d, n),
+    )
+    duck = duckdb.connect()
+    duck.register("orders", orders.toPandas())
+    spark_pdf = sc_mod.QUERIES["scalar_conditional_regex"](
+        spark, "crafted://urg"
+    ).toPandas()
+    duck_pdf = duck.sql(sc_mod.ORACLE["scalar_conditional_regex"]).df()
+    assert_frames_match(spark_pdf, duck_pdf, "scalar_conditional_regex")
+    flags = dict(zip(spark_pdf["o_orderkey"], spark_pdf["is_urgent_suffix"]))
+    assert flags[1] is True and flags[2] is False
+
+
+def test_variant_shred_hostile_event_type(spark, monkeypatch):
+    """event_type values containing quotes/backslashes previously
+    produced malformed JSON (parse_json job kill), and a NULL
+    event_type diverged the engines (Spark concat-NULL vs DuckDB
+    CONCAT-skip). to_json(struct) ≙ json_object escapes; NULLs are
+    filtered on both sides."""
+    import frinesis_spark.operators.scalar as sc_mod
+    from frinesis_spark import catalog
+
+    events = spark.createDataFrame(
+        [
+            (1, _ts(hours=1), 1, 'ty"pe', 1.0, '{"k": 1}'),
+            (2, _ts(hours=2), 2, "ba\\ck", 1.0, '{"k": 2}'),
+            (3, _ts(hours=3), 3, None, 1.0, '{"k": 4}'),
+            (4, _ts(hours=4), 4, "plain", 1.0, '{"k": 8}'),
+        ],
+        _EV_SCHEMA,
+    )
+    real_table = catalog.table
+    monkeypatch.setattr(
+        sc_mod,
+        "table",
+        lambda s, d, n: events if n == "events" else real_table(s, d, n),
+    )
+    duck = duckdb.connect()
+    duck.register("events", events.toPandas())
+    spark_pdf = sc_mod.QUERIES["scalar_variant_shred"](
+        spark, "crafted://hostile"
+    ).toPandas()
+    duck_pdf = duck.sql(sc_mod.ORACLE["scalar_variant_shred"]).df()
+    assert_frames_match(spark_pdf, duck_pdf, "scalar_variant_shred")
+    types = set(spark_pdf["vtype"])
+    assert types == {'ty"pe', "ba\\ck", "plain"}  # NULL row dropped
+    assert int(spark_pdf["sum_k"].sum()) == 11  # 1 + 2 + 8

@@ -514,3 +514,79 @@ def test_ivf_probes_clamp_on_tiny_corpus(spark, monkeypatch):
         assert topk.count() > 0
     finally:
         sim._IVF_INDEX_CACHE.clear()
+
+
+def test_stage_dir_prunes_old_versions(spark, tmp_path):
+    """A regenerated fixture mints a fresh v_<sig> staging dir; older
+    versions beyond the newest two must be reclaimed (previously every
+    regeneration leaked a full staged copy under /tmp forever)."""
+    import os
+    import shutil
+    import time
+
+    from frinesis_spark.streaming import runner
+
+    sf_like = tmp_path / "sf"
+    sf_like.mkdir()
+    schema = "event_id long, ts timestamp, value double"
+
+    def write_fixture(n):
+        import datetime
+
+        df = spark.createDataFrame(
+            [
+                (i, datetime.datetime(2003, 3, 1) + datetime.timedelta(hours=i), float(n))
+                for i in range(n)
+            ],
+            schema,
+        )
+        tmp_out = str(tmp_path / f"gen{n}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+        part = next(
+            p for p in os.listdir(tmp_out) if p.endswith(".parquet")
+        )
+        shutil.copy2(
+            os.path.join(tmp_out, part), sf_like / "events.parquet"
+        )
+
+    vdirs = []
+    for gen in (3, 4, 5, 6):
+        write_fixture(gen)
+        # mtime_ns must differ between generations for a fresh sig
+        os.utime(
+            sf_like / "events.parquet",
+            ns=(time.time_ns(), time.time_ns() + gen),
+        )
+        vdirs.append(runner._stage_dir(str(sf_like), "events"))
+    stage_root = os.path.dirname(vdirs[-1])
+    live = [d for d in os.listdir(stage_root) if d.startswith("v_")]
+    assert len(set(vdirs)) == 4  # four distinct signatures staged
+    assert len(live) == 2  # keep-two-generations retention
+    assert os.path.basename(vdirs[-1]) in live
+
+
+def test_event_log_stats_exact_past_retention():
+    """The event log's detail deques are bounded, but stats() totals
+    come from running counters and stay exact past the horizon."""
+    from frinesis_spark.streaming import observability as obs
+
+    class _Sink:
+        numOutputRows = 2
+
+    class _Progress:
+        id = "q"
+        batchId = 0
+        numInputRows = 3
+        sink = _Sink()
+
+    class _Event:
+        progress = _Progress()
+
+    log = obs.EngineEventLog()
+    n = obs._EVENT_RETENTION + 50
+    for _ in range(n):
+        log.onQueryProgress(_Event())
+    assert len(log.progress) == obs._EVENT_RETENTION  # bounded detail
+    s = log.stats()
+    assert s.n_progress_events == n  # exact totals
+    assert s.rows_in == 3 * n and s.rows_written == 2 * n
