@@ -28,6 +28,19 @@ from frinesis_spark.functions.numeric import davg, dsum, oracle_davg, oracle_dsu
 # --------------------------------------------------------------------------
 
 
+def _revenue():
+    """Decimal-exact discounted revenue Σ price·(1−discount) — the
+    flagship money metric. ONE definition (r9 review wave 3: it was
+    copy-pasted at four Spark sites + four oracle sites; a rounding /
+    decimal-scale policy change must not be able to miss one)."""
+    return dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+
+
+# SQL twin of _revenue() for oracle strings (change BOTH or parity
+# breaks — the twin-constant convention).
+_REVENUE_SQL = oracle_dsum("l_extendedprice * (1 - l_discount)")
+
+
 def q_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-table parquet scan (columnar read, no pruning losses).
 
@@ -176,7 +189,7 @@ def q_join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            _revenue().alias("revenue"),
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
@@ -315,8 +328,11 @@ def q_agg_mode_frequent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("mode_count")
     )
     total = W.partitionBy("o_orderstatus")
+    # asc_nulls_last on the tie-break (class-13): a NULL-priority
+    # group tying for the mode would win NULLS-FIRST on Spark and
+    # lose NULLS-LAST on DuckDB (r9 review wave 3).
     w = total.orderBy(
-        F.col("mode_count").desc(), F.col("o_orderpriority").asc()
+        F.col("mode_count").desc(), F.col("o_orderpriority").asc_nulls_last()
     )
     return (
         counts.withColumn("rk", F.row_number().over(w))
@@ -747,9 +763,7 @@ def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         (fact.l_orderkey == dim.o_orderkey) & (fact.salt == dim.salt),
     )
     return joined.groupBy("o_orderpriority").agg(
-        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-            "revenue"
-        ),
+        _revenue().alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 
@@ -831,9 +845,7 @@ def q_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         survivors.join(build, survivors["l_orderkey"] == build["o_orderkey"])
         .groupBy("o_orderpriority")
         .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            ),
+            _revenue().alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -1077,7 +1089,12 @@ def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     Window node (one sort, verified in the plan).
     """
     e = table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # asc_nulls_last on the nullable ts (class-13): a NULL-ts row
+    # sits at the partition HEAD on Spark's bare asc and at the TAIL
+    # on DuckDB's, shifting every lag/lead neighbor (r9 review wave 3).
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_last(), "event_id"
+    )
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     prev_us = F.unix_micros(F.lag(F.col("ts")).over(w).cast("timestamp"))
     return e.select(
@@ -1164,8 +1181,14 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bounded; pre-filtered to the funnel types) — the standard
     product-analytics funnel shape without N self-joins.
     """
+    # user_id IS NOT NULL on BOTH sides (r9 review wave 3): Spark's
+    # groupBy would keep a NULL-user group (counting it as a user and
+    # letting it progress) while the oracle's COUNT(DISTINCT) skips
+    # NULL and its per-stage equi-joins never match it — the
+    # align-by-dropping convention, as in analytics_cumulative_distinct.
     e = table(spark, sf_dir, "events").where(
         F.col("event_type").isin("view", "click", "purchase")
+        & F.col("user_id").isNotNull()
     )
     # The accumulator's last_ts must carry the SAME timestamp flavor as
     # the input's ts column — catalog.table normalizes the fixture to
@@ -1324,33 +1347,52 @@ def scd2_merge(
     # silently vanishing from BOTH branches (review find).
     is_cur = F.col("is_current").eqNullSafe(F.lit(True))
     cur, closed = hist.where(is_cur), hist.where(~is_cur)
-    t, u = cur.alias("t"), updates.alias("u")
-    joined = t.join(u, F.col(f"t.{key}") == F.col(f"u.{key}"), "left")
-    changed = F.col(f"u.{key}").isNotNull() & ~(
-        F.col(f"t.{value}").eqNullSafe(F.col(f"u.{value}"))
+    # ONE full-outer join classifies matched/unmatched on both sides
+    # in a single pass; each joined row then expands map-side (array +
+    # explode) into its 0–2 output rows. The previous shape ran TWO
+    # shuffle joins of the same inputs (t LEFT u for the existing
+    # branch, u LEFT t for the fresh branch) — doubling the dominant
+    # cost of the merge for no semantic difference (r9 review wave 3).
+    # Presence flags are dedicated marker columns, NOT key-NULL tests:
+    # a (malformed) NULL-key current row must still pass through.
+    t = cur.withColumn("_t", F.lit(True)).alias("t")
+    u = updates.withColumn("_u", F.lit(True)).alias("u")
+    joined = t.join(u, F.col(f"t.{key}") == F.col(f"u.{key}"), "full_outer")
+    t_present = F.col("t._t").isNotNull()
+    u_present = F.col("u._u").isNotNull()
+    changed = (
+        t_present
+        & u_present
+        & ~F.col(f"t.{value}").eqNullSafe(F.col(f"u.{value}"))
     )
-    existing = joined.select(
-        F.col(f"t.{key}").alias(key),
-        F.col(f"t.{value}").alias(value),
-        F.col("t.valid_from").alias("valid_from"),
-        F.when(changed, eff).otherwise(F.col("t.valid_to")).alias("valid_to"),
-        (~changed).alias("is_current"),
+    existing_row = F.when(
+        t_present,
+        F.struct(
+            F.col(f"t.{key}").alias(key),
+            F.col(f"t.{value}").alias(value),
+            F.col("t.valid_from").alias("valid_from"),
+            F.when(changed, eff)
+            .otherwise(F.col("t.valid_to"))
+            .alias("valid_to"),
+            (~changed).alias("is_current"),
+        ),
     )
-    fresh = (
-        u.join(t, F.col(f"u.{key}") == F.col(f"t.{key}"), "left")
-        .where(
-            F.col(f"t.{key}").isNull()
-            | ~F.col(f"t.{value}").eqNullSafe(F.col(f"u.{value}"))
-        )
-        .select(
+    fresh_row = F.when(
+        u_present & (~t_present | changed),
+        F.struct(
             F.col(f"u.{key}").alias(key),
             F.col(f"u.{value}").alias(value),
             eff.alias("valid_from"),
             F.lit(None).cast("timestamp").alias("valid_to"),
             F.lit(True).alias("is_current"),
-        )
+        ),
     )
-    return closed.unionByName(existing).unionByName(fresh)
+    merged = joined.select(
+        F.explode(
+            F.array_compact(F.array(existing_row, fresh_row))
+        ).alias("r")
+    ).select("r.*")
+    return closed.unionByName(merged)
 
 
 QUERIES = {
@@ -1410,6 +1452,11 @@ ORACLE = {
         GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
                                 (o_orderpriority), (o_orderstatus))
     """,
+    # `changed` mirrors scd2_merge's change-detection guard (r9 review
+    # wave 3): an update whose value EQUALS the current value (e.g. a
+    # NULL acctbal, where NULL + 100.0 = NULL <=> NULL) must no-op on
+    # BOTH engines — the old oracle closed every matched key
+    # unconditionally and diverged on exactly that case.
     "merge_scd2": f"""
         WITH dim AS (
             SELECT c_custkey, c_acctbal FROM customer
@@ -1419,19 +1466,24 @@ ORACLE = {
             UNION ALL
             SELECT c_custkey + 10000000 AS c_custkey, c_acctbal
             FROM dim WHERE c_custkey % 11 = 0
+        ), changed AS (
+            SELECT u.c_custkey, u.c_acctbal
+            FROM updates u LEFT JOIN dim t ON u.c_custkey = t.c_custkey
+            WHERE t.c_custkey IS NULL
+               OR u.c_acctbal IS DISTINCT FROM t.c_acctbal
         )
         SELECT t.c_custkey, t.c_acctbal,
                TIMESTAMP '{_SCD2_T0} 00:00:00' AS valid_from,
-               CASE WHEN u.c_custkey IS NOT NULL
+               CASE WHEN c.c_custkey IS NOT NULL
                     THEN TIMESTAMP '{_SCD2_EFF} 00:00:00' END AS valid_to,
-               u.c_custkey IS NULL AS is_current
-        FROM dim t LEFT JOIN updates u ON t.c_custkey = u.c_custkey
+               c.c_custkey IS NULL AS is_current
+        FROM dim t LEFT JOIN changed c ON t.c_custkey = c.c_custkey
         UNION ALL
         SELECT c_custkey, c_acctbal,
                TIMESTAMP '{_SCD2_EFF} 00:00:00' AS valid_from,
                CAST(NULL AS TIMESTAMP) AS valid_to,
                TRUE AS is_current
-        FROM updates
+        FROM changed
     """,
     "scan_parquet": "SELECT * FROM part",
     "join_asof_tolerance": """
@@ -1470,6 +1522,7 @@ ORACLE = {
         WITH funnel AS (
             SELECT user_id, ts, event_type FROM events
             WHERE event_type IN ('view', 'click', 'purchase')
+              AND user_id IS NOT NULL
         ),
         s1 AS (
             SELECT user_id, MIN(ts) AS t1 FROM funnel
@@ -1495,13 +1548,22 @@ ORACLE = {
     "time_ohlc_bars": f"""
         WITH b AS (
             SELECT user_id, value, ts, event_id,
-                   MAKE_TIMESTAMP((EPOCH_US(ts) // 900000000)
-                                  * 900000000) AS bar_start,
+                   -- FLOOR over doubles, not `//`: DuckDB integer
+                   -- division truncates toward zero, so a pre-1970
+                   -- timestamp would land one bucket late vs Spark's
+                   -- flooring window() (memory gotcha class; exact
+                   -- for µs magnitudes < 2^53)
+                   MAKE_TIMESTAMP(CAST(FLOOR(EPOCH_US(ts) / 900000000.0)
+                                       AS BIGINT) * 900000000) AS bar_start,
                    ROW_NUMBER() OVER (
-                       PARTITION BY user_id, EPOCH_US(ts) // 900000000
+                       PARTITION BY user_id,
+                                    CAST(FLOOR(EPOCH_US(ts) / 900000000.0)
+                                         AS BIGINT)
                        ORDER BY ts, event_id) AS rn_first,
                    ROW_NUMBER() OVER (
-                       PARTITION BY user_id, EPOCH_US(ts) // 900000000
+                       PARTITION BY user_id,
+                                    CAST(FLOOR(EPOCH_US(ts) / 900000000.0)
+                                         AS BIGINT)
                        ORDER BY ts DESC, event_id DESC) AS rn_last
             FROM events
         )
@@ -1631,7 +1693,7 @@ ORACLE = {
     """,
     "join_salted_skew": f"""
         SELECT o_orderpriority,
-               {oracle_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+               {_REVENUE_SQL} AS revenue,
                COUNT(*) AS n_lines
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority
@@ -1660,7 +1722,7 @@ ORACLE = {
     # positives die in the exact join) — the oracle is the plain join.
     "join_bloom_prefilter": f"""
         SELECT o_orderpriority,
-               {oracle_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+               {_REVENUE_SQL} AS revenue,
                COUNT(*) AS n_lines
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE o_orderpriority = '1-URGENT'
@@ -1781,7 +1843,7 @@ ORACLE = {
     """,
     "join_multiway_star": f"""
         SELECT r_name, n_name,
-               {oracle_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+               {_REVENUE_SQL} AS revenue,
                COUNT(*) AS n_lineitems
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey

@@ -87,6 +87,12 @@ _CHANGED_SINCE_VERDICT = (
     # first time and must verify under them
     "dedup_near_minhash",
     "dedup_simhash",
+    # r9: scd2_merge re-planned onto ONE full-outer join + map-side
+    # explode (was two shuffle joins of the same inputs), and its
+    # oracle gained the change-detection guard the Spark side has had
+    # since r8 — fixture output bit-identical (local sim green), but
+    # the merge core's plan shape changed, so it re-verifies
+    "merge_scd2",
 )
 # Demoted under the tier-0 policy (fixture output BIT-IDENTICAL,
 # re-verified by a full local driver sim at r9 start): the simhash
@@ -104,6 +110,13 @@ _CHANGED_SINCE_VERDICT = (
 # to_json(struct) payload + NULL-event_type filter (fixture
 # event_types are non-null plain strings — hash unchanged; hostile
 # frames pinned in the same file).
+# Review-wave-3 demotions (fixture hashes verified unchanged by
+# targeted sims; crafted divergences pinned in
+# tests/test_round9_differential.py): funnel_conversion's NULL-user
+# filter, agg_mode_frequent's asc_nulls_last tie-break,
+# window_lag_lead's asc_nulls_last sort, time_ohlc_bars' oracle FLOOR
+# bucketing (pre-1970 only), and the shared _revenue() extraction
+# (same expression text, three sites).
 
 _STALE_EVIDENCE = {
     "agg_filtered_conditional": 6,
@@ -211,7 +224,6 @@ _VERIFIED_LAST = frozenset(
         "join_interval_buckets",
         "join_range_theta",
         "join_salted_skew",
-        "merge_scd2",
         "merge_upsert",
         "sample_stratified_hash",
         "scalar_conditional_regex",

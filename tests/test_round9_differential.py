@@ -329,3 +329,179 @@ def test_variant_shred_hostile_event_type(spark, monkeypatch):
     types = set(spark_pdf["vtype"])
     assert types == {'ty"pe', "ba\\ck", "plain"}  # NULL row dropped
     assert int(spark_pdf["sum_k"].sum()) == 11  # 1 + 2 + 8
+
+
+# --- review wave 3: relational latent-parity pins ----------------------------
+
+
+def test_funnel_conversion_null_user(spark, monkeypatch):
+    """A NULL-user event must not count as a funnel user on either
+    engine (Spark's groupBy kept the NULL group; the oracle's
+    COUNT(DISTINCT) skipped it — aligned by filtering both sides)."""
+    import frinesis_spark.operators.relational as rel_mod
+    from frinesis_spark import catalog
+
+    events = spark.createDataFrame(
+        [
+            (1, _ts(hours=1), 1, "view", 1.0, "{}"),
+            (2, _ts(hours=2), 1, "click", 1.0, "{}"),
+            (3, _ts(hours=3), None, "view", 1.0, "{}"),
+            (4, _ts(hours=4), None, "click", 1.0, "{}"),
+            (5, _ts(hours=5), 2, "view", 1.0, "{}"),
+        ],
+        _EV_SCHEMA,
+    )
+    real_table = catalog.table
+    monkeypatch.setattr(
+        rel_mod,
+        "table",
+        lambda s, d, n: events if n == "events" else real_table(s, d, n),
+    )
+    duck = duckdb.connect()
+    duck.register("events", events.toPandas())
+    spark_pdf = rel_mod.QUERIES["funnel_conversion"](
+        spark, "crafted://nulluser"
+    ).toPandas()
+    duck_pdf = duck.sql(rel_mod.ORACLE["funnel_conversion"]).df()
+    assert_frames_match(spark_pdf, duck_pdf, "funnel_conversion")
+    assert spark_pdf["n_users"].iloc[0] == 2
+    assert spark_pdf["reached_click"].iloc[0] == 1  # NULL user excluded
+
+
+def test_mode_frequent_null_priority_tie(spark, monkeypatch):
+    """A NULL-priority group tying for the mode: Spark's bare asc()
+    tie-break (NULLS FIRST) picked NULL while DuckDB (NULLS LAST)
+    picked the real value — pinned on asc_nulls_last."""
+    import frinesis_spark.operators.relational as rel_mod
+    from frinesis_spark import catalog
+
+    rows = [(i, "O", None, _ts(days=i), 10.0) for i in range(5)] + [
+        (10 + i, "O", "1-URGENT", _ts(days=10 + i), 10.0) for i in range(5)
+    ]
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_orderstatus string, o_orderpriority string, "
+        "o_orderdate timestamp, o_totalprice double",
+    )
+    real_table = catalog.table
+    monkeypatch.setattr(
+        rel_mod,
+        "table",
+        lambda s, d, n: orders if n == "orders" else real_table(s, d, n),
+    )
+    duck = duckdb.connect()
+    duck.register("orders", orders.toPandas())
+    spark_pdf = rel_mod.QUERIES["agg_mode_frequent"](
+        spark, "crafted://modetie"
+    ).toPandas()
+    duck_pdf = duck.sql(rel_mod.ORACLE["agg_mode_frequent"]).df()
+    assert_frames_match(spark_pdf, duck_pdf, "agg_mode_frequent")
+    assert spark_pdf["mode_priority"].iloc[0] == "1-URGENT"  # not NULL
+
+
+def test_merge_scd2_null_value_noop(spark, monkeypatch):
+    """An update whose value equals the current value must no-op on
+    BOTH engines — including the NULL case (NULL + 100.0 = NULL,
+    null-safely equal to the current NULL). The old oracle closed
+    every matched key unconditionally and emitted two extra rows."""
+    import frinesis_spark.operators.relational as rel_mod
+    from frinesis_spark import catalog
+
+    customers = spark.createDataFrame(
+        [
+            (5, "C5", "a", 1, "p", None, "S", "c"),  # %5 key, NULL bal
+            (10, "C10", "a", 1, "p", 50.0, "S", "c"),  # %5 key, real
+            (3, "C3", "a", 1, "p", 70.0, "S", "c"),  # untouched
+            (11, "C11", "a", 1, "p", 20.0, "S", "c"),  # %11 → insert
+        ],
+        "c_custkey long, c_name string, c_address string, "
+        "c_nationkey long, c_phone string, c_acctbal double, "
+        "c_mktsegment string, c_comment string",
+    )
+    real_table = catalog.table
+    monkeypatch.setattr(
+        rel_mod,
+        "table",
+        lambda s, d, n: customers
+        if n == "customer"
+        else real_table(s, d, n),
+    )
+    duck = duckdb.connect()
+    duck.register("customer", customers.toPandas())
+    spark_pdf = rel_mod.QUERIES["merge_scd2"](
+        spark, "crafted://scd2null"
+    ).toPandas()
+    duck_pdf = duck.sql(rel_mod.ORACLE["merge_scd2"]).df()
+    assert_frames_match(spark_pdf, duck_pdf, "merge_scd2")
+    # key 5 (NULL→NULL) no-ops: exactly ONE row, still current.
+    k5 = spark_pdf[spark_pdf["c_custkey"] == 5]
+    assert len(k5) == 1 and bool(k5["is_current"].iloc[0])
+    # key 10 (50→150) versions: two rows, one closed one open.
+    k10 = spark_pdf[spark_pdf["c_custkey"] == 10]
+    assert len(k10) == 2 and sorted(k10["is_current"]) == [False, True]
+
+
+def test_window_lag_lead_null_ts(spark, monkeypatch):
+    """A NULL-ts row sorts at the partition HEAD on Spark's bare asc
+    and at the TAIL on DuckDB's — lag/lead neighbors shifted until the
+    asc_nulls_last pin."""
+    import frinesis_spark.operators.relational as rel_mod
+    from frinesis_spark import catalog
+
+    events = spark.createDataFrame(
+        [
+            (1, _ts(hours=1), 1, "view", 1.0, "{}"),
+            (2, None, 1, "click", 1.0, "{}"),  # NULL ts
+            (3, _ts(hours=3), 1, "purchase", 1.0, "{}"),
+        ],
+        _EV_SCHEMA,
+    )
+    real_table = catalog.table
+    monkeypatch.setattr(
+        rel_mod,
+        "table",
+        lambda s, d, n: events if n == "events" else real_table(s, d, n),
+    )
+    duck = duckdb.connect()
+    duck.register("events", events.toPandas())
+    spark_pdf = rel_mod.QUERIES["window_lag_lead"](
+        spark, "crafted://nullts"
+    ).toPandas()
+    duck_pdf = duck.sql(rel_mod.ORACLE["window_lag_lead"]).df()
+    assert_frames_match(spark_pdf, duck_pdf, "window_lag_lead")
+    by_id = spark_pdf.set_index("event_id")
+    assert by_id.loc[1, "next_event_type"] == "purchase"
+    assert by_id.loc[3, "next_event_type"] == "click"  # NULL-ts row last
+
+
+def test_ohlc_bars_pre_epoch_timestamps(spark, monkeypatch):
+    """Pre-1970 timestamps: DuckDB's `//` truncates toward zero while
+    Spark's window() floors — a 1969 event landed one bar late until
+    the oracle switched to FLOOR over doubles."""
+    import frinesis_spark.operators.relational as rel_mod
+    from frinesis_spark import catalog
+
+    pre = datetime.datetime(1969, 12, 31, 23, 59, 0)
+    events = spark.createDataFrame(
+        [
+            (1, pre, 1, "trade", 10.0, "{}"),
+            (2, pre + datetime.timedelta(minutes=2), 1, "trade", 12.0, "{}"),
+            (3, _ts(hours=1), 1, "trade", 20.0, "{}"),
+        ],
+        _EV_SCHEMA,
+    )
+    real_table = catalog.table
+    monkeypatch.setattr(
+        rel_mod,
+        "table",
+        lambda s, d, n: events if n == "events" else real_table(s, d, n),
+    )
+    duck = duckdb.connect()
+    duck.register("events", events.toPandas())
+    spark_pdf = rel_mod.QUERIES["time_ohlc_bars"](
+        spark, "crafted://preepoch"
+    ).toPandas()
+    duck_pdf = duck.sql(rel_mod.ORACLE["time_ohlc_bars"]).df()
+    assert_frames_match(spark_pdf, duck_pdf, "time_ohlc_bars")
+    bars = sorted(spark_pdf["bar_start"])
+    assert bars[0] == datetime.datetime(1969, 12, 31, 23, 45)  # floored
