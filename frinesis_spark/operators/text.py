@@ -185,7 +185,11 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.md5(F.col("text")).alias("content_fp"),
-        F.md5(bag).alias("bag_fp"),
+        # NULL text → NULL fingerprints, like md5(NULL): concat_ws
+        # folds a NULL token array to '' so the bare md5(bag) aliased
+        # a NULL doc to the EMPTY doc's blocking key and diverged from
+        # the oracle's NULL (r9 review wave 4).
+        F.when(F.col("text").isNotNull(), F.md5(bag)).alias("bag_fp"),
         F.substring(F.md5(F.col("text")), 1, 8).alias("short_fp"),
     )
 
@@ -383,7 +387,11 @@ def q_text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     single IEEE divisions of exact integer counts.
     """
     d = table(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
+    # coalesce(text, ''): a NULL-text doc must still GET a verdict
+    # (split(NULL) explodes to zero rows and the doc silently vanished
+    # from the gate — the exact failure the docstring forbids; r9
+    # review wave 4). '' splits to one empty token on both engines.
+    words = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
     base = d.select("doc_id", words.alias("ws"))
     wcnt = (
         base.select("doc_id", F.explode("ws").alias("w"))
@@ -636,12 +644,15 @@ def canonicalize_url(url):
     unchanged; pinned by tests/test_round8_ops.py)."""
     u = F.regexp_replace(url, "#.*$", "")  # fragment
     prefix = F.lower(F.regexp_extract(u, "^[^:]+://[^/?#]*", 0))
+    # len = length(u): open-ended to-end substring like the oracle's
+    # 2-arg SUBSTR — the old 1 MiB literal cap silently truncated any
+    # longer remainder and corrupted the dedup key (r9 review wave 4).
     u = F.concat(
         prefix,
         F.substring(
             u,
             F.length(F.regexp_extract(u, "^[^:]+://[^/?#]*", 0)) + 1,
-            F.lit(1 << 20),
+            F.length(u),
         ),
     )
     # Delimiter captured (RE2 has no lookahead): without it, ports
@@ -770,13 +781,15 @@ def _url_canon_sql() -> str:
                 REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
                     u,
                     '&({track})=[^&#]*', '', 'g'),
-                    '\\?({track})=[^&#]*&', '?'),
+                    '\\?({track})=[^&#]*&', '?', 'g'),
                     '\\?({track})=[^&#]*$', '') AS u
             FROM s3
         ),
         s5 AS (
             SELECT doc_id, raw_url,
-                REGEXP_REPLACE(REGEXP_REPLACE(u, '/+(\\?)', '\\1'),
+                -- 'g' flags (r9 review wave 4): Spark regexp_replace is
+                -- ALWAYS global; DuckDB defaults to first-match-only
+                REGEXP_REPLACE(REGEXP_REPLACE(u, '/+(\\?)', '\\1', 'g'),
                                '/+$', '') AS canon_url
             FROM s4
         )
@@ -798,7 +811,10 @@ ORACLE = {
     # widening); ratios are the same single IEEE divisions.
     "text_repetition_filter": """
         WITH base AS (
-            SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents
+            -- COALESCE mirrors the Spark side (r9): a NULL-text doc
+            -- still gets a verdict instead of vanishing from the gate
+            SELECT doc_id, STRING_SPLIT(COALESCE(text, ''), ' ') AS ws
+            FROM documents
         ),
         wcnt AS (
             SELECT doc_id, w, COUNT(*) AS c
@@ -967,8 +983,11 @@ ORACLE = {
                n_tokens,
                ROUND((n_chars - (n_tokens - 1)) / n_tokens, 6) AS mean_token_len,
                ROUND(stop_hits / n_tokens, 6) AS stopword_ratio,
-               ROUND(alpha_chars / n_chars, 6) AS alpha_ratio,
-               ROUND(0.4 * (alpha_chars / n_chars)
+               -- NULLIF: duckdb>=1.1 IEEE mode turns 0/0 into NaN, not
+               -- NULL (and NaN >= t is TRUE) — version-proofed like the
+               -- cosine oracles (r9 review wave 4, the flagged sweep)
+               ROUND(alpha_chars / NULLIF(n_chars, 0), 6) AS alpha_ratio,
+               ROUND(0.4 * (alpha_chars / NULLIF(n_chars, 0))
                      + 0.3 * LEAST((stop_hits / n_tokens) * 5.0, 1.0)
                      + 0.3 * LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0),
                      6) AS quality_score
@@ -998,7 +1017,7 @@ ORACLE = {
             SELECT doc_id, text
             FROM documents
             WHERE LENGTH(REGEXP_REPLACE(text, '[^a-z]', '', 'g'))
-                  / LENGTH(text) >= 0.6
+                  / NULLIF(LENGTH(text), 0) >= 0.6
               AND LEN(STRING_SPLIT(text, ' ')) >= 20
         ),
         deduped AS (

@@ -117,6 +117,13 @@ _CHANGED_SINCE_VERDICT = (
 # window_lag_lead's asc_nulls_last sort, time_ohlc_bars' oracle FLOOR
 # bucketing (pre-1970 only), and the shared _revenue() extraction
 # (same expression text, three sites).
+# Review-wave-4 demotions (text.py; fixture hashes verified unchanged
+# by targeted sims, crafted pins in test_round9_differential.py):
+# text_fingerprint's NULL-text bag_fp guard, the NULLIF
+# version-proofing sweep in text_quality_score/pipeline_llm_prep
+# oracles (the r8 watch-item), text_url_canonicalize's 'g' flags +
+# open-ended substring, and text_repetition_filter's
+# NULL-text-gets-a-verdict coalesce (both sides).
 
 _STALE_EVIDENCE = {
     "agg_filtered_conditional": 6,

