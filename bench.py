@@ -189,8 +189,17 @@ def main() -> None:
     # the first mapInPandas/pandas_udf in a session pays worker fork +
     # import cost (~2-3 s across 32 slots) that is session setup, not
     # query time. A steady-state engine (the thing being measured) has
-    # live workers.
-    warm = spark.range(0, 10_000, numPartitions=int(os.environ["SPARK_GRAFT_CPUS"]))
+    # live workers. SPARK_GRAFT_CPUS may legitimately be '*'
+    # (session.get_spark's documented default) — int('*') crashed the
+    # whole bench (r9 review wave 5); fall back to the session's real
+    # parallelism.
+    cpus_env = os.environ["SPARK_GRAFT_CPUS"]
+    n_warm_parts = (
+        int(cpus_env)
+        if cpus_env.isdigit()
+        else spark.sparkContext.defaultParallelism
+    )
+    warm = spark.range(0, 10_000, numPartitions=n_warm_parts)
 
     def _noop_batches(batches):
         import numpy as np  # noqa: F401  (pull hot imports into workers)
@@ -205,12 +214,10 @@ def main() -> None:
     # scan page decodes are session setup, and without this they land
     # inside the FIRST cold sample below, inflating that one query's
     # recorded index-build cost (r6 review fix).
+    from frinesis_spark.catalog import TABLES as _TABLES
     from frinesis_spark.catalog import table as _catalog_table
 
-    for _t in (
-        "region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events", "documents", "embeddings",
-    ):
+    for _t in _TABLES:  # the canonical list — never a local copy (r9)
         _catalog_table(spark, sf_dir, _t).count()
 
     # Best-of-N per query: the shared box shows ±2x run-to-run noise
@@ -266,6 +273,15 @@ def main() -> None:
     # genuinely warm.
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    # A HEADLINE name missing from the registry is a rename that would
+    # otherwise silently shrink the total and drop the query from the
+    # regression alarm (r9 review wave 5) — surface it in the record.
+    unknown_headline = sorted(set(HEADLINE) - set(queries))
+    if unknown_headline:
+        print(
+            f"WARNING: HEADLINE names not in registry: {unknown_headline}",
+            file=sys.stderr,
+        )
     for name in HEADLINE:
         if name not in queries:
             continue
@@ -294,6 +310,8 @@ def main() -> None:
         "reps": reps,
         "sf": sf,
     }
+    if unknown_headline:
+        full["unknown_headline"] = unknown_headline
 
     # Regression anchor: compare against the newest BENCH_r{N}.json
     # (same sf only) and flag >1.5x per-query slowdowns. Ratios ride
@@ -407,6 +425,21 @@ def compact_line(
         compact["queries"] = kept
         if len(kept) < len(timings):
             compact["queries_truncated"] = len(timings) - len(kept)
+            # Enforce the claim the budget rests on: dropped queries
+            # must sit under the regression noise floor, or they lose
+            # their next-round anchor while still being alarm-eligible
+            # (r9 review wave 5: r8's 7 drops were sub-floor only by
+            # luck). Above-floor drops are surfaced by name.
+            dropped = {n: t for n, t in timings.items() if n not in kept}
+            over_floor = {
+                n: t for n, t in dropped.items() if t >= _NOISE_FLOOR_SEC
+            }
+            if over_floor:
+                print(
+                    "WARNING: compact-line budget dropped ABOVE-FLOOR "
+                    f"queries (no next-round anchor): {over_floor}",
+                    file=sys.stderr,
+                )
         line = json.dumps(compact, separators=(",", ":"))
     return line
 

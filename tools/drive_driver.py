@@ -26,7 +26,11 @@ assert len(rows) > 0
 # 2. t2: queries vs oracle at sf0.01
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 con = duckdb.connect()
-for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+# The canonical table list lives in catalog.TABLES (r9 review wave 5:
+# it was hardcoded here AND in bench.py — a new fixture table would be
+# silently missed in both).
+from frinesis_spark.catalog import TABLES
+for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 
 def canon(pdf):
@@ -34,7 +38,10 @@ def canon(pdf):
     import pandas as pd, numpy as np
     def cv(v):
         if v is None or v is pd.NaT: return "N"
-        if isinstance(v, float): return "N" if math.isnan(v) else repr(v)
+        # repr(float(v)), not repr(v): np.float64 subclasses float, and
+        # numpy>=2 reprs it as 'np.float64(0.1)' — spurious mismatches
+        # on every float-list column after an upgrade (r9 wave 5).
+        if isinstance(v, float): return "N" if math.isnan(v) else repr(float(v))
         if isinstance(v, np.floating): return cv(float(v))
         if isinstance(v, (bool, np.bool_)): return "T" if v else "F"
         if isinstance(v, (int, np.integer)): return str(int(v))
@@ -44,8 +51,15 @@ def canon(pdf):
         if isinstance(v, (list, tuple, np.ndarray)): return "["+",".join(cv(x) for x in v)+"]"
         return str(v)
     cols = sorted(pdf.columns)
-    rows = sorted(tuple(cv(pdf.iloc[i][c]) for c in cols) for i in range(len(pdf)))
-    return hashlib.sha256(repr(rows).encode()).hexdigest()[:16], len(pdf)
+    # itertuples, not per-cell iloc: the labeled-Series-per-cell form
+    # did O(rows*cols) label lookups and dominated the sim's hashing
+    # cost on 10k-row results (r9 wave 5).
+    rows = sorted(
+        tuple(cv(v) for v in row)
+        for row in pdf[cols].itertuples(index=False, name=None)
+    )
+    h = hashlib.sha256(repr(rows).encode()).hexdigest()[:16]
+    return h, len(pdf), tuple(cols)
 
 qs, osql = entrymod.queries(), entrymod.oracle_sql()
 print(f"queries: {len(qs)}, oracles: {len(osql)}")
@@ -59,9 +73,14 @@ for name in sorted(only or qs):
         spdf = qs[name](spark, SF).toPandas()
         if name in osql:
             dpdf = con.execute(osql[name]).fetchdf()
-            sh, sn = canon(spdf); dh, dn = canon(dpdf)
-            ok = sh == dh and sn == dn
-            print(f"{'OK ' if ok else 'MISMATCH'} {name}: spark {sn} rows [{sh}] duck {dn} rows [{dh}]")
+            sh, sn, scols = canon(spdf); dh, dn, dcols = canon(dpdf)
+            # Column-NAME compare too: the real driver records
+            # schema_match separately, and identical values under
+            # different aliases must fail HERE, not burn a driver
+            # round (r9 wave 5 — the #1 documented parity gotcha).
+            ok = sh == dh and sn == dn and scols == dcols
+            schema_note = "" if scols == dcols else f" SCHEMA spark={scols} duck={dcols}"
+            print(f"{'OK ' if ok else 'MISMATCH'} {name}: spark {sn} rows [{sh}] duck {dn} rows [{dh}]{schema_note}")
             if not ok: fails.append(name)
         else:
             print(f"ROWS-ONLY {name}: {len(spdf)} rows")

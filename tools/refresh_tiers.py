@@ -51,10 +51,26 @@ def main() -> None:
 
     from frinesis_spark import registry
 
-    registered = set(registry.queries())
+    # Enumerate via _load_modules, NOT registry.queries(): queries()
+    # validates the CURRENT tier lists and raises on exactly the
+    # stale-tier state this tool exists to repair (r9 review wave 5 —
+    # chicken-and-egg: rename a query and the refresh tool crashed).
+    registered: set[str] = set()
+    for mod in registry._load_modules():
+        registered |= set(mod.QUERIES)
 
     fresh = {
         n for n, row in artifacts[newest].items() if _green(row) and n in registered
+    }
+    # Fresh FAILURES surface loudly, not as routine rotation: a query
+    # red in the newest artifact was previously printed under "stale
+    # evidence" (or "never verified") and the round-start "fix
+    # regressions first" chore never saw it (r9 review wave 5; r2
+    # really did have 12 failing rows).
+    failed_newest = {
+        n
+        for n, row in artifacts[newest].items()
+        if not _green(row) and n in registered
     }
     last_green: dict[str, int] = {}
     for rnd in sorted(artifacts):
@@ -63,6 +79,13 @@ def main() -> None:
                 last_green[n] = rnd
     stale = {n for n, rnd in last_green.items() if rnd < newest and n not in fresh}
     never = registered - fresh - stale
+
+    if failed_newest:
+        print(f"# !!! {len(failed_newest)} queries FAILED in CORRECTNESS_r{newest:02d}")
+        print("# !!! fix these FIRST; they are listed below by their last")
+        print("# !!! GREEN round (or as never-verified if none):")
+        for n in sorted(failed_newest):
+            print(f"# !!!   {n} (last green: r{last_green.get(n, '-')})")
 
     print(f"# Tiers from CORRECTNESS_r{newest:02d} "
           f"({len(registered)} registered queries)")
