@@ -71,6 +71,8 @@ HEADLINE = [
     "dedup_near_minhash",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "dedup_containment_ngram",
+    "window_anomaly_zscore",
     "dedup_embedding_cosine",
     "dedup_embedding_ann",
     "similarity_topk_cosine",

@@ -804,6 +804,63 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Containment threshold: |A∩B| / min(|A|, |B|) — asymmetric overlap.
+# Deliberately BELOW the 0.9 "verbatim inclusion" bar so the fixture's
+# planted near-dup pairs (Jaccard ≥ 0.5 → containment ≈ 0.55–0.75 at
+# their size ratios) are non-vacuous at every sf; at 0.9 the fixture
+# emits zero rows (probed — the r7 Q19 vacuity lesson).
+_CONTAINMENT_THRESHOLD = 0.55
+
+
+def q_dedup_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle-containment pairs: |A∩B| / min(|A|, |B|) ≥
+    ``_CONTAINMENT_THRESHOLD`` — the doc-inclusion dedup measure.
+    Jaccard under-scores a short document embedded in a long one (the
+    quote/boilerplate/wrapper case every web corpus is full of):
+    containment normalizes by the SMALLER shingle set, so a fully
+    quoted snippet scores 1.0 regardless of the host document's size.
+
+    Plan: identical inverted-index join as ``dedup_ngram_jaccard``
+    (same cached index + sizes artifacts — one build serves the whole
+    dedup family), with only the final normalization changed. Shuffles
+    on the shingle key under the same stop-shingle DF cap; never an
+    all-pairs. ``contained_id`` names the smaller (more-contained)
+    document — the one a containment-dedup policy would drop.
+    """
+    inv = _cached_shingle_index(spark, sf_dir)
+    sizes = _cached_shingle_sizes(spark, sf_dir)
+    a, b = inv.alias("a"), inv.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    cont = F.col("n_common") / F.least("n_a", "n_b")
+    # Threshold on the UNROUNDED ratio, rounded display column, integer
+    # tie-free contained_id pick — the ngram_jaccard conventions.
+    return (
+        common.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .where(cont >= _CONTAINMENT_THRESHOLD)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(cont, 6).alias("containment"),
+            F.when(F.col("n_a") <= F.col("n_b"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("contained_id"),
+        )
+    )
+
+
 def q_dedup_incremental_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ingest dedup: exact near-dups of a NEW document
     batch against the EXISTING corpus — the query a production
@@ -1359,6 +1416,7 @@ QUERIES = {
     "dedup_near_minhash": q_dedup_near_minhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_containment_ngram": q_dedup_containment_ngram,
     "dedup_incremental_jaccard": q_dedup_incremental_jaccard,
     "dedup_cluster_cc": q_dedup_cluster_cc,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -1497,6 +1555,23 @@ ORACLE = {
     # oracle they grade against.
     "dedup_near_minhash": _EXACT_PAIR_COUNT_SQL,
     "dedup_simhash": _EXACT_PAIR_COUNT_SQL,
+    "dedup_containment_ngram": f"""
+        WITH {_INV_SQL},
+        common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+            FROM inv a JOIN inv b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               ROUND(n_common / LEAST(na.n_sh, nb.n_sh), 6) AS containment,
+               CASE WHEN na.n_sh <= nb.n_sh THEN doc_a ELSE doc_b END
+                   AS contained_id
+        FROM common
+        JOIN sizes na ON na.doc_id = doc_a
+        JOIN sizes nb ON nb.doc_id = doc_b
+        WHERE n_common / LEAST(na.n_sh, nb.n_sh) >= {_CONTAINMENT_THRESHOLD}
+    """,
     "dedup_incremental_jaccard": f"""
         WITH {_INV_SQL},
         common AS (

@@ -746,6 +746,68 @@ def q_analytics_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EWMA_ALPHA = 0.8
 _EWMA_DEPTH = 10
 
+# Rolling z-score frame width (rows) and the anomaly threshold in
+# sigmas. 3σ is the textbook control-chart band.
+_Z_FRAME = 50
+_Z_SIGMA = 3.0
+
+
+def q_window_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flags per series: each value scored
+    against the mean/stddev of its trailing ``_Z_FRAME``-row frame —
+    the control-chart / monitoring-baseline primitive (the flagging
+    sibling of ``window_ewma_smooth``'s smoother and
+    ``window_rolling_quantile``'s bands).
+
+    Engine-exact construction (the analytics_ab_test recipe, applied
+    to window frames): Σv and Σv² accumulate as DECIMAL window sums
+    (exact at scale 6 — the fixture's values are 2-decimal money, so
+    squares carry exactly 4 decimals; partial/sliding evaluation order
+    can never move a bit), then mean/variance/z are post-frame doubles
+    in identical IEEE order on both engines. The variance NUMERATOR is
+    clamped (a constant frame computes Σv² − (Σv)²/n to a −1e-19-class
+    double whose sqrt is NaN/error), while the n−1 division stays
+    unclamped so a 1-row frame keeps its NULL z. ``try_divide``
+    everywhere a frame can be degenerate (all-NULL values, zero
+    variance) — NULL z, never a job kill; the flag coalesces NULL to
+    FALSE on both engines (an unscoreable point is not an anomaly).
+
+    Scale: one shuffle + per-partition sort per series key, sliding
+    frame evaluated incrementally; same few-long-series caveat and
+    bounded-overlap re-chunking answer as the rolling quantile.
+    """
+    e = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy(F.col("ts").asc_nulls_last(), "event_id")
+        .rowsBetween(-(_Z_FRAME - 1), W.currentRow)
+    )
+    # Squares computed in DOUBLE then cast for the exact sum (a
+    # decimal(28,6)² would need width 56 > both engines' 38 cap);
+    # v² of a ≤2-decimal sub-1000 value is exactly representable.
+    dec = F.col("value").cast("decimal(28,6)")
+    dec2 = (F.col("value") * F.col("value")).cast("decimal(28,6)")
+    n = F.count("value").over(w)
+    s = F.sum(dec).over(w).cast("double")
+    q = F.sum(dec2).over(w).cast("double")
+    mean = F.try_divide(s, n)
+    var = F.try_divide(
+        F.greatest(q - F.try_divide(s * s, n), F.lit(0.0)),
+        n - 1,
+    )
+    z = F.try_divide(F.col("value") - mean, F.sqrt(var))
+    return e.select(
+        "event_id",
+        "event_type",
+        "ts",
+        "value",
+        F.round(mean, 6).alias("frame_mean"),
+        F.round(z, 6).alias("zscore"),
+        F.coalesce(
+            F.abs(z) > F.lit(_Z_SIGMA), F.lit(False)
+        ).alias("is_anomaly"),
+    )
+
 
 def q_window_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially weighted moving average per series over a
@@ -897,6 +959,7 @@ QUERIES = {
     "time_resample_interp": q_time_resample_interp,
     "analytics_ab_test": q_analytics_ab_test,
     "window_ewma_smooth": q_window_ewma_smooth,
+    "window_anomaly_zscore": q_window_anomaly_zscore,
     "join_interval_buckets": q_join_interval_buckets,
     "time_gapfill_locf": q_time_gapfill_locf,
     "window_session_islands": q_window_session_islands,
@@ -961,6 +1024,38 @@ ORACLE = {
     # (repr of the same Python doubles the Spark side embeds);
     # rounded at 6 dp — even identical expression text folds the
     # 10-term chain with ulp-level differences across engines.
+    # Same decimal-exact Σv/Σv² frame construction as the Spark side;
+    # NULLIF guards every degenerate frame (1-row, zero-variance,
+    # all-NULL — note NULLIF(SQRT(·), 0) also catches the -0.0 a
+    # clamped numerator over an n=0 frame produces, matching Spark's
+    # try_divide NULL). GREATEST skips NULLs identically on both
+    # engines, so the all-NULL frame clamps to 0.0 on both.
+    "window_anomaly_zscore": f"""
+        WITH f AS (
+            SELECT event_id, event_type, ts, value,
+                   COUNT(value) OVER w AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w
+                        AS DOUBLE) AS s,
+                   CAST(SUM(CAST(value * value AS DECIMAL(28,6))) OVER w
+                        AS DOUBLE) AS q
+            FROM events
+            WINDOW w AS (
+                PARTITION BY event_type ORDER BY ts, event_id
+                ROWS BETWEEN {_Z_FRAME - 1} PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_id, event_type, ts, value,
+               ROUND(s / NULLIF(n, 0), 6) AS frame_mean,
+               ROUND((value - s / NULLIF(n, 0))
+                     / NULLIF(SQRT(
+                         GREATEST(q - (s * s) / NULLIF(n, 0), 0.0)
+                         / NULLIF(n - 1, 0)), 0), 6) AS zscore,
+               COALESCE(ABS((value - s / NULLIF(n, 0))
+                     / NULLIF(SQRT(
+                         GREATEST(q - (s * s) / NULLIF(n, 0), 0.0)
+                         / NULLIF(n - 1, 0)), 0)) > {_Z_SIGMA},
+                   FALSE) AS is_anomaly
+        FROM f
+    """,
     "window_ewma_smooth": """
         SELECT event_id, event_type, ts, value,
                ROUND((0.0

@@ -625,3 +625,91 @@ def test_url_canonicalize_repeated_tracking_params(spark, monkeypatch):
     ).toPandas()
     duck_pdf = duck.sql(tx_mod.ORACLE["text_url_canonicalize"]).df()
     assert_frames_match(spark_pdf, duck_pdf, "text_url_canonicalize")
+
+
+# --- r9 new operators: crafted-frame differentials ---------------------------
+
+
+def test_anomaly_zscore_degenerate_frames(
+    spark, crafted, duck_crafted, monkeypatch
+):
+    """Rolling z-score over the hazard frame: all-NULL series → NULL z
+    and FALSE flags (never a job kill), constant series → zero
+    variance → NULL z, NULL-value rows inside live frames → NULL z
+    with a real frame_mean, 1-row frames → NULL z."""
+    import frinesis_spark.operators.timeseries as ts_mod
+
+    pdf = _run_vs_oracle(
+        spark, duck_crafted, crafted, monkeypatch, ts_mod,
+        "window_anomaly_zscore",
+    )
+    allnull = pdf[pdf["event_type"] == "allnull"]
+    assert allnull["zscore"].isna().all()
+    assert (~allnull["is_anomaly"].astype(bool)).all()
+    constv = pdf[pdf["event_type"] == "constv"]
+    assert constv["zscore"].isna().all()  # zero variance
+    assert (constv["frame_mean"] == 0.01).all()
+    single = pdf[pdf["event_type"] == "single_on"]
+    assert single["zscore"].isna().all()  # n-1 = 0
+
+
+def test_anomaly_zscore_flags_planted_outlier(spark, monkeypatch):
+    """A 100σ spike in an otherwise mild series must flag on both
+    engines; its neighbors must not."""
+    import frinesis_spark.operators.timeseries as ts_mod
+    from frinesis_spark import catalog
+
+    rows = [
+        (i + 1, _ts(minutes=5 * i), 1, "steady", float(10 + (i % 5)), "{}")
+        for i in range(40)
+    ]
+    rows.append((100, _ts(minutes=5 * 40), 1, "steady", 5000.0, "{}"))
+    rows += [
+        (101 + i, _ts(minutes=5 * (41 + i)), 1, "steady",
+         float(10 + (i % 5)), "{}")
+        for i in range(5)
+    ]
+    events = spark.createDataFrame(rows, _EV_SCHEMA)
+    real_table = catalog.table
+    monkeypatch.setattr(
+        ts_mod,
+        "table",
+        lambda s, d, n: events if n == "events" else real_table(s, d, n),
+    )
+    duck = duckdb.connect()
+    duck.register("events", events.toPandas())
+    spark_pdf = ts_mod.QUERIES["window_anomaly_zscore"](
+        spark, "crafted://spike"
+    ).toPandas()
+    duck_pdf = duck.sql(ts_mod.ORACLE["window_anomaly_zscore"]).df()
+    assert_frames_match(spark_pdf, duck_pdf, "window_anomaly_zscore")
+    by = spark_pdf.set_index("event_id")
+    assert bool(by.loc[100, "is_anomaly"])
+    assert not by.loc[[20, 30, 101], "is_anomaly"].astype(bool).any()
+
+
+def test_containment_vs_jaccard_invariants(spark, sf_dir):
+    """Containment ≥ Jaccard on every shared pair (min-size denominator
+    is never larger), every Jaccard pair survives the containment
+    threshold (0.55 > the measured floor on planted pairs), and
+    contained_id names the smaller shingle set's document."""
+    from frinesis_spark.operators import dedup
+
+    jac = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.q_dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+    cont_rows = dedup.q_dedup_containment_ngram(spark, sf_dir).collect()
+    cont = {(r.doc_a, r.doc_b): r.containment for r in cont_rows}
+    assert cont, "containment must be non-vacuous on the fixture"
+    assert set(jac) <= set(cont)  # containment ≥ jaccard ≥ 0.5 > 0.55? see below
+    for p, j in jac.items():
+        if p in cont:
+            assert cont[p] >= j - 1e-9
+    sizes = {
+        r.doc_id: r.n_sh
+        for r in dedup._cached_shingle_sizes(spark, sf_dir).collect()
+    }
+    for r in cont_rows:
+        smaller = r.doc_a if sizes[r.doc_a] <= sizes[r.doc_b] else r.doc_b
+        assert r.contained_id == smaller

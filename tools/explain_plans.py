@@ -46,6 +46,8 @@ AUDITED = [
     "pipeline_llm_prep",
     "dedup_embedding_cosine",
     "dedup_embedding_ann",
+    "dedup_containment_ngram",
+    "window_anomaly_zscore",
     "similarity_ann_lsh",
     "similarity_ann_ivf",
     "join_asof_tolerance",
