@@ -448,7 +448,15 @@ def compact_line(
 
 def _load_prev_bench(repo: Path, sf: float) -> tuple[int, dict] | None:
     """(round, per-query times) from the newest BENCH_r{N}.json at the
-    same sf — the round number drives _EXPECTED_SHIFTS self-expiry."""
+    same sf — the round number drives _EXPECTED_SHIFTS self-expiry.
+
+    The compact driver-recorded line BUDGETS its queries map, so a
+    growing headline set drops its fastest tail from BENCH_r{N}. The
+    committed BENCH_full.json (read HERE, before this run overwrites
+    it) carries every query — its same-sf entries backfill the
+    missing anchors so a compact-dropped query still gets a vs_prev
+    ratio and stays alarm-eligible next round (r9 review wave 5: the
+    old behavior silently un-anchored the dropped tail)."""
     best: tuple[int, dict] | None = None
     for p in repo.glob("BENCH_r*.json"):
         m = re.match(r"BENCH_r(\d+)\.json", p.name)
@@ -463,7 +471,17 @@ def _load_prev_bench(repo: Path, sf: float) -> tuple[int, dict] | None:
         n = int(m.group(1))
         if best is None or n > best[0]:
             best = (n, parsed["queries"])
-    return best
+    if best is None:
+        return None
+    try:
+        prev_full = json.loads((repo / "BENCH_full.json").read_text())
+    except (OSError, json.JSONDecodeError):
+        return best
+    if prev_full.get("sf") != sf or not prev_full.get("queries"):
+        return best
+    merged = dict(prev_full["queries"])
+    merged.update(best[1])  # the driver-recorded times win on overlap
+    return (best[0], merged)
 
 
 if __name__ == "__main__":

@@ -218,10 +218,44 @@ def test_bench_compact_line_fits_driver_capture():
         bench.compact_line({n: 1.23 for n in bench.HEADLINE}, {}, 0.1, 46.74)
     )
     kept = set(normal["queries"])
-    assert len(kept) >= len(bench.HEADLINE) - 8
+    # The compact line keeps as many queries as the budget allows
+    # (≥55 is capacity sanity, not a hard contract — the headline set
+    # grows). Dropped queries no longer lose their regression anchor:
+    # _load_prev_bench backfills them from the committed
+    # BENCH_full.json (r9 review wave 5), which carries every query.
+    assert len(kept) >= 55
     dropped = set(bench.HEADLINE) - kept
     assert normal.get("queries_truncated", 0) == len(dropped)
     assert len(json.dumps(normal, separators=(",", ":"))) < 1800
+
+
+def test_prev_bench_anchor_backfills_from_full_record(tmp_path):
+    """A query missing from the compact BENCH_r{N}.json (budget-dropped
+    tail) must still get its anchor from the committed full record —
+    the driver-recorded times win where both exist."""
+    import json as _json
+
+    import bench
+
+    (tmp_path / "BENCH_r07.json").write_text(
+        _json.dumps(
+            {"parsed": {"sf": 0.1, "queries": {"q_a": 1.0, "q_b": 2.0}}}
+        )
+    )
+    (tmp_path / "BENCH_full.json").write_text(
+        _json.dumps(
+            {"sf": 0.1, "queries": {"q_b": 9.0, "q_dropped": 0.4}}
+        )
+    )
+    rnd, prev = bench._load_prev_bench(tmp_path, 0.1)
+    assert rnd == 7
+    assert prev == {"q_a": 1.0, "q_b": 2.0, "q_dropped": 0.4}
+    # Wrong-sf full record contributes nothing.
+    (tmp_path / "BENCH_full.json").write_text(
+        _json.dumps({"sf": 0.01, "queries": {"q_x": 1.0}})
+    )
+    _, prev = bench._load_prev_bench(tmp_path, 0.1)
+    assert prev == {"q_a": 1.0, "q_b": 2.0}
 
 
 def _swap_documents(spark, monkeypatch, module, docs):
