@@ -27,7 +27,7 @@ TABLES = (
 )
 
 
-_TS_UNIT_CACHE: dict[str, str] = {}
+_TS_UNIT_CACHE: dict[tuple, str] = {}
 
 
 def events_ts_unit(path: str) -> str:
@@ -39,12 +39,6 @@ def events_ts_unit(path: str) -> str:
     drifted between rounds (ns in r1, µs since r2), so this is probed,
     never assumed. Footer-only read: O(KB) regardless of file size.
     """
-    cached = _TS_UNIT_CACHE.get(path)
-    if cached is not None:
-        return cached
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
     probes = [path]
     if os.path.isdir(path):
         names = sorted(n for n in os.listdir(path) if n.endswith(".parquet"))
@@ -54,6 +48,29 @@ def events_ts_unit(path: str) -> str:
                 f"update catalog.py / FIXTURES.md for the new layout"
             )
         probes = [os.path.join(path, n) for n in names]
+    # Cache keyed on (path, per-file stat signature) — a file
+    # regenerated IN-PROCESS at the same path with a different ts unit
+    # previously kept the stale classification and read µs values
+    # through div-1000 with no error (r9 review wave 6). Stat-only,
+    # same cost class as caches.corpus_fingerprint.
+    sig = tuple(
+        (p, os.stat(p).st_size, os.stat(p).st_mtime_ns) for p in probes
+    )
+    key = (path, sig)
+    cached = _TS_UNIT_CACHE.get(key)
+    if cached is not None:
+        return cached
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # Bounded probe set: first + last + evenly spaced middles (≤8
+    # footers). Mixed-unit dirs are pathological (the generator writes
+    # one unit) — the check is a tripwire, not a guarantee, and a
+    # 10k-file staged dir must not pay 10k synchronous footer reads
+    # before the first query (r9 review wave 6).
+    if len(probes) > 8:
+        step = max(1, len(probes) // 8)
+        probes = probes[::step][:7] + [probes[-1]]
 
     def classify(probe: str) -> str:
         t = pq.read_schema(probe).field("ts").type
@@ -87,7 +104,7 @@ def events_ts_unit(path: str) -> str:
             f"per-file read strategy"
         )
     out = units.pop()
-    _TS_UNIT_CACHE[path] = out
+    _TS_UNIT_CACHE[key] = out
     return out
 
 
@@ -108,8 +125,26 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         from pyspark.sql import functions as F
 
+        # The LTZ→NTZ cast below renders wall-clock in the SESSION
+        # zone: on a non-UTC session every events.ts would silently
+        # shift by the UTC offset vs the naive-timestamp DuckDB oracle
+        # (r9 review wave 6). get_spark pins UTC; an externally built
+        # session must too — fail loudly instead of diverging quietly.
+        tz = spark.conf.get("spark.sql.session.timeZone")
+        if tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+            raise RuntimeError(
+                f"events requires spark.sql.session.timeZone=UTC (got "
+                f"{tz!r}): the ts normalization and every oracle compare "
+                "wall-clocks in UTC — build the session via "
+                "frinesis_spark.session.get_spark or set the conf"
+            )
         path = os.path.join(sf_dir, f"{name}.parquet")
         if events_ts_unit(path) == "ns":
+            # NOTE the same flag+div-1000 branch exists in
+            # streaming/runner.events_stream — change BOTH. The flag
+            # is session-global by Spark's design (analysis-time), so
+            # it is deliberately not restored: restoring it would
+            # break this DataFrame's own lazy re-analysis.
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             df = spark.read.parquet(path)
             return df.withColumn(
@@ -160,23 +195,44 @@ def session_key(spark: SparkSession) -> tuple[str, int]:
 # nothing, so an id()-based key could be recycled by a later sibling
 # session and wrongly skip its registration; a WeakKeyDictionary entry
 # dies with its session, so a recycled id can never alias a live entry.
-_VIEWS_CACHE: "weakref.WeakKeyDictionary[SparkSession, str]" = (
+_VIEWS_CACHE: "weakref.WeakKeyDictionary[SparkSession, tuple]" = (
     weakref.WeakKeyDictionary()
 )
 
+# The TPC-H suite's view set — registering ONLY these contains the
+# blast radius: an events/documents/embeddings fixture problem (ts
+# type the probe rejects, missing file) must not error all 22 SQL
+# queries that never read those tables (r9 review wave 6).
+RELATIONAL_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+)
 
-def register_views(spark: SparkSession, sf_dir: str, force: bool = False) -> None:
-    """Register every table as a temp view for the SQL-string API.
 
-    Idempotent per (session, sf_dir): repeat calls with the same dir are
-    no-ops. Keyed weakly on the session object, so a dead session's
-    entry vanishes with it (no id-reuse aliasing) and a
-    stopped-then-recreated context re-registers from scratch; pass
-    ``force=True`` to re-register within one session (e.g. after
-    dropping a view).
+def register_views(
+    spark: SparkSession,
+    sf_dir: str,
+    force: bool = False,
+    tables: tuple = TABLES,
+) -> None:
+    """Register tables as temp views for the SQL-string API.
+
+    Idempotent and INCREMENTAL per (session, sf_dir): repeat calls
+    register only the not-yet-registered subset; a different sf_dir
+    re-registers from scratch. Keyed weakly on the session object, so
+    a dead session's entry vanishes with it (no id-reuse aliasing) and
+    a stopped-then-recreated context re-registers; pass ``force=True``
+    to re-register within one session (e.g. after dropping a view).
     """
-    if not force and _VIEWS_CACHE.get(spark) == sf_dir:
-        return
-    for name in TABLES:
+    cached_dir, done = _VIEWS_CACHE.get(spark, (None, frozenset()))
+    if force or cached_dir != sf_dir:
+        done = frozenset()
+    missing = [n for n in tables if n not in done]
+    for name in missing:
         table(spark, sf_dir, name).createOrReplaceTempView(name)
-    _VIEWS_CACHE[spark] = sf_dir
+    _VIEWS_CACHE[spark] = (sf_dir, done | set(missing))

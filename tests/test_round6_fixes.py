@@ -86,10 +86,10 @@ def test_views_cache_is_weak_keyed(spark, sf_dir):
 
     sibling = spark.newSession()
     catalog.register_views(sibling, sf_dir)
-    assert catalog._VIEWS_CACHE.get(sibling) == sf_dir
+    assert catalog._VIEWS_CACHE.get(sibling)[0] == sf_dir
     # The main session's entry (if any) is independent of the sibling's.
     catalog.register_views(spark, sf_dir)
-    assert catalog._VIEWS_CACHE.get(spark) == sf_dir
+    assert catalog._VIEWS_CACHE.get(spark)[0] == sf_dir
 
     ref = weakref.ref(sibling)
     # PySpark's _monkey_patch_RDD pins the LATEST-created session via

@@ -590,3 +590,72 @@ def test_event_log_stats_exact_past_retention():
     s = log.stats()
     assert s.n_progress_events == n  # exact totals
     assert s.rows_in == 3 * n and s.rows_written == 2 * n
+
+
+# --- review wave 6: catalog robustness pins ----------------------------------
+
+
+def test_events_requires_utc_session(spark, sf_dir):
+    """A non-UTC session must fail LOUDLY on the events table — the
+    LTZ→NTZ normalization would otherwise silently shift every
+    wall-clock by the zone offset vs the DuckDB oracle."""
+    import pytest as _pytest
+
+    from frinesis_spark import catalog
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        with _pytest.raises(RuntimeError, match="timeZone=UTC"):
+            catalog.table(spark, sf_dir, "events")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    catalog.table(spark, sf_dir, "events")  # UTC restored: fine
+
+
+def test_events_ts_unit_cache_invalidates_on_rewrite(spark, tmp_path):
+    """Regenerating events.parquet at the SAME path with a different
+    ts unit must re-probe, not serve the stale classification (the
+    silent 1000×-too-small failure mode)."""
+    import shutil
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from frinesis_spark import catalog
+
+    p = str(tmp_path / "events.parquet")
+    us = pa.table(
+        {"ts": pa.array([1_000_000, 2_000_000], pa.timestamp("us"))}
+    )
+    pq.write_table(us, p)
+    assert catalog.events_ts_unit(p) == "ts"
+    ns = pa.table(
+        {"ts": pa.array([1_000_000_000, 2_000_000_000], pa.timestamp("ns"))}
+    )
+    pq.write_table(ns, p)
+    import os
+
+    os.utime(p, ns=(time.time_ns(), time.time_ns() + 7))
+    assert catalog.events_ts_unit(p) == "ns"  # re-probed, not stale
+
+
+def test_sql_suite_survives_events_fixture_problem(spark, tmp_path, sf_dir):
+    """The TPC-H SQL queries register only the relational views, so a
+    broken/missing events fixture cannot error all 22 of them."""
+    import os
+    import shutil
+
+    from frinesis_spark import catalog
+    from frinesis_spark.operators import sqlapi
+
+    # A fixture dir with the 7 relational tables but NO events/
+    # documents/embeddings at all.
+    for t in catalog.RELATIONAL_TABLES:
+        os.symlink(
+            os.path.join(sf_dir, f"{t}.parquet"),
+            tmp_path / f"{t}.parquet",
+        )
+    out = sqlapi.QUERIES["sql_tpch_q6"](spark, str(tmp_path)).collect()
+    assert len(out) == 1  # ran fine without the non-relational tables
