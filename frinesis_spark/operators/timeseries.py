@@ -777,19 +777,38 @@ def q_window_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded-overlap re-chunking answer as the rolling quantile.
     """
     e = table(spark, sf_dir, "events")
-    w = (
+    # Sliding sums as DIFFERENCES of running sums: Spark evaluates a
+    # bounded ROWS frame by re-aggregating the frame for EVERY row —
+    # O(rows × frame), measured 3.6 s at sf0.1, the most expensive
+    # query in the suite — while unbounded-preceding frames evaluate
+    # incrementally (the time_resample_interp lesson). frame_sum(i) =
+    # cum(i) − cum(i − _Z_FRAME), with NULL cums (partition head /
+    # all-NULL prefix) coalesced to 0 — exact decimals, so the
+    # difference is BIT-identical to the direct frame aggregate the
+    # oracle computes (whenever the coalesce could matter, n = 0 and
+    # every output is NULL anyway). One sort serves all six windows.
+    ordering = (F.col("ts").asc_nulls_last(), F.col("event_id"))
+    w_cum = (
         W.partitionBy("event_type")
-        .orderBy(F.col("ts").asc_nulls_last(), "event_id")
-        .rowsBetween(-(_Z_FRAME - 1), W.currentRow)
+        .orderBy(*ordering)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    w_lag = W.partitionBy("event_type").orderBy(*ordering)
     # Squares computed in DOUBLE then cast for the exact sum (a
     # decimal(28,6)² would need width 56 > both engines' 38 cap);
     # v² of a ≤2-decimal sub-1000 value is exactly representable.
     dec = F.col("value").cast("decimal(28,6)")
     dec2 = (F.col("value") * F.col("value")).cast("decimal(28,6)")
-    n = F.count("value").over(w)
-    s = F.sum(dec).over(w).cast("double")
-    q = F.sum(dec2).over(w).cast("double")
+    zero = F.lit(0).cast("decimal(28,6)")
+
+    def sliding(cum_col):
+        prev = F.lag(cum_col, _Z_FRAME).over(w_lag)
+        return F.coalesce(cum_col, zero) - F.coalesce(prev, zero)
+
+    cum_n = F.count("value").over(w_cum)
+    n = cum_n - F.coalesce(F.lag(cum_n, _Z_FRAME).over(w_lag), F.lit(0))
+    s = sliding(F.sum(dec).over(w_cum)).cast("double")
+    q = sliding(F.sum(dec2).over(w_cum)).cast("double")
     mean = F.try_divide(s, n)
     var = F.try_divide(
         F.greatest(q - F.try_divide(s * s, n), F.lit(0.0)),
