@@ -45,7 +45,11 @@ def q_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "label",
         F.size("embedding").cast("long").alias("emb_dim"),
-        F.element_at("embedding", 1).cast("double").alias("emb_first"),
+        # try_element_at: an empty embedding array under default-ANSI
+        # Spark throws INVALID_ARRAY_INDEX and kills the whole job,
+        # while the oracle's embedding[1] yields NULL (r9 review wave
+        # 7 — the one-bad-value job-kill class).
+        F.try_element_at("embedding", F.lit(1)).cast("double").alias("emb_first"),
         F.col("n_chars").cast("long").alias("n_chars"),
     )
 

@@ -124,6 +124,13 @@ _CHANGED_SINCE_VERDICT = (
 # oracles (the r8 watch-item), text_url_canonicalize's 'g' flags +
 # open-ended substring, and text_repetition_filter's
 # NULL-text-gets-a-verdict coalesce (both sides).
+# Review-wave-7 demotions (connectors/multimodal; fixture hashes
+# verified unchanged, crafted pins in test_round9_differential.py):
+# source_text_lines_roundtrip's NULL-text filter (both sides — the
+# line format cannot represent NULL), multimodal_join's
+# try_element_at (empty-array ANSI job kill), and
+# source_compressed_roundtrip's null-safe join key + count-based
+# presence flag (NULL-nation group must match itself).
 
 _STALE_EVIDENCE = {
     "agg_filtered_conditional": 6,

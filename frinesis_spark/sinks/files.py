@@ -49,15 +49,45 @@ def scratch_dir(namespace: str, kind: str) -> str:
     helper for both connector modules so the scheme cannot drift.
     Per-pid bases are reclaimed atexit (unlike the old fixed path,
     which each run overwrote in place, per-pid dirs would otherwise
-    accumulate a fixture-sized copy per run — review find)."""
+    accumulate a fixture-sized copy per run — review find). atexit
+    never fires on SIGKILL/OOM-kill, so first use also best-effort
+    sweeps sibling dirs whose owning pid is DEAD (r9 review wave 7:
+    crashed bench/CI runs otherwise grow /tmp without bound — no run
+    ever reclaimed a dead sibling)."""
     base = os.path.join(
         tempfile.gettempdir(), f"{namespace}_{os.getpid()}"
     )
     if base not in _SCRATCH_BASES:
         _SCRATCH_BASES.add(base)
         atexit.register(shutil.rmtree, base, ignore_errors=True)
+        _sweep_dead_siblings(namespace)
     os.makedirs(base, exist_ok=True)
     return os.path.join(base, kind)
+
+
+def _sweep_dead_siblings(namespace: str) -> None:
+    """Remove scratch dirs left by crashed processes: same namespace,
+    numeric pid suffix, pid no longer alive. Best-effort — a raced
+    deletion or a recycled pid (which keeps a LIVE process's dir,
+    never deletes one) is harmless."""
+    tmp = tempfile.gettempdir()
+    try:
+        entries = os.listdir(tmp)
+    except OSError:
+        return
+    prefix = f"{namespace}_"
+    for e in entries:
+        if not e.startswith(prefix):
+            continue
+        suffix = e[len(prefix):]
+        if not suffix.isdigit() or int(suffix) == os.getpid():
+            continue
+        try:
+            os.kill(int(suffix), 0)  # signal 0: existence probe only
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(tmp, e), ignore_errors=True)
+        except OSError:
+            pass  # alive but not ours (EPERM) — leave it
 
 
 def _sink_dir(kind: str) -> str:

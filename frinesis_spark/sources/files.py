@@ -139,7 +139,13 @@ def q_source_text_lines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     documents contain no newlines (asserted by the n_lines check —
     an embedded newline would change the count).
     """
-    d = table(spark, sf_dir, "documents")
+    # NULL text dropped on BOTH sides (r9 review wave 7): Spark's
+    # text writer emits a bare newline for NULL (probed), so a NULL
+    # row would silently round-trip as '' — corrupting min_len /
+    # n_distinct vs the NULL-skipping oracle aggregates and violating
+    # the lossless claim. The line format simply cannot represent
+    # NULL; declaring it out of the contract beats corrupting it.
+    d = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     path = _roundtrip_dir("text_gz")
     d.select("text").write.mode("overwrite").option(
         "compression", "gzip"
@@ -239,7 +245,11 @@ def q_source_compressed_roundtrip(
         F.col("acctbal_sum").alias("z_sum"),
     )
     return (
-        gz.join(zs, gz["c_nationkey"] == zs["z_nationkey"], "full_outer")
+        # eqNullSafe JOIN KEY (r9 wave 7 — the r8 fix covered the
+        # aggregate comparison but not the key): a NULL-nation group
+        # aggregates on both paths and must match ITSELF, not emit two
+        # unmatched codecs_agree=false rows.
+        gz.join(zs, gz["c_nationkey"].eqNullSafe(zs["z_nationkey"]), "full_outer")
         .select(
             "c_nationkey",
             "n_customers",
@@ -249,8 +259,10 @@ def q_source_compressed_roundtrip(
                 # all NULL sums to NULL on both paths, and null-unsafe
                 # `==` would turn TRUE-agreement into NULL while the
                 # oracle pins TRUE (ADVICE r8 — same class this round
-                # fixed elsewhere).
-                F.col("z_nationkey").isNotNull()
+                # fixed elsewhere). Presence = the COUNT column, never
+                # the key: a NULL nation key is a legitimate matched
+                # group under the null-safe join (r9 review wave 7).
+                F.col("z_n").isNotNull()
                 & F.col("n_customers").eqNullSafe(F.col("z_n"))
                 & F.col("acctbal_sum").eqNullSafe(F.col("z_sum"))
             ).alias("codecs_agree"),
@@ -304,6 +316,7 @@ ORACLE = {
                CAST(MIN(LENGTH(text)) AS BIGINT) AS min_len,
                CAST(MAX(LENGTH(text)) AS BIGINT) AS max_len
         FROM documents
+        WHERE text IS NOT NULL  -- the line format cannot represent NULL (r9)
     """,
     "source_csv_roundtrip": """
         SELECT n_regionkey,

@@ -713,3 +713,130 @@ def test_containment_vs_jaccard_invariants(spark, sf_dir):
     for r in cont_rows:
         smaller = r.doc_a if sizes[r.doc_a] <= sizes[r.doc_b] else r.doc_b
         assert r.contained_id == smaller
+
+
+# --- review wave 7: connectors + multimodal pins ------------------------------
+
+
+def test_text_lines_roundtrip_null_text(spark, monkeypatch):
+    """NULL text cannot ride the line format (the writer emits a bare
+    newline that reads back as '') — both sides now drop NULL rows, so
+    the roundtrip stays lossless for what it CAN represent."""
+    import frinesis_spark.sources.files as files_mod
+    from frinesis_spark import catalog
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta", "en", "s", 10),
+            (2, None, "en", "s", None),
+            (3, "gamma", "en", "s", 5),
+        ],
+        _DOC_SCHEMA,
+    )
+    real_table = catalog.table
+    monkeypatch.setattr(
+        files_mod,
+        "table",
+        lambda s, d, n: docs if n == "documents" else real_table(s, d, n),
+    )
+    duck = duckdb.connect()
+    duck.register("documents", docs.toPandas())
+    spark_pdf = files_mod.QUERIES["source_text_lines_roundtrip"](
+        spark, "crafted://nulltext"
+    ).toPandas()
+    duck_pdf = duck.sql(
+        files_mod.ORACLE["source_text_lines_roundtrip"]
+    ).df()
+    assert_frames_match(spark_pdf, duck_pdf, "source_text_lines_roundtrip")
+    assert int(spark_pdf["n_lines"].iloc[0]) == 2  # NULL row excluded
+    assert int(spark_pdf["min_len"].iloc[0]) == 5  # not 0 from a NULL→''
+
+
+def test_multimodal_join_empty_embedding(spark, monkeypatch):
+    """An empty embedding array must yield emb_first = NULL on both
+    engines (bare element_at under default-ANSI killed the job)."""
+    import frinesis_spark.operators.multimodal as mm_mod
+    from frinesis_spark import catalog
+
+    docs = spark.createDataFrame(
+        [(1, "alpha", "en", "s", 5), (2, "beta", "en", "s", 4)],
+        _DOC_SCHEMA,
+    )
+    embs = spark.createDataFrame(
+        [(1, [0.5, 0.25], 7), (2, [], 8)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    real_table = catalog.table
+
+    def fake(s, d, n):
+        if n == "documents":
+            return docs
+        if n == "embeddings":
+            return embs
+        return real_table(s, d, n)
+
+    monkeypatch.setattr(mm_mod, "table", fake)
+    duck = duckdb.connect()
+    duck.register("documents", docs.toPandas())
+    duck.register("embeddings", embs.toPandas())
+    spark_pdf = mm_mod.QUERIES["multimodal_join"](
+        spark, "crafted://emptyemb"
+    ).toPandas()
+    duck_pdf = duck.sql(mm_mod.ORACLE["multimodal_join"]).df()
+    assert_frames_match(spark_pdf, duck_pdf, "multimodal_join")
+
+
+def test_codecs_agree_null_nationkey(spark, monkeypatch):
+    """A NULL c_nationkey group must match ITSELF across the two codec
+    paths (null-unsafe join key previously emitted two unmatched
+    codecs_agree=false rows while the oracle pinned one TRUE row)."""
+    import frinesis_spark.sources.files as files_mod
+    from frinesis_spark import catalog
+
+    crafted = spark.createDataFrame(
+        [
+            (1, "C1", "a", None, "p", 10.5, "S", "c"),
+            (2, "C2", "a", None, "p", 20.0, "S", "c"),
+            (3, "C3", "a", 4, "p", 30.0, "S", "c"),
+        ],
+        "c_custkey long, c_name string, c_address string, "
+        "c_nationkey long, c_phone string, c_acctbal double, "
+        "c_mktsegment string, c_comment string",
+    )
+    real_table = catalog.table
+    monkeypatch.setattr(
+        files_mod,
+        "table",
+        lambda s, d, n: crafted if n == "customer" else real_table(s, d, n),
+    )
+    duck = duckdb.connect()
+    duck.register("customer", crafted.toPandas())
+    spark_pdf = files_mod.QUERIES["source_compressed_roundtrip"](
+        spark, "crafted://nullnation"
+    ).toPandas()
+    duck_pdf = duck.sql(
+        files_mod.ORACLE["source_compressed_roundtrip"]
+    ).df()
+    assert_frames_match(spark_pdf, duck_pdf, "source_compressed_roundtrip")
+    assert len(spark_pdf) == 2
+    assert spark_pdf["codecs_agree"].all()
+
+
+def test_scratch_sweeps_dead_sibling_dirs(tmp_path, monkeypatch):
+    """A scratch dir left by a crashed (dead-pid) process is reclaimed
+    on the next process's first scratch use; live-pid dirs survive."""
+    import os
+    import tempfile as _tf
+
+    from frinesis_spark.sinks import files as sinks_mod
+
+    monkeypatch.setattr(_tf, "gettempdir", lambda: str(tmp_path))
+    dead = tmp_path / "frinesis_test_ns_999999"  # pid far above pid_max
+    dead.mkdir()
+    (dead / "junk").write_text("x")
+    live = tmp_path / f"frinesis_test_ns_{os.getpid()}x"  # non-numeric
+    live.mkdir()
+    sinks_mod._SCRATCH_BASES.clear()
+    sinks_mod.scratch_dir("frinesis_test_ns", "k")
+    assert not dead.exists()  # dead sibling swept
+    assert live.exists()  # non-pid suffix untouched
