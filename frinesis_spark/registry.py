@@ -131,6 +131,13 @@ _CHANGED_SINCE_VERDICT = (
 # try_element_at (empty-array ANSI job kill), and
 # source_compressed_roundtrip's null-safe join key + count-based
 # presence flag (NULL-nation group must match itself).
+# Review-wave-8 demotions (kinesis; fixture hashes verified unchanged
+# by targeted sims, unit pins in test_round9_fixes.py + the full
+# 50-test kinesis suite green): PutRecords byte-limit chunking +
+# oversize-record drop (fixture payloads are tiny), the replay
+# stop-bound guard for vanished sequence numbers, budget-aware
+# GetRecords Limit, the missing-partition-key UUID fallback, and
+# eager write_batch (the registered query always actioned it).
 
 _STALE_EVIDENCE = {
     "agg_filtered_conditional": 6,

@@ -45,6 +45,16 @@ _LOG = logging.getLogger(__name__)
 # (batchproducer.go:15, validated :143-145).
 MAX_KINESIS_BATCH_SIZE = 500
 
+# PutRecords API byte limits: 1 MiB per record (data + partition key),
+# 5 MiB per request. Without byte accounting an oversize batch fails
+# ValidationException on EVERY attempt and is requeued with attempts
+# unchanged — a deterministic retry livelock the record-count cap
+# cannot prevent (r9 review wave 8). A single record over the 1 MiB
+# limit can never be delivered at all: it is dropped with the same
+# data-loss logging as the max-attempts drop path.
+MAX_RECORD_BYTES = 1_048_576
+MAX_REQUEST_BYTES = 5 * 1_048_576
+
 
 class BufferFullError(RuntimeError):
     """Raised by Add when the buffer is full and AddBlocksWhenBufferFull
@@ -291,9 +301,42 @@ class BatchProducer:
         # slow AND failing drains both surface periodic snapshots.
         self._tick_stats()
 
-        take = min(batch_size, len(self._buffer), MAX_KINESIS_BATCH_SIZE)
-        batch = self._buffer[:take]
-        self._buffer = self._buffer[take:]
+        # Byte-aware take (r9 review wave 8): respect BOTH PutRecords
+        # limits while taking — ≤500 records AND ≤5 MiB per request;
+        # an over-1-MiB record is undeliverable and drops here with
+        # the data-loss log line (the ValidationException it would
+        # cause fails the WHOLE call and livelocks the retry loop).
+        take_n = min(batch_size, len(self._buffer), MAX_KINESIS_BATCH_SIZE)
+        batch: list = []
+        consumed = 0
+        used_bytes = 0
+        for data, pk, attempts in self._buffer[:take_n]:
+            rec_bytes = len(data) + len(pk or "")
+            if rec_bytes > MAX_RECORD_BYTES:
+                consumed += 1
+                self.stats.records_dropped += 1
+                self.stats.events.append(
+                    f"dropped oversize record ({rec_bytes} bytes > "
+                    f"{MAX_RECORD_BYTES} PutRecords limit)"
+                )
+                _LOG.error(
+                    "Dropping undeliverable record: %d bytes exceeds "
+                    "the %d-byte PutRecords record limit (stream %s)",
+                    rec_bytes,
+                    MAX_RECORD_BYTES,
+                    self.stream_name,
+                )
+                continue
+            if batch and used_bytes + rec_bytes > MAX_REQUEST_BYTES:
+                break  # request full — the rest stays buffered
+            batch.append((data, pk, attempts))
+            used_bytes += rec_bytes
+            consumed += 1
+        self._buffer = self._buffer[consumed:]
+        if not batch:
+            # Everything taken was oversize: nothing to send, but the
+            # drops left the buffer for good.
+            return consumed
         entries = [
             {"Data": data, "PartitionKey": pk} for data, pk, _ in batch
         ]
@@ -524,11 +567,15 @@ class KinesisBatchWriter:
                 prod = BatchProducer(client, topic, self.config)
                 producers[topic] = prod
             data = row[self.data_col]
-            pk = (
-                row[self.partition_key_col]
-                if self.partition_key_col is not None
-                else None
-            )
+            # Column-presence fallback (r9 review wave 8): the default
+            # partition_key_col on a frame WITHOUT that column raised
+            # per row instead of falling back to the advertised A16
+            # UUID generation (the DataSource writer's d.get path).
+            pk = None
+            if self.partition_key_col is not None and (
+                self.partition_key_col in (getattr(row, "__fields__", ()) or ())
+            ):
+                pk = row[self.partition_key_col]
             prod.add(_payload_bytes(data), pk)  # A3 (+A16 inside add)
         for topic, prod in producers.items():  # A11: flush every topic
             _sent, remaining = prod.flush(
@@ -555,7 +602,13 @@ class KinesisBatchWriter:
         spark = batch_df.sparkSession
         routed = batch_df.repartition(self.topic_col)
         stats_rdd = routed.rdd.mapPartitions(self._write_partition)
-        return spark.createDataFrame(stats_rdd, self.STATS_SCHEMA)
+        # EAGER (r9 review wave 8): the side effect must not ride on
+        # lazy evaluation — an un-actioned return value silently sent
+        # nothing, and every re-evaluation re-sent every record. The
+        # collected stats are one tiny row per topic; the returned
+        # frame is a local relation that can be re-used freely.
+        stats_rows = stats_rdd.collect()
+        return spark.createDataFrame(stats_rows, self.STATS_SCHEMA)
 
     def __call__(self, batch_df, epoch_id):
         """foreachBatch entry point (A5's time trigger is configured on

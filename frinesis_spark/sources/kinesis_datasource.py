@@ -82,6 +82,17 @@ def _client_factory(options: dict):
     return make_boto3_client_factory()
 
 
+def _seq_after(a: str, b: str) -> bool:
+    """True iff sequence number ``a`` is strictly beyond ``b``.
+    Kinesis sequence numbers are big-integer strings that increase
+    within a shard; non-numeric values (an exotic mock) fall back to
+    False, preserving the equality-stop behavior."""
+    try:
+        return int(a) > int(b)
+    except (TypeError, ValueError):
+        return False
+
+
 def _stream_name(options: dict) -> str:
     name = options.get("stream")
     if not name:
@@ -239,9 +250,27 @@ class KinesisSimpleStreamReader(SimpleDataSourceStreamReader):
         while it:
             if max_records is not None and len(rows) >= max_records:
                 break
-            resp = client.get_records(ShardIterator=it, Limit=10_000)
+            # Budget-aware Limit (r9 review wave 8): the budget check
+            # between calls alone let ONE get_records overshoot
+            # per-shard budgets by up to 10k records into the
+            # driver-side list.
+            limit = 10_000
+            if max_records is not None:
+                limit = max(1, min(limit, max_records - len(rows)))
+            resp = client.get_records(ShardIterator=it, Limit=limit)
             for rec in resp.get("Records", []):
-                last = str(rec["SequenceNumber"])
+                seq = str(rec["SequenceNumber"])
+                # Replay bound safety (r9 review wave 8): if the
+                # stop record itself is gone (aged past retention),
+                # the equality stop never fires and the replay would
+                # silently drain to the live tip — records beyond the
+                # committed end belong to LATER batches. Kinesis
+                # sequence numbers increase within a shard, so a
+                # numeric beyond-the-bound record ends the replay
+                # WITHOUT being included.
+                if stop_seq is not None and _seq_after(seq, stop_seq):
+                    return rows, last
+                last = seq
                 rows.append(
                     (
                         self.stream,
@@ -422,16 +451,21 @@ class KinesisPartitionedStreamReader(DataSourceStreamReader):
         if not partition.shard_id:
             return
         client = self.factory()
-        it = client.get_shard_iterator(
+        # Conditional kwargs (r9 review wave 8): the real Kinesis API
+        # rejects TRIM_HORIZON + StartingSequenceNumber with
+        # InvalidArgumentException — latent behind the mock-only
+        # guard, but this class is documented as the shared-logic
+        # high-throughput variant.
+        it_kwargs = dict(
             StreamName=self.stream,
             ShardId=partition.shard_id,
-            ShardIteratorType=(
-                "TRIM_HORIZON"
-                if partition.start == 0
-                else "AT_SEQUENCE_NUMBER"
-            ),
-            StartingSequenceNumber=str(partition.start),
-        )["ShardIterator"]
+        )
+        if partition.start == 0:
+            it_kwargs["ShardIteratorType"] = "TRIM_HORIZON"
+        else:
+            it_kwargs["ShardIteratorType"] = "AT_SEQUENCE_NUMBER"
+            it_kwargs["StartingSequenceNumber"] = str(partition.start)
+        it = client.get_shard_iterator(**it_kwargs)["ShardIterator"]
         while it:
             resp = client.get_records(ShardIterator=it, Limit=10_000)
             for rec in resp.get("Records", []):

@@ -659,3 +659,118 @@ def test_sql_suite_survives_events_fixture_problem(spark, tmp_path, sf_dir):
         )
     out = sqlapi.QUERIES["sql_tpch_q6"](spark, str(tmp_path)).collect()
     assert len(out) == 1  # ran fine without the non-relational tables
+
+
+# --- review wave 8: kinesis byte limits + replay bounds ----------------------
+
+
+def test_sink_byte_aware_batching_and_oversize_drop(tmp_path):
+    """PutRecords byte limits: a >1 MiB record is undeliverable and
+    drops with the data-loss accounting (the ValidationException it
+    would cause fails the WHOLE call — a retry livelock); a batch of
+    large-but-legal records splits so no request exceeds 5 MiB."""
+    from frinesis_spark.sinks.kinesis import (
+        MAX_REQUEST_BYTES,
+        BatchProducer,
+        KinesisSinkConfig,
+    )
+    from frinesis_spark.sinks.mock import MockKinesisClient
+
+    client = MockKinesisClient(store_dir=str(tmp_path / "store"))
+    sizes = []
+    real_put = client.put_records
+
+    def measuring_put(Records, StreamName):
+        sizes.append(
+            sum(len(r["Data"]) + len(r["PartitionKey"]) for r in Records)
+        )
+        return real_put(Records, StreamName)
+
+    client.put_records = measuring_put
+    prod = BatchProducer(
+        client, "t", KinesisSinkConfig(batch_size=500, buffer_size=10_000)
+    )
+    prod.add(b"x" * 2_000_000, "huge")  # > 1 MiB: undeliverable
+    for i in range(12):
+        prod.add(b"y" * 900_000, f"k{i}")  # 12 × 0.9 MB ≈ 10.8 MB
+    sent, remaining = prod.flush(timeout_s=30.0, send_stats=False)
+    assert remaining == 0
+    assert sent == 12
+    assert prod.stats.records_dropped == 1  # the oversize record
+    assert any("oversize" in e for e in prod.stats.events)
+    assert sizes and all(s <= MAX_REQUEST_BYTES for s in sizes)
+    assert len(sizes) >= 3  # 10.8 MB needs ≥3 requests at 5 MiB each
+
+
+def test_stream_reader_replay_stops_at_vanished_bound(tmp_path):
+    """readBetweenOffsets replay whose stop-sequence record has aged
+    out must stop BEFORE the first record beyond the bound instead of
+    silently draining to the live tip."""
+    from frinesis_spark.sinks.mock import MockKinesisClient
+    from frinesis_spark.sources.kinesis_datasource import (
+        KinesisSimpleStreamReader,
+    )
+
+    store = str(tmp_path / "store")
+    client = MockKinesisClient(store_dir=store)
+    for i in range(10):
+        client.put_records(
+            Records=[{"Data": f"m{i}".encode(), "PartitionKey": f"p{i}"}],
+            StreamName="s",
+        )
+    reader = KinesisSimpleStreamReader(
+        {"stream": "s", "mockstoredir": store}
+    )
+    # Replay [after seq 1 .. seq 5]: normal inclusive stop.
+    rows, last = reader._read_shard_from(
+        client, "shardId-000000000000", "1", stop_seq="5"
+    )
+    assert [r[2] for r in rows] == ["2", "3", "4", "5"]
+    # stop_seq "4.5-like" gap: a bound whose record no longer exists
+    # (simulate with a never-assigned sequence between 4 and 5 is not
+    # expressible in the positional mock, so use a bound BELOW the
+    # stream head: all records are beyond it → empty replay).
+    rows, last = reader._read_shard_from(
+        client, "shardId-000000000000", "5", stop_seq="3"
+    )
+    assert rows == []  # everything after pos is beyond the bound
+
+
+def test_sink_writer_missing_partition_key_column(spark, tmp_path):
+    """A (topic, data)-only frame through KinesisBatchWriter's DEFAULTS
+    must fall back to UUID partition keys (A16), not raise per row."""
+    from frinesis_spark.sinks.kinesis import KinesisBatchWriter
+    from frinesis_spark.sinks.mock import MockKinesisClient, read_back
+
+    store = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [("t1", b"a"), ("t1", b"b"), ("t2", b"c")],
+        "topic string, data binary",
+    )
+    writer = KinesisBatchWriter(
+        lambda: MockKinesisClient(store_dir=store)
+    )
+    stats = writer.write_batch(df).collect()
+    assert sum(r.n_sent for r in stats) == 3
+    recs = read_back(store)
+    assert len(recs) == 3
+    assert all(r["partition_key"] for r in recs)  # real UUIDs assigned
+
+
+def test_write_batch_is_eager_and_rerun_safe(spark, tmp_path):
+    """write_batch must deliver WITHOUT the caller actioning the
+    returned stats frame, and re-using that frame must not re-send."""
+    from frinesis_spark.sinks.kinesis import KinesisBatchWriter
+    from frinesis_spark.sinks.mock import MockKinesisClient, read_back
+
+    store = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [("t1", b"a", "k1"), ("t1", b"b", "k2")],
+        "topic string, data binary, partition_key string",
+    )
+    writer = KinesisBatchWriter(lambda: MockKinesisClient(store_dir=store))
+    stats = writer.write_batch(df)  # NO action taken by the caller
+    assert len(read_back(store)) == 2  # already delivered
+    stats.count()
+    stats.collect()
+    assert len(read_back(store)) == 2  # re-evaluation sends nothing
