@@ -65,6 +65,7 @@ HEADLINE = [
     "join_range_theta",
     "window_rank_topk",
     "agg_distinct",
+    "agg_approx_quantile",
     "sort_limit",
     "udf_python",
     "dedup_exact",

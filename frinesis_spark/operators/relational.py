@@ -311,6 +311,61 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# approx_percentile relative-error tolerance for the self-grading
+# sketch check. Observed worst |approx−exact|/exact at accuracy 10⁴:
+# 0.00077 / 0.00021 / 0.00020 at sf0.001/0.01/0.1 (deterministic per
+# fixture) — the 0.005 bound sits a full step above the worst so
+# fixture regeneration can't flip the boolean, while a broken sketch
+# (wrong column, scrambled accuracy) lands far outside.
+_APPROX_PCT_TOL = 0.005
+_APPROX_PCT_ACCURACY = 10_000
+
+
+def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles — the second sketch family after the
+    HLL cardinality path, with the same self-grading contract
+    (r8/r9 pattern): ``approx_percentile`` (Spark's mergeable
+    quantile sketch) is THE 100 TB percentile plan — the exact form
+    buffers and sorts each group (SCALE.md names this swap as the
+    scale path, and this query makes that claim driver-verified).
+    Sketch internals differ across engines, so the approx values
+    can't hash-match; instead the query computes the exact
+    interpolating percentiles alongside and emits a boolean pinning
+    the relative error within ``_APPROX_PCT_TOL`` for both quantiles
+    of every group. The oracle recomputes the exact percentiles
+    (``QUANTILE_CONT`` — the same interpolation, established by the
+    rolling-quantile parity) and asserts the boolean TRUE.
+
+    Scale: one hash-agg shuffle carrying one sketch + one exact
+    buffer per group; at 100 TB you drop the exact columns and keep
+    the mergeable sketch — the error contract is fixture-verified
+    here, exactly like the HLL check above.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.expr(
+            "percentile(l_extendedprice, array(0.5D, 0.95D))"
+        ).alias("exact"),
+        F.expr(
+            f"approx_percentile(l_extendedprice, array(0.5D, 0.95D), "
+            f"{_APPROX_PCT_ACCURACY})"
+        ).alias("approx"),
+    )
+    within = (
+        F.abs(F.col("approx")[0] - F.col("exact")[0])
+        <= F.lit(_APPROX_PCT_TOL) * F.abs(F.col("exact")[0])
+    ) & (
+        F.abs(F.col("approx")[1] - F.col("exact")[1])
+        <= F.lit(_APPROX_PCT_TOL) * F.abs(F.col("exact")[1])
+    )
+    return agg.select(
+        "l_returnflag",
+        F.round(F.col("exact")[0], 6).alias("p50_exact"),
+        F.round(F.col("exact")[1], 6).alias("p95_exact"),
+        within.alias("approx_within_tol"),
+    )
+
+
 def q_agg_mode_frequent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic MODE: the most frequent order priority per order
     status, with its count and share — the categorical summary stat.
@@ -1411,6 +1466,7 @@ QUERIES = {
     "agg_group_sum": q_agg_group_sum,
     "agg_distinct": q_agg_distinct,
     "agg_approx_distinct": q_agg_approx_distinct,
+    "agg_approx_quantile": q_agg_approx_quantile,
     "agg_rollup_cube": q_agg_rollup_cube,
     "agg_percentile": q_agg_percentile,
     "agg_pivot": q_agg_pivot,
@@ -1880,6 +1936,17 @@ ORACLE = {
                COUNT(DISTINCT l_partkey) AS exact_parts,
                COUNT(DISTINCT l_orderkey) AS exact_orders,
                TRUE AS approx_within_rsd
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    # QUANTILE_CONT ≙ Spark's exact interpolating percentile (the
+    # rolling-quantile parity precedent); the tolerance boolean is
+    # asserted TRUE, same contract as the HLL check above.
+    "agg_approx_quantile": """
+        SELECT l_returnflag,
+               ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 6) AS p50_exact,
+               ROUND(QUANTILE_CONT(l_extendedprice, 0.95), 6) AS p95_exact,
+               TRUE AS approx_within_tol
         FROM lineitem
         GROUP BY l_returnflag
     """,

@@ -48,6 +48,7 @@ AUDITED = [
     "dedup_embedding_ann",
     "dedup_containment_ngram",
     "window_anomaly_zscore",
+    "agg_approx_quantile",
     "similarity_ann_lsh",
     "similarity_ann_ivf",
     "join_asof_tolerance",
