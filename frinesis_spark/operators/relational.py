@@ -358,6 +358,14 @@ def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("approx")[1] - F.col("exact")[1])
         <= F.lit(_APPROX_PCT_TOL) * F.abs(F.col("exact")[1])
     )
+    # A group with no non-NULL prices has nothing to grade → vacuously
+    # TRUE (the _pair_recall_check empty-set convention; the oracle
+    # pins TRUE, and a bare NULL boolean would hash-mismatch). A
+    # BROKEN sketch (approx NULL while exact is real) still grades
+    # NULL → loud driver mismatch, never masked.
+    within = F.when(F.col("exact")[0].isNull(), F.lit(True)).otherwise(
+        within
+    )
     return agg.select(
         "l_returnflag",
         F.round(F.col("exact")[0], 6).alias("p50_exact"),

@@ -840,3 +840,36 @@ def test_scratch_sweeps_dead_sibling_dirs(tmp_path, monkeypatch):
     sinks_mod.scratch_dir("frinesis_test_ns", "k")
     assert not dead.exists()  # dead sibling swept
     assert live.exists()  # non-pid suffix untouched
+
+
+def test_approx_quantile_all_null_group(spark, monkeypatch):
+    """A group whose prices are all NULL grades vacuously TRUE on both
+    engines (nothing to grade); real groups stay within tolerance."""
+    import frinesis_spark.operators.relational as rel_mod
+    from frinesis_spark import catalog
+
+    rows = [(i, "A", 100.0 + i) for i in range(20)] + [
+        (100 + i, "N", None) for i in range(3)
+    ]
+    lineitem = spark.createDataFrame(
+        rows, "l_orderkey long, l_returnflag string, l_extendedprice double"
+    )
+    real_table = catalog.table
+    monkeypatch.setattr(
+        rel_mod,
+        "table",
+        lambda s, d, n: lineitem
+        if n == "lineitem"
+        else real_table(s, d, n),
+    )
+    duck = duckdb.connect()
+    duck.register("lineitem", lineitem.toPandas())
+    spark_pdf = rel_mod.QUERIES["agg_approx_quantile"](
+        spark, "crafted://nullprice"
+    ).toPandas()
+    duck_pdf = duck.sql(rel_mod.ORACLE["agg_approx_quantile"]).df()
+    assert_frames_match(spark_pdf, duck_pdf, "agg_approx_quantile")
+    by = spark_pdf.set_index("l_returnflag")
+    assert bool(by.loc["N", "approx_within_tol"])  # vacuous TRUE
+    assert by.loc["N"][["p50_exact", "p95_exact"]].isna().all()
+    assert bool(by.loc["A", "approx_within_tol"])
