@@ -58,6 +58,19 @@ def main(argv: list[str] | None = None) -> int:
             print(name)
         return 0
 
+    # Validate BEFORE the JVM spins up: a typo'd name or a negative
+    # limit must fail instantly, not after multi-second session
+    # startup (r9 review wave 9).
+    if args.limit < 0:
+        print("--limit must be >= 0 (0 streams all rows)", file=sys.stderr)
+        return 2
+    fn = None
+    if args.cmd == "run":
+        fn = queries.get(args.name)
+        if fn is None:
+            print(f"unknown query {args.name!r}; see `list`", file=sys.stderr)
+            return 2
+
     from frinesis_spark.session import get_spark
 
     spark = get_spark("frinesis_spark_cli")
@@ -67,10 +80,6 @@ def main(argv: list[str] | None = None) -> int:
         register_views(spark, args.sf_dir)
         df = spark.sql(args.query)
     else:
-        fn = queries.get(args.name)
-        if fn is None:
-            print(f"unknown query {args.name!r}; see `list`", file=sys.stderr)
-            return 2
         df = fn(spark, args.sf_dir)
 
     # --limit 0 streams via toLocalIterator(), never df.collect(): the

@@ -19,6 +19,12 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+# Domain contract: dsum/davg are for FINITE, money-scaled doubles
+# (every fixture column they touch). A NaN/Infinity or a value beyond
+# 22 integer digits fails the decimal cast LOUDLY on BOTH engines
+# (Spark ANSI NUMERIC_VALUE_OUT_OF_RANGE — probed r9; DuckDB
+# ConversionException): one defined behavior, never a silent
+# engine-side exclusion.
 # Scale 6 matters: inputs are 2-decimal money values, so products of up
 # to three factors have EXACTLY 6 decimal digits. At scale 6 the cast
 # target is exactly representable and both engines round the (±1 ulp)

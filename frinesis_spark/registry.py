@@ -138,6 +138,13 @@ _CHANGED_SINCE_VERDICT = (
 # stop-bound guard for vanished sequence numbers, budget-aware
 # GetRecords Limit, the missing-partition-key UUID fallback, and
 # eager write_batch (the registered query always actioned it).
+# Review-wave-9 demotions (streaming; fixture hashes verified
+# unchanged, crafted pins in test_round9_differential.py):
+# stream_sliding_agg's oracle FLOOR bucketing (pre-1970 only) and
+# stream_dedup_stateful's watermark removal (the watermark bounded
+# nothing — event time is not a dedup key — but armed the late-row
+# drop on multi-batch replays; single-batch fixture output
+# bit-identical).
 
 _STALE_EVIDENCE = {
     "agg_filtered_conditional": 6,

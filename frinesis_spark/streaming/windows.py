@@ -150,11 +150,15 @@ def q_stream_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver verifies.
     """
     ev = events_stream(spark, sf_dir)
-    deduped = (
-        ev.withWatermark("ts", _WATERMARK)
-        .dropDuplicates(["event_id"])
-        .select("event_id")
-    )
+    # NO watermark (r9 review wave 9): event-time is not among the
+    # dedup keys, so a watermark would not bound the dedup state at
+    # all — but it WOULD arm StreamingDeduplicateExec's late-row DROP
+    # filter, silently losing any event_id arriving >10 min behind the
+    # max seen ts on a multi-batch replay (breaking the DISTINCT
+    # oracle). State is O(distinct ids) by design either way; on a
+    # true unbounded stream the bounded-state form is
+    # dropDuplicatesWithinWatermark with event time IN the key.
+    deduped = ev.dropDuplicates(["event_id"]).select("event_id")
     return run_append_to_files(deduped)
 
 
@@ -475,7 +479,14 @@ QUERIES = {
 
 _TRUNC_HOUR = "DATE_TRUNC('hour', ts)"
 # Start of the 5-minute bucket containing ts (epoch_us is exact integer math).
-_TRUNC_5MIN = "MAKE_TIMESTAMP((EPOCH_US(ts) // 300000000) * 300000000)"
+# FLOOR over doubles, not `//`: DuckDB integer division truncates
+# toward zero, so a pre-1970 timestamp would bucket one window late vs
+# Spark's flooring window() (r9 review wave 9 — the time_ohlc_bars
+# class; exact for µs magnitudes < 2^53).
+_TRUNC_5MIN = (
+    "MAKE_TIMESTAMP(CAST(FLOOR(EPOCH_US(ts) / 300000000.0) AS BIGINT)"
+    " * 300000000)"
+)
 
 ORACLE = {
     "stream_foreach_batch_upsert": """

@@ -873,3 +873,75 @@ def test_approx_quantile_all_null_group(spark, monkeypatch):
     assert bool(by.loc["N", "approx_within_tol"])  # vacuous TRUE
     assert by.loc["N"][["p50_exact", "p95_exact"]].isna().all()
     assert bool(by.loc["A", "approx_within_tol"])
+
+
+# --- review wave 9: streaming windows pins ------------------------------------
+
+
+def _stage_events(spark, tmp_path, rows):
+    d = tmp_path / "sf_crafted"
+    d.mkdir()
+    spark.createDataFrame(rows, _EV_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(d / "events.parquet"))
+    return str(d)
+
+
+def test_sliding_agg_pre_epoch_timestamps(spark, tmp_path):
+    """Pre-1970 events: the sliding-window oracle's old `//` bucketing
+    truncated toward zero (one window late) while Spark's window()
+    floors — pinned on FLOOR over doubles."""
+    import duckdb as _duck
+
+    import frinesis_spark.streaming.windows as w_mod
+
+    pre = datetime.datetime(1969, 12, 31, 23, 58, 0)
+    rows = [
+        (1, pre, 1, "view", 1.0, "{}"),
+        (2, pre + datetime.timedelta(minutes=1), 1, "view", 1.0, "{}"),
+        (3, _ts(hours=1), 1, "click", 1.0, "{}"),
+    ]
+    sf = _stage_events(spark, tmp_path, rows)
+    spark_pdf = w_mod.QUERIES["stream_sliding_agg"](spark, sf).toPandas()
+    duck = _duck.connect()
+    duck.register(
+        "events", spark.createDataFrame(rows, _EV_SCHEMA).toPandas()
+    )
+    duck_pdf = duck.sql(w_mod.ORACLE["stream_sliding_agg"]).df()
+    assert_frames_match(spark_pdf, duck_pdf, "stream_sliding_agg")
+    starts = sorted(spark_pdf["window_start"])
+    assert starts[0] == datetime.datetime(1969, 12, 31, 23, 50)  # floored
+
+
+def test_stream_dedup_multi_batch_late_id_survives(spark, tmp_path):
+    """A fresh event_id arriving in a LATER micro-batch with an event
+    time far behind the first batch's max must still be emitted — the
+    removed watermark previously armed the late-row drop filter and
+    silently lost it vs the DISTINCT oracle."""
+    import glob
+    import os
+
+    from frinesis_spark.streaming.runner import run_append_to_files
+
+    src = tmp_path / "src"
+    src.mkdir()
+    early = [(1, _ts(hours=5), 1, "view", 1.0, "{}"),
+             (2, _ts(hours=6), 1, "view", 1.0, "{}")]
+    late = [(3, _ts(hours=1), 2, "view", 1.0, "{}")]  # 4h behind max
+    spark.createDataFrame(early, _EV_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    spark.createDataFrame(late, _EV_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    schema = spark.read.parquet(str(src)).schema
+    # One file per trigger → the late file lands in a SECOND batch.
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    deduped = stream.dropDuplicates(["event_id"]).select("event_id")
+    out = run_append_to_files(deduped)
+    got = sorted(r.event_id for r in out.collect())
+    assert got == [1, 2, 3]  # the late fresh id SURVIVES
