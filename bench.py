@@ -80,6 +80,7 @@ HEADLINE = [
     "similarity_ann_lsh",
     "text_analysis_stats",
     "stream_tumbling_agg",
+    "stream_incremental_batches",
     "join_asof",
     "merge_upsert",
     "time_rollup_hypertable",

@@ -76,9 +76,11 @@ def _load_modules():
 #   3. green in CORRECTNESS_r08 (freshest evidence, cheapest to skip).
 # Window arithmetic (r9): |tier0| + new tier-1 registrations + the 39
 # r6-stale rows must fit the ~50-slot window (r8 verdict item 1: "no
-# registered query's evidence older than r7" at the r9 verdict). With
-# tier0 = 2 and each new registration consuming one slot, the budget
-# for new queries this round is ~50 - 2 - 39 = 9; stay well under it.
+# registered query's evidence older than r7" at the r9 verdict).
+# Final r9 fill: 3 tier0 + 5 new (dedup_embedding_ann,
+# dedup_containment_ngram, window_anomaly_zscore, agg_approx_quantile,
+# stream_incremental_batches) + 39 r6-stale = 47 ≤ 50 — registration
+# FROZEN for the round at 3 slots of slack.
 _CHANGED_SINCE_VERDICT = (
     # r9: the last two rows-only queries became self-grading (VERDICT
     # r8 item 2): both now join their candidate pairs against the

@@ -133,6 +133,103 @@ def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_append_to_files(agg)
 
 
+def _stage_events_split(spark: SparkSession, sf_dir: str, n: int) -> str:
+    """Versioned multi-file staging of the events table, TIME-RANGE
+    split into ``n`` parquet files with mtimes in range order — the
+    multi-micro-batch replay source for
+    :func:`q_stream_incremental_batches`.
+
+    Range split (repartitionByRange on ts), not hash: each file's
+    rows are no older than every earlier file's, so oldest-first
+    file-source processing (the default) advances the watermark
+    MONOTONICALLY across micro-batches and no in-order row is ever
+    dropped as late — the emitted-window set stays exactly the
+    final-watermark contract the oracle computes. mtimes are bumped
+    in range order because FileStreamSource picks files oldest-first
+    by modification time. Versioned by corpus fingerprint like
+    runner._stage_dir (immutable once built; keep-two-generations
+    would apply if fixtures ever regenerated mid-process — this
+    staging is test/fixture plumbing, the production source is a real
+    stream)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from frinesis_spark.caches import corpus_fingerprint
+    from frinesis_spark.catalog import table as _table
+
+    fp = corpus_fingerprint(sf_dir, "events")
+    stage = os.path.join(
+        tempfile.gettempdir(), f"fs_split_{fp}_{n}"
+    )
+    if os.path.exists(stage):
+        return stage
+    tmp = f"{stage}.tmp_{os.getpid()}_{uuid.uuid4().hex[:6]}"
+    (
+        _table(spark, sf_dir, "events")
+        .repartitionByRange(n, "ts")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    parts = sorted(
+        f for f in os.listdir(tmp) if f.endswith(".parquet")
+    )
+    base = 1_000_000_000  # fixed epoch secs: deterministic ordering
+    for i, f in enumerate(parts):
+        os.utime(os.path.join(tmp, f), (base + i, base + i))
+    try:
+        os.rename(tmp, stage)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost a concurrent race
+    return stage
+
+
+def q_stream_incremental_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multi-micro-batch streaming: the same watermarked hourly
+    rollup as ``stream_watermark_late``, but replayed as FOUR
+    time-ordered files with ``maxFilesPerTrigger=1`` — four
+    micro-batches instead of one. This is the one streaming shape a
+    single-file replay cannot exercise: per-window aggregation STATE
+    carried and MERGED across micro-batch boundaries (an hour window
+    straddling a file boundary accumulates across two batches), the
+    watermark advancing monotonically batch to batch, and windows
+    emitting exactly when the watermark passes them. The emitted set
+    is the same final-watermark contract as the single-batch replay —
+    which is the point: cross-batch execution must not change the
+    answer, and the oracle (batch agg minus windows newer than
+    max(ts) − 10min) verifies it by hash.
+
+    Scale: this IS production streaming's steady state — micro-batch
+    after micro-batch against the same state store; the single-batch
+    replays everywhere else are the degenerate first-batch case.
+    """
+    stage = _stage_events_split(spark, sf_dir, 4)
+    schema = spark.read.parquet(stage).schema
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = (
+        ev.withWatermark("ts", _WATERMARK)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("window.end").cast("timestamp_ntz").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_append_to_files(agg)
+
+
 def q_stream_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL streaming: stateful dropDuplicates on event_id.
 
@@ -473,6 +570,7 @@ QUERIES = {
     "stream_sliding_agg": q_stream_sliding_agg,
     "stream_session_window": q_stream_session_window,
     "stream_watermark_late": q_stream_watermark_late,
+    "stream_incremental_batches": q_stream_incremental_batches,
     "stream_dedup_stateful": q_stream_dedup_stateful,
     "stream_stream_join": q_stream_stream_join,
 }
@@ -576,4 +674,18 @@ ORACLE = {
         HAVING {_TRUNC_HOUR} + INTERVAL 1 HOUR <= (SELECT w FROM wm)
     """,
     "stream_dedup_stateful": "SELECT DISTINCT event_id FROM events",
+    # Same emitted-window contract as stream_watermark_late: the
+    # multi-batch replay must produce the identical set (cross-batch
+    # state merging changes nothing — that is what the hash proves).
+    "stream_incremental_batches": f"""
+        WITH wm AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM events)
+        SELECT {_TRUNC_HOUR} AS window_start,
+               {_TRUNC_HOUR} + INTERVAL 1 HOUR AS window_end,
+               event_type,
+               COUNT(*) AS n_events,
+               {oracle_dsum('value')} AS sum_value
+        FROM events
+        GROUP BY 1, 2, 3
+        HAVING {_TRUNC_HOUR} + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+    """,
 }

@@ -799,3 +799,41 @@ def test_approx_quantile_sharp_local_bound(spark, sf_dir):
             assert abs(a - e) <= 0.001 * abs(e)
     grade = rel.QUERIES["agg_approx_quantile"](spark, sf_dir).collect()
     assert all(r["approx_within_tol"] for r in grade)
+
+
+def test_incremental_batches_really_multi_batch(spark, sf_dir):
+    """The multi-batch replay must genuinely run MULTIPLE micro-batches
+    (4 time-ordered staged files, maxFilesPerTrigger=1) — otherwise the
+    cross-batch state-merge claim is vacuous — and its result must
+    equal the single-batch replay's exactly."""
+    import os
+
+    from frinesis_spark.streaming import windows as w_mod
+    from frinesis_spark.streaming.observability import EngineEventLog
+
+    stage = w_mod._stage_events_split(spark, sf_dir, 4)
+    parts = [f for f in os.listdir(stage) if f.endswith(".parquet")]
+    assert len(parts) == 4
+    mts = sorted(os.path.getmtime(os.path.join(stage, f)) for f in parts)
+    assert len(set(mts)) == 4  # strict mtime order drives batch order
+
+    log = EngineEventLog()
+    spark.streams.addListener(log)
+    try:
+        multi = {
+            tuple(r)
+            for r in w_mod.QUERIES["stream_incremental_batches"](
+                spark, sf_dir
+            ).collect()
+        }
+    finally:
+        spark.streams.removeListener(log)
+    batch_ids = {p["batchId"] for p in log.progress}
+    assert len(batch_ids) >= 4  # one per file (+ no-data batches)
+    single = {
+        tuple(r)
+        for r in w_mod.QUERIES["stream_watermark_late"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert multi == single  # cross-batch execution changes nothing
