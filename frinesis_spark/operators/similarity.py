@@ -68,17 +68,25 @@ def _hyperplane(plane: int) -> list[float]:
     return out
 
 
+def _query_side(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Just the (tiny) query rows — the IVF probe path needs no corpus
+    frame, and building one through _spread pays an eager
+    RDD-partition probe per call (r9 review wave 10)."""
+    e = table(spark, sf_dir, "embeddings")
+    return e.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        l2_norm(F.col("embedding")).alias("qn"),
+    )
+
+
 def _queries_and_candidates(spark: SparkSession, sf_dir: str):
     e = table(spark, sf_dir, "embeddings")
     # Norms precomputed ONCE per side (review wave 6): inlining the
     # full cosine on a pair join re-walks both arrays' norms per pair
     # — ~3× the array passes on the exact-scan hot path. Same IEEE
     # operand values, same final ops — bit-identical cosines.
-    q = e.where(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qe"),
-        l2_norm(F.col("embedding")).alias("qn"),
-    )
+    q = _query_side(spark, sf_dir)
     # The test corpus is one parquet file → one input split; spread the
     # per-pair cosine work across all cores. Conditional: at real scale
     # the scan already has ≥cores splits and _spread returns the scan
@@ -443,6 +451,13 @@ def _ivf_centroids(corpus: DataFrame, emb_col: str):
         .toPandas()[emb_col]
     )
     cents = np.vstack(seeds.to_numpy()).astype(np.float64)
+    # Normalize the SEEDS too (r9 review wave 10): round-1 assignment
+    # uses argmax(emb @ cents.T), which is cosine only on UNIT
+    # centroids — raw seeds would bias the first partition toward
+    # large-norm rows on any non-normalized corpus (inert on this
+    # unit-norm fixture; the invariant the code claims must hold
+    # regardless).
+    cents /= np.maximum(np.linalg.norm(cents, axis=1)[:, None], 1e-12)
 
     for _ in range(_IVF_ITERS):
         c = cents  # capture current round's centroids
@@ -505,8 +520,11 @@ def ivf_index(spark: SparkSession, sf_dir: str):
         _, c = _queries_and_candidates(spark, sf_dir)
         # The corpus feeds every Lloyd round plus the final
         # assignment — materialize once instead of re-scanning per
-        # pass (at real scale: a persisted staging table).
-        c = c.localCheckpoint(eager=True)
+        # pass (at real scale: a persisted staging table). Only the
+        # columns the index uses: the cn norm column would be
+        # materialized into the cached artifact and recomputed fresh
+        # by every consumer anyway (r9 review wave 10).
+        c = c.select("neighbor_id", "ce").localCheckpoint(eager=True)
         cents = _ivf_centroids(
             c.select(F.col("neighbor_id").alias("vec_id"), F.col("ce")),
             "ce",
@@ -543,8 +561,7 @@ def _ivf_cells_and_probes(spark: SparkSession, sf_dir: str):
     """Query-side IVF access: (corpus cells, query rows repeated per
     probed cell)."""
     cells, cents = ivf_index(spark, sf_dir)
-    q, _ = _queries_and_candidates(spark, sf_dir)
-    return cells, _ivf_probes(q, cents)
+    return cells, _ivf_probes(_query_side(spark, sf_dir), cents)
 
 
 def _ivf_probes(

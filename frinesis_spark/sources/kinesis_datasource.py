@@ -42,11 +42,10 @@ from pyspark.sql.datasource import (
     WriterCommitMessage,
 )
 
-#: rows produced by the readers
-READ_SCHEMA = (
-    "stream string, shard_id string, sequence_number string, "
-    "partition_key string, data binary"
-)
+#: rows produced by the readers — ONE record-schema contract shared
+#: with the shard-parallel reader (r9 review wave 10: two verbatim
+#: copies could drift and break the roundtrip unionByName)
+from frinesis_spark.sources.kinesis import SCHEMA as READ_SCHEMA  # noqa: E402
 
 FORMAT_NAME = "kinesis_frinesis"
 

@@ -40,6 +40,28 @@ def _detach(out: DataFrame, tag: str) -> DataFrame:
     return spark.read.parquet(d)
 
 
+def _union_and_aggregate(streams: list) -> DataFrame:
+    """ONE definition of the roundtrip aggregate for both queries (r9
+    review wave 10 — the two copies had to stay in lockstep with the
+    shared oracle shape by hand). Raises a clear error on an empty
+    topic list instead of IndexError."""
+    if not streams:
+        raise RuntimeError(
+            "kinesis roundtrip: no topics to read back — the fixture's "
+            "event_type domain is empty (or no longer contains the "
+            "query's filtered types)"
+        )
+    union = streams[0]
+    for s in streams[1:]:
+        union = union.unionByName(s)
+    return union.groupBy(F.col("stream").alias("topic")).agg(
+        F.count(F.lit(1)).alias("n_read"),
+        F.sum(F.length(F.col("data").cast("string"))).alias(
+            "sum_payload_len"
+        ),
+    )
+
+
 def q_source_kinesis_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     msgs = e.select(
@@ -50,22 +72,19 @@ def q_source_kinesis_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = tempfile.mkdtemp(prefix="kinesis_roundtrip_")
     try:
         factory = MockClientFactory(store_dir=store)
-        KinesisBatchWriter(factory).write_batch(msgs).collect()
+        # write_batch is eager since r9; a flush-deadline shortfall
+        # must surface HERE as the writer's own undelivered error, not
+        # downstream as a confusing hash mismatch (r9 review wave 10).
+        stats = KinesisBatchWriter(factory).write_batch(msgs).collect()
+        undelivered = sum(r.n_remaining for r in stats)
+        if undelivered:
+            raise RuntimeError(
+                f"{undelivered} records undelivered after flush deadline"
+            )
 
         topics = [r[0] for r in msgs.select("topic").distinct().collect()]
         streams = [read_kinesis(spark, factory, t) for t in sorted(topics)]
-        union = streams[0]
-        for s in streams[1:]:
-            union = union.unionByName(s)
-        out = (
-            union.groupBy(F.col("stream").alias("topic"))
-            .agg(
-                F.count(F.lit(1)).alias("n_read"),
-                F.sum(F.length(F.col("data").cast("string"))).alias(
-                    "sum_payload_len"
-                ),
-            )
-        )
+        out = _union_and_aggregate(streams)
         return _detach(out, "read")
     finally:
         shutil.rmtree(store, ignore_errors=True)
@@ -112,15 +131,7 @@ def q_source_kinesis_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             .load()
             for t in sorted(topics)
         ]
-        union = streams[0]
-        for s in streams[1:]:
-            union = union.unionByName(s)
-        out = union.groupBy(F.col("stream").alias("topic")).agg(
-            F.count(F.lit(1)).alias("n_read"),
-            F.sum(F.length(F.col("data").cast("string"))).alias(
-                "sum_payload_len"
-            ),
-        )
+        out = _union_and_aggregate(streams)
         return _detach(out, "ds")
     finally:
         shutil.rmtree(store, ignore_errors=True)
@@ -135,7 +146,10 @@ ORACLE = {
     "source_kinesis_datasource": """
         SELECT event_type AS topic,
                COUNT(*) AS n_read,
-               CAST(SUM(LENGTH(props)) AS BIGINT) AS sum_payload_len
+               -- COALESCE: a NULL props row is DELIVERED as an empty payload
+               -- (read-back length 0); bare SUM(LENGTH) would skip it
+               -- and NULL an all-NULL-props topic (r9 wave 10)
+               CAST(SUM(LENGTH(COALESCE(props, ''))) AS BIGINT) AS sum_payload_len
         FROM events
         WHERE event_type IN ('view', 'purchase')
         GROUP BY event_type
@@ -143,7 +157,10 @@ ORACLE = {
     "source_kinesis_read": """
         SELECT event_type AS topic,
                COUNT(*) AS n_read,
-               CAST(SUM(LENGTH(props)) AS BIGINT) AS sum_payload_len
+               -- COALESCE: a NULL props row is DELIVERED as an empty payload
+               -- (read-back length 0); bare SUM(LENGTH) would skip it
+               -- and NULL an all-NULL-props topic (r9 wave 10)
+               CAST(SUM(LENGTH(COALESCE(props, ''))) AS BIGINT) AS sum_payload_len
         FROM events
         GROUP BY event_type
     """,
