@@ -65,129 +65,36 @@ def _load_modules():
 
 
 # The driver checks ~50 queries per round in registration order, so the
-# order is a verification budget. Four tiers (refreshed at r9 start from
-# CORRECTNESS_r08.json via tools/refresh_tiers.py):
-#   0. changed since the r8 verdict — operators whose behavior this
+# order is a verification budget. Four tiers (refreshed at r10 start from
+# CORRECTNESS_r09.json via tools/refresh_tiers.py):
+#   0. changed since the r9 verdict — operators whose behavior this
 #      round touched, so their green rows no longer cover them;
 #   1. never driver-verified (implicit: in no list);
 #   2. stale evidence, ordered OLDEST ROUND FIRST within the tier:
-#      the 39 r6-green rows the r8 verdict flagged as the backlog lead,
-#      then the 47 r7-green rows absent from the r8 window;
-#   3. green in CORRECTNESS_r08 (freshest evidence, cheapest to skip).
-# Window arithmetic (r9): |tier0| + new tier-1 registrations + the 39
-# r6-stale rows must fit the ~50-slot window (r8 verdict item 1: "no
-# registered query's evidence older than r7" at the r9 verdict).
-# Final r9 fill: 3 tier0 + 5 new (dedup_embedding_ann,
-# dedup_containment_ngram, window_anomaly_zscore, agg_approx_quantile,
-# stream_incremental_batches) + 39 r6-stale = 47 ≤ 50 — registration
-# FROZEN for the round at 3 slots of slack.
+#      the 44 r7-green rows lead (the r9 verdict's mandated backlog),
+#      then the 47 r8-green rows;
+#   3. green in CORRECTNESS_r09 (freshest evidence, cheapest to skip).
+#
+# VERIFICATION-WINDOW POLICY (decided r10, per r9 verdict item 2).
+# The standing guarantee is "every registered query's latest driver
+# evidence is at most TWO rounds old" — i.e. each query is re-verified
+# at least once per three consecutive driver windows.  With a ~50-slot
+# window that caps total capacity at 3 x 50 = 150 slot-uses per cycle,
+# shared between the |registry| one-per-cycle visits and tier-0
+# re-verifications of changed queries.  Policy:
+#   * net registrations are FROZEN at <= 145 queries (141 today);
+#   * per-round tier-0 churn budget is the window slack after the
+#     oldest-stale backlog is scheduled (r10: 50 - 44 = 6 slots);
+#   * tools/refresh_tiers.py ASSERTS the arithmetic at refresh time
+#     (window_capacity_ok) and tests/test_registry.py pins it, so a
+#     growth-busts-guarantee state fails at registration time, not at
+#     verdict time.
+# r10 window fill: 44 r7-stale lead, then tier-0 as changes land, then
+# the oldest r8-stale rows absorb any remaining slots.
 _CHANGED_SINCE_VERDICT = (
-    # r9: the last two rows-only queries became self-grading (VERDICT
-    # r8 item 2): both now join their candidate pairs against the
-    # exact n-gram Jaccard pair set in-query and emit a recall-floor
-    # boolean the DuckDB oracle asserts — they carry oracles for the
-    # first time and must verify under them
-    "dedup_near_minhash",
-    "dedup_simhash",
-    # r9: scd2_merge re-planned onto ONE full-outer join + map-side
-    # explode (was two shuffle joins of the same inputs), and its
-    # oracle gained the change-detection guard the Spark side has had
-    # since r8 — fixture output bit-identical (local sim green), but
-    # the merge core's plan shape changed, so it re-verifies
-    "merge_scd2",
 )
-# Demoted under the tier-0 policy (fixture output BIT-IDENTICAL,
-# re-verified by a full local driver sim at r9 start): the simhash
-# fingerprint worker's trailing-NULL-text reduceat fix (fixture has no
-# NULL text; crafted-frame pins in tests/test_round9_fixes.py),
-# window_rolling_quantile's bounded context-pair window (bit-identity
-# vs the serial plan re-pinned by the r8 differentials), and
-# source_compressed_roundtrip's eqNullSafe codecs_agree (fixture has
-# no all-NULL-acctbal nation; crafted pin in test_round9_fixes.py).
-# Review-wave-2 demotions (same policy, targeted local sims green):
-# the `\z` end anchors in scalar_conditional_regex /
-# scalar_array_map_json / scalar_variant_shred (fixture has no
-# trailing-newline values; divergence + fix pinned in
-# tests/test_round9_differential.py) and scalar_variant_shred's
-# to_json(struct) payload + NULL-event_type filter (fixture
-# event_types are non-null plain strings — hash unchanged; hostile
-# frames pinned in the same file).
-# Review-wave-3 demotions (fixture hashes verified unchanged by
-# targeted sims; crafted divergences pinned in
-# tests/test_round9_differential.py): funnel_conversion's NULL-user
-# filter, agg_mode_frequent's asc_nulls_last tie-break,
-# window_lag_lead's asc_nulls_last sort, time_ohlc_bars' oracle FLOOR
-# bucketing (pre-1970 only), and the shared _revenue() extraction
-# (same expression text, three sites).
-# Review-wave-4 demotions (text.py; fixture hashes verified unchanged
-# by targeted sims, crafted pins in test_round9_differential.py):
-# text_fingerprint's NULL-text bag_fp guard, the NULLIF
-# version-proofing sweep in text_quality_score/pipeline_llm_prep
-# oracles (the r8 watch-item), text_url_canonicalize's 'g' flags +
-# open-ended substring, and text_repetition_filter's
-# NULL-text-gets-a-verdict coalesce (both sides).
-# Review-wave-7 demotions (connectors/multimodal; fixture hashes
-# verified unchanged, crafted pins in test_round9_differential.py):
-# source_text_lines_roundtrip's NULL-text filter (both sides — the
-# line format cannot represent NULL), multimodal_join's
-# try_element_at (empty-array ANSI job kill), and
-# source_compressed_roundtrip's null-safe join key + count-based
-# presence flag (NULL-nation group must match itself).
-# Review-wave-8 demotions (kinesis; fixture hashes verified unchanged
-# by targeted sims, unit pins in test_round9_fixes.py + the full
-# 50-test kinesis suite green): PutRecords byte-limit chunking +
-# oversize-record drop (fixture payloads are tiny), the replay
-# stop-bound guard for vanished sequence numbers, budget-aware
-# GetRecords Limit, the missing-partition-key UUID fallback, and
-# eager write_batch (the registered query always actioned it).
-# Review-wave-9 demotions (streaming; fixture hashes verified
-# unchanged, crafted pins in test_round9_differential.py):
-# stream_sliding_agg's oracle FLOOR bucketing (pre-1970 only) and
-# stream_dedup_stateful's watermark removal (the watermark bounded
-# nothing — event time is not a dedup key — but armed the late-row
-# drop on multi-batch replays; single-batch fixture output
-# bit-identical).
 
 _STALE_EVIDENCE = {
-    "agg_filtered_conditional": 6,
-    "agg_regression": 6,
-    "agg_rollup_cube": 6,
-    "dedup_embedding_cosine": 6,
-    "dedup_exact": 6,
-    "dedup_fuzzy_editdist": 6,
-    "join_asof_tolerance": 6,
-    "multimodal_decode": 6,
-    "multimodal_frame_sample": 6,
-    "multimodal_join": 6,
-    "multimodal_resize": 6,
-    "scalar_array_map_json": 6,
-    "scalar_string_date_math": 6,
-    "similarity_topk_cosine": 6,
-    "source_json_roundtrip": 6,
-    "sql_tpch_q11": 6,
-    "sql_tpch_q12": 6,
-    "sql_tpch_q13": 6,
-    "sql_tpch_q15": 6,
-    "sql_tpch_q16": 6,
-    "sql_tpch_q18": 6,
-    "sql_tpch_q19": 6,
-    "sql_tpch_q2": 6,
-    "sql_tpch_q20": 6,
-    "sql_tpch_q7": 6,
-    "sql_tpch_q8": 6,
-    "sql_tpch_q9": 6,
-    "stream_session_window": 6,
-    "stream_user_profile": 6,
-    "text_analysis_stats": 6,
-    "text_fingerprint": 6,
-    "text_language_id": 6,
-    "text_pii_scrub": 6,
-    "text_quality_score": 6,
-    "text_token_count": 6,
-    "time_ohlc_bars": 6,
-    "tokenize_pack_sequences": 6,
-    "udf_python": 6,
-    "window_lag_lead": 6,
     "agg_collect_sorted": 7,
     "agg_distinct": 7,
     "agg_group_sum": 7,
@@ -199,7 +106,6 @@ _STALE_EVIDENCE = {
     "dedup_decontaminate": 7,
     "dedup_substring_chunks": 7,
     "embedding_quantize_int8": 7,
-    "explode_token_freq": 7,
     "filter_in_between_like": 7,
     "funnel_conversion": 7,
     "join_anti": 7,
@@ -209,9 +115,7 @@ _STALE_EVIDENCE = {
     "join_left_outer": 7,
     "join_multiway_star": 7,
     "join_semi": 7,
-    "pipeline_llm_prep": 7,
     "pipeline_shuffle_shard": 7,
-    "pipeline_source_mixture": 7,
     "project_filter": 7,
     "scalar_variant_shred": 7,
     "scan_parquet": 7,
@@ -235,64 +139,129 @@ _STALE_EVIDENCE = {
     "window_ranking_suite": 7,
     "window_running_frame": 7,
     "window_session_islands": 7,
+    "agg_approx_distinct": 8,
+    "agg_bool_bitwise": 8,
+    "agg_histogram": 8,
+    "agg_mode_frequent": 8,
+    "agg_percentile": 8,
+    "agg_pivot": 8,
+    "analytics_ab_test": 8,
+    "dedup_cluster_cc": 8,
+    "dedup_incremental_jaccard": 8,
+    "dedup_ngram_jaccard": 8,
+    "join_asof": 8,
+    "join_bloom_prefilter": 8,
+    "join_cross_dims": 8,
+    "join_interval_buckets": 8,
+    "join_range_theta": 8,
+    "join_salted_skew": 8,
+    "merge_upsert": 8,
+    "sample_stratified_hash": 8,
+    "scalar_conditional_regex": 8,
+    "set_union_except_intersect": 8,
+    "similarity_ann_ivf": 8,
+    "similarity_ann_lsh": 8,
+    "sink_kinesis_batched": 8,
+    "sort_limit": 8,
+    "source_compressed_roundtrip": 8,
+    "source_kinesis_datasource": 8,
+    "source_kinesis_read": 8,
+    "source_orc_roundtrip": 8,
+    "sql_tpch_q10": 8,
+    "sql_tpch_q5": 8,
+    "sql_tpch_q6": 8,
+    "stream_custom_sessionize": 8,
+    "stream_dedup_stateful": 8,
+    "stream_sliding_agg": 8,
+    "stream_stream_join": 8,
+    "stream_tumbling_agg": 8,
+    "stream_watermark_late": 8,
+    "text_ngram_profile": 8,
+    "text_repetition_filter": 8,
+    "text_url_canonicalize": 8,
+    "time_resample_interp": 8,
+    "time_rollup_hypertable": 8,
+    "udtf_table_chunks": 8,
+    "window_ewma_smooth": 8,
+    "window_rank_topk": 8,
+    "window_rolling_quantile": 8,
+    "window_time_range": 8,
 }
 _VERIFIED_LAST = frozenset(
     {
-        "agg_approx_distinct",
-        "agg_bool_bitwise",
-        "agg_histogram",
-        "agg_mode_frequent",
-        "agg_percentile",
-        "agg_pivot",
-        "analytics_ab_test",
-        "dedup_cluster_cc",
-        "dedup_incremental_jaccard",
-        "dedup_ngram_jaccard",
-        "join_asof",
-        "join_bloom_prefilter",
-        "join_cross_dims",
-        "join_interval_buckets",
-        "join_range_theta",
-        "join_salted_skew",
-        "merge_upsert",
-        "sample_stratified_hash",
-        "scalar_conditional_regex",
-        "set_union_except_intersect",
-        "similarity_ann_ivf",
-        "similarity_ann_lsh",
-        "sink_kinesis_batched",
-        "sort_limit",
-        "source_compressed_roundtrip",
-        "source_kinesis_datasource",
-        "source_kinesis_read",
-        "source_orc_roundtrip",
-        "sql_tpch_q10",
-        "sql_tpch_q5",
-        "sql_tpch_q6",
-        "stream_custom_sessionize",
-        "stream_dedup_stateful",
-        "stream_sliding_agg",
-        "stream_stream_join",
-        "stream_tumbling_agg",
-        "stream_watermark_late",
-        "text_ngram_profile",
-        "text_repetition_filter",
-        "text_url_canonicalize",
-        "time_resample_interp",
-        "time_rollup_hypertable",
-        "udtf_table_chunks",
-        "window_ewma_smooth",
-        "window_rank_topk",
-        "window_rolling_quantile",
-        "window_time_range",
+        "agg_approx_quantile",
+        "agg_filtered_conditional",
+        "agg_regression",
+        "agg_rollup_cube",
+        "dedup_containment_ngram",
+        "dedup_embedding_ann",
+        "dedup_embedding_cosine",
+        "dedup_exact",
+        "dedup_fuzzy_editdist",
+        "dedup_near_minhash",
+        "dedup_simhash",
+        "explode_token_freq",
+        "join_asof_tolerance",
+        "merge_scd2",
+        "multimodal_decode",
+        "multimodal_frame_sample",
+        "multimodal_join",
+        "multimodal_resize",
+        "pipeline_llm_prep",
+        "pipeline_source_mixture",
+        "scalar_array_map_json",
+        "scalar_string_date_math",
+        "similarity_topk_cosine",
+        "source_json_roundtrip",
+        "sql_tpch_q11",
+        "sql_tpch_q12",
+        "sql_tpch_q13",
+        "sql_tpch_q15",
+        "sql_tpch_q16",
+        "sql_tpch_q18",
+        "sql_tpch_q19",
+        "sql_tpch_q2",
+        "sql_tpch_q20",
+        "sql_tpch_q7",
+        "sql_tpch_q8",
+        "sql_tpch_q9",
+        "stream_incremental_batches",
+        "stream_session_window",
+        "stream_user_profile",
+        "text_analysis_stats",
+        "text_fingerprint",
+        "text_language_id",
+        "text_pii_scrub",
+        "text_quality_score",
+        "text_token_count",
+        "time_ohlc_bars",
+        "tokenize_pack_sequences",
+        "udf_python",
+        "window_anomaly_zscore",
+        "window_lag_lead",
     }
 )
+
+# Mirror of tools/refresh_tiers.py's REGISTRY_CAP (3-round guarantee x
+# (50-slot window - 3 tier-0 churn)); tests/test_registry.py asserts the
+# two constants stay equal.  Enforced at registration time so a new
+# QUERIES entry above the cap fails the suite immediately (r9 verdict
+# item 2), not two rounds later when its evidence silently ages out.
+REGISTRY_CAP = 141
+
 
 def _check_tiers(registered: set[str]) -> None:
     """Fail loudly on tier-list typos (ADVICE r3): every hand-maintained
     tier name must be a registered query, mirroring oracle_sql()'s
     unknown-entry check — otherwise a rename silently demotes a query
     to the wrong verification tier."""
+    if len(registered) > REGISTRY_CAP:
+        raise ValueError(
+            f"{len(registered)} registered queries exceed REGISTRY_CAP="
+            f"{REGISTRY_CAP} — the 2-round evidence guarantee no longer "
+            "fits the driver's 50-slot window (see the tier header); "
+            "retire a query or renegotiate the guarantee"
+        )
     tiers = (
         ("_CHANGED_SINCE_VERDICT", set(_CHANGED_SINCE_VERDICT)),
         ("_STALE_EVIDENCE", set(_STALE_EVIDENCE)),

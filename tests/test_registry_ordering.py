@@ -46,11 +46,12 @@ def test_oldest_evidence_fits_the_window():
     ~50-slot window with heavy margin — they are the rotation's
     non-negotiable front."""
     names = _names()
+    oldest = min(registry._STALE_EVIDENCE.values(), default=0)
     critical = set(registry._CHANGED_SINCE_VERDICT) | {
-        n for n, rnd in registry._STALE_EVIDENCE.items() if rnd <= 2
+        n for n, rnd in registry._STALE_EVIDENCE.items() if rnd == oldest
     }
     positions = [names.index(n) for n in critical]
-    assert max(positions) < 30
+    assert max(positions, default=0) < 50
 
 
 def test_every_tier_name_is_registered():
@@ -63,6 +64,42 @@ def test_every_tier_name_is_registered():
 def test_oracle_order_mirrors_query_order():
     qnames = [n for n in _names() if n in registry.oracle_sql()]
     assert list(registry.oracle_sql()) == qnames
+
+
+def test_window_capacity_invariant():
+    """r9 verdict item 2: the 141-query / 50-slot / 2-round-evidence
+    arithmetic is a TESTED invariant, not a convention.  The cap lives
+    in two places (registry.py enforces at registration, refresh_tiers
+    asserts at round start) — pin that they agree and that the current
+    state fits."""
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "refresh_tiers",
+        pathlib.Path(__file__).resolve().parents[1] / "tools" / "refresh_tiers.py",
+    )
+    rt = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rt)
+
+    assert rt.REGISTRY_CAP == registry.REGISTRY_CAP
+    assert rt.REGISTRY_CAP == rt.GUARANTEE_ROUNDS * (
+        rt.WINDOW_SLOTS - rt.CHURN_BUDGET
+    )
+
+    names = _names()
+    assert len(names) <= registry.REGISTRY_CAP
+
+    # The oldest-stale backlog (rows that MUST verify this round to
+    # keep the guarantee) + expected churn must fit one window.
+    oldest = min(registry._STALE_EVIDENCE.values(), default=0)
+    must = [n for n, r in registry._STALE_EVIDENCE.items() if r == oldest]
+    ok, problems = rt.window_capacity_ok(len(names), len(must))
+    assert ok, problems
+
+    # And the must-verify rows actually sit inside the window.
+    positions = [names.index(n) for n in must]
+    assert max(positions, default=0) < rt.WINDOW_SLOTS
 
 
 def test_rows_only_set_is_closed():

@@ -29,6 +29,53 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
+# --- verification-window arithmetic (r10 policy, r9 verdict item 2) ---
+# The driver verifies WINDOW_SLOTS queries per round; the standing
+# guarantee is "every registered query's latest green driver evidence is
+# at most GUARANTEE_ROUNDS-1 rounds old", i.e. each query is re-verified
+# at least once per GUARANTEE_ROUNDS consecutive windows.  Cycle
+# capacity is therefore GUARANTEE_ROUNDS * WINDOW_SLOTS slot-uses,
+# shared between one-visit-per-query rotation and tier-0 re-checks of
+# changed queries (observed churn r7-r9: ~3/round).  That fixes the
+# registry cap: REGISTRY_CAP = GUARANTEE_ROUNDS * (WINDOW_SLOTS -
+# CHURN_BUDGET).  Policy (documented in registry.py's tier header): net
+# registrations are FROZEN at REGISTRY_CAP; adding a query above the cap
+# requires retiring one or formally renegotiating the guarantee there.
+WINDOW_SLOTS = 50
+GUARANTEE_ROUNDS = 3
+CHURN_BUDGET = 3  # average tier-0 slots consumed per round
+REGISTRY_CAP = GUARANTEE_ROUNDS * (WINDOW_SLOTS - CHURN_BUDGET)  # = 141
+
+
+def window_capacity_ok(
+    n_registered: int,
+    n_must_verify: int,
+    n_never: int = 0,
+) -> tuple[bool, list[str]]:
+    """Check the verification-window arithmetic; returns (ok, problems).
+
+    ``n_must_verify`` is the count of queries whose evidence would fall
+    OUT of the guarantee at the next verdict unless verified this round
+    (last green == newest - GUARANTEE_ROUNDS + 1); ``n_never`` counts
+    never-verified (new) registrations, which also need a slot now.
+    """
+    problems: list[str] = []
+    if n_registered > REGISTRY_CAP:
+        problems.append(
+            f"registry has {n_registered} queries > cap {REGISTRY_CAP} "
+            f"({GUARANTEE_ROUNDS}x({WINDOW_SLOTS}-{CHURN_BUDGET})) — the "
+            f"{GUARANTEE_ROUNDS - 1}-round evidence guarantee no longer fits; "
+            "retire a query or renegotiate the guarantee in registry.py"
+        )
+    if n_must_verify + n_never + CHURN_BUDGET > WINDOW_SLOTS:
+        problems.append(
+            f"this round MUST verify {n_must_verify} oldest-stale + "
+            f"{n_never} never-verified + ~{CHURN_BUDGET} tier-0 churn "
+            f"> {WINDOW_SLOTS} window slots — the guarantee breaks THIS "
+            "round; freeze registrations and demote non-behavioral tier-0"
+        )
+    return (not problems, problems)
+
 
 def _green(row: dict) -> bool:
     if row.get("err") not in (None, "no_oracle"):
@@ -110,6 +157,21 @@ def main() -> None:
         print(f"#   {n}")
     print(f"# window fill: {len(never)} never + {len(stale)} stale "
           f"= {len(never) + len(stale)} ahead of the {len(fresh)} fresh rows")
+
+    # Window-arithmetic invariant (r9 verdict item 2): fail LOUDLY at
+    # refresh time, not at verdict time.  must-verify = queries whose
+    # evidence hits the guarantee boundary at the next verdict.
+    boundary = newest - GUARANTEE_ROUNDS + 1
+    must = {n for n, rnd in last_green.items()
+            if rnd <= boundary and n not in fresh}
+    ok, problems = window_capacity_ok(len(registered), len(must), len(never))
+    print(f"# capacity: {len(registered)}/{REGISTRY_CAP} registered; "
+          f"{len(must)} rows at the r{boundary} guarantee boundary + "
+          f"{len(never)} never + ~{CHURN_BUDGET} churn vs {WINDOW_SLOTS} slots")
+    if not ok:
+        for p in problems:
+            print(f"# !!! WINDOW CAPACITY: {p}", file=sys.stderr)
+        raise SystemExit(2)
 
 
 if __name__ == "__main__":
