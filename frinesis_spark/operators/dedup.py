@@ -1242,6 +1242,19 @@ def q_dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EDIT_MAX = 25  # max edit distance for a fuzzy-dup pair
 _PREFIX = 8  # blocking prefix length
 _LEN_BUCKET = 10  # blocking length-bucket width
+# Hot-block bound (r9 verdict item 3): a web corpus where millions of
+# docs share one boilerplate prefix ("<!DOCTYPE html…") makes a single
+# (pfx, lb) block quadratic.  Blocks over _BLOCK_CAP rows are REFINED
+# by the next _SALT_CHARS characters; refined blocks still over the cap
+# are DROPPED from pairing (the stop-shingle drop-with-bound
+# convention, _df_capped_shingles above) — per-block pair work is
+# therefore ≤ _BLOCK_CAP², independent of corpus skew.  512² ≈ 260k
+# bounded-DP comparisons per block ≈ the cost of one normal partition
+# of candidate pairs.  Fixture blocks max out at 7 rows (sf0.1), so the
+# cap is inert on the driver fixtures; the differential test plants a
+# 10k-doc shared-prefix corpus to exercise both regimes.
+_BLOCK_CAP = 512
+_SALT_CHARS = 4
 
 
 def q_dedup_fuzzy_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1260,6 +1273,17 @@ def q_dedup_fuzzy_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle), so the hash check is exact even though blocking, like all
     dedup blocking, trades recall for sub-quadratic cost.
 
+    Hot-block bound (r10): blocks larger than ``_BLOCK_CAP`` rows are
+    refined by the next ``_SALT_CHARS`` characters, and refined blocks
+    still over the cap are dropped from pairing entirely — the
+    boilerplate-shared-prefix corpus that would otherwise make one
+    block quadratic.  Per-block pair work is ≤ cap² by construction.
+    Both regimes are part of the declared contract and mirrored
+    exactly by the oracle (the counts are exact, so the two engines
+    always agree on which regime each block is in); the fixtures'
+    blocks max out at 7 rows, so the cap is inert on driver runs and
+    exercised by the planted-prefix differential test instead.
+
     Unicode contract (r6 differential finding): Spark's levenshtein
     counts CODEPOINT edits — the correct semantic for text
     ('café'→'cafe' = 1) — while DuckDB's counts BYTES ('café'→'cafe'
@@ -1269,27 +1293,52 @@ def q_dedup_fuzzy_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     behavior (pinned with the divergence itself in
     tests/test_differential.py).
     """
+    from pyspark.sql import Window
+
     d = table(spark, sf_dir, "documents").select(
         "doc_id",
         "text",
         F.substring("text", 1, _PREFIX).alias("pfx"),
         F.expr(f"CAST(length(text) DIV {_LEN_BUCKET} AS INT)").alias("lb"),
     )
+    # Hot-block bound: count each block (window without orderBy — no
+    # per-row frame, one count per partition), refine oversized blocks
+    # by the next 4 chars, drop refined blocks still over the cap.
+    # The second window's partition key is a superset of the first's,
+    # so both windows and the self-join below share ONE hash
+    # partitioning family — the cap costs no extra shuffle.
+    w1 = Window.partitionBy("pfx", "lb")
+    d = d.withColumn("n1", F.count(F.lit(1)).over(w1))
+    d = d.withColumn(
+        "pfx2",
+        F.when(
+            F.col("n1") > _BLOCK_CAP,
+            F.substring("text", _PREFIX + 1, _SALT_CHARS),
+        ).otherwise(F.lit("")),
+    )
+    w2 = Window.partitionBy("pfx", "lb", "pfx2")
+    d = (
+        d.withColumn("n2", F.count(F.lit(1)).over(w2))
+        .where(F.col("n2") <= _BLOCK_CAP)
+        .select("doc_id", "text", "pfx", "lb", "pfx2")
+    )
     a = d.select(
         F.col("doc_id").alias("doc_a"),
         F.col("text").alias("text_a"),
         "pfx",
         "lb",
+        "pfx2",
     )
     b = d.select(
         F.col("doc_id").alias("doc_b"),
         F.col("text").alias("text_b"),
         "pfx",
         "lb",
+        "pfx2",
     )
     dist = F.levenshtein("text_a", "text_b", _EDIT_MAX)
     return (
-        a.join(b, ["pfx", "lb"])
+        a.join(b, ["pfx", "lb", "pfx2"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .select(
             "doc_a", "doc_b", dist.cast("long").alias("edit_dist")
@@ -1629,16 +1678,36 @@ ORACLE = {
     # (declared unicode contract in the query docstring; differential-
     # tested). Do not point this oracle at a non-ASCII corpus.
     "dedup_fuzzy_editdist": f"""
+        -- Hot-block bound mirrored from the Spark side (r10): blocks
+        -- over {_BLOCK_CAP} rows refine on the next {_SALT_CHARS}
+        -- chars; refined blocks still over the cap are dropped.
         WITH d AS (
             SELECT doc_id, text,
                    SUBSTRING(text, 1, {_PREFIX}) AS pfx,
                    CAST(LENGTH(text) // {_LEN_BUCKET} AS INT) AS lb
             FROM documents
+        ),
+        d1 AS (
+            SELECT *, COUNT(*) OVER (PARTITION BY pfx, lb) AS n1 FROM d
+        ),
+        d2 AS (
+            SELECT *,
+                   CASE WHEN n1 > {_BLOCK_CAP}
+                        THEN SUBSTRING(text, {_PREFIX + 1}, {_SALT_CHARS})
+                        ELSE '' END AS pfx2
+            FROM d1
+        ),
+        d3 AS (
+            SELECT * FROM (
+                SELECT *, COUNT(*) OVER (PARTITION BY pfx, lb, pfx2) AS n2
+                FROM d2
+            ) WHERE n2 <= {_BLOCK_CAP}
         )
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                CAST(LEVENSHTEIN(a.text, b.text) AS BIGINT) AS edit_dist
-        FROM d a JOIN d b
-          ON a.pfx = b.pfx AND a.lb = b.lb AND a.doc_id < b.doc_id
+        FROM d3 a JOIN d3 b
+          ON a.pfx = b.pfx AND a.lb = b.lb AND a.pfx2 = b.pfx2
+         AND a.doc_id < b.doc_id
         WHERE LEVENSHTEIN(a.text, b.text) <= {_EDIT_MAX}
     """,
     "dedup_embedding_cosine": """
