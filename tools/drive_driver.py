@@ -10,7 +10,8 @@ import duckdb
 import __spark_entry__ as entrymod
 from pyspark.sql import SparkSession
 
-spark = (SparkSession.builder.master("local[8]")
+spark = (SparkSession.builder.master(
+             f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
          .appName("driver-sim")
          .config("spark.sql.session.timeZone", "UTC")
          .config("spark.ui.enabled", "false")
