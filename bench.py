@@ -297,6 +297,17 @@ def main() -> None:
         # spread is a real plan change worth chasing.
         spreads[name] = round(max(samples) / max(min(samples), 1e-9), 2)
 
+    # Sink throughput envelope (r9 verdict item 6): the A-surface has
+    # correctness + wire tests but had no recorded records/s number.
+    # ~500k filler records through the full BatchProducer path
+    # (chunking/byte limits/partial-failure split/retry) against the
+    # in-process HTTP stub with 10% per-record failures injected —
+    # real boto3 serialization, no real network. The envelope lands in
+    # BENCH_full.json next to the query timings; BASELINE.md documents
+    # it against the reference's own 500-records/call x call-latency
+    # bound (batchproducer.go:15).
+    sink = _sink_throughput()
+
     total = round(sum(timings.values()), 3)
     # Suite rollup (r6 verdict #5): one number for the full TPC-H 22 so
     # a regression anywhere on the SQL path moves a tracked metric.
@@ -314,6 +325,8 @@ def main() -> None:
         "reps": reps,
         "sf": sf,
     }
+    if sink:
+        full["sink"] = sink
     if unknown_headline:
         full["unknown_headline"] = unknown_headline
 
@@ -369,7 +382,66 @@ def main() -> None:
     # and the round's per-query seconds were unrecoverable).
     full_path = Path(__file__).resolve().parent / "BENCH_full.json"
     full_path.write_text(json.dumps(full, indent=1) + "\n")
-    print(compact_line(timings, regressions, sf, total))
+    print(compact_line(
+        timings, regressions, sf, total,
+        sink_rps=sink.get("records_per_sec") if sink else None,
+    ))
+
+
+def _sink_throughput() -> dict | None:
+    """Drive ~500k records through the BatchProducer against the
+    in-process Kinesis stub with 10%% per-record failures injected;
+    returns the recorded envelope (records/s, retry/drop/shed counts).
+    None when boto3 or the stub is unavailable (bench must never
+    break on an env gap)."""
+    n = int(os.environ.get("SPARK_GRAFT_SINK_BENCH_RECORDS", "500000"))
+    if n <= 0:
+        return None
+    try:
+        import boto3  # noqa: F401
+
+        from frinesis_spark.sinks.kinesis import (
+            BatchProducer,
+            KinesisSinkConfig,
+            make_boto3_client_factory,
+        )
+        from tests.kinesis_stub import KinesisStub
+    except ImportError as exc:
+        print(f"sink bench skipped: {exc}", file=sys.stderr)
+        return None
+    # The reference's filler record (batchproducer_test.go:876-877).
+    payload = b"The cheese is old and moldy, where is the bathroom?"
+    with KinesisStub(fail_every_nth_record=10) as stub:
+        client = make_boto3_client_factory(
+            {"AWS_REGION_NAME": "us-east-1",
+             "KINESIS_ENDPOINT": stub.endpoint}
+        )()
+        client.create_stream(StreamName="bench.sink", ShardCount=8)
+        cfg = KinesisSinkConfig(add_blocks_when_buffer_full=True)
+        prod = BatchProducer(client, "bench.sink", cfg)
+        start = time.perf_counter()
+        for i in range(n):
+            prod.add(payload, f"pk{i}")
+        sent_now, remaining = prod.flush()
+        wall = time.perf_counter() - start
+        delivered = sum(
+            len(sh.records) for sh in stub.state.streams["bench.sink"]
+        )
+    s = prod.stats
+    return {
+        "records": n,
+        "payload_bytes": len(payload),
+        "injected_failure": "every 10th record throttled (10%)",
+        "wall_sec": round(wall, 2),
+        "records_per_sec": int(n / wall),
+        "delivered": delivered,
+        "remaining": remaining,
+        "retries": s.retries,
+        "dropped": s.records_dropped,
+        "shed": s.records_shed,
+        "put_calls": s.put_calls,
+        "kinesis_errors": s.kinesis_errors,
+    }
 
 
 def compact_line(
@@ -377,6 +449,7 @@ def compact_line(
     regressions: dict[str, float],
     sf: float,
     total: float,
+    sink_rps: int | None = None,
 ) -> str:
     """The stdout line, guaranteed to fit the driver's 2000-char tail
     capture (tests/test_round6_fixes.py pins the worst case)."""
@@ -393,6 +466,8 @@ def compact_line(
         "regressions": regressions,
         "full": "BENCH_full.json",
     }
+    if sink_rps is not None:
+        compact["sink_rps"] = sink_rps
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1800:  # belt-and-braces: never outgrow the capture again
         # The regression alarm is the one thing the tail capture must

@@ -13,11 +13,19 @@ tests are silent on (the wire shape) actually executes.
 
 Operations implemented (the set the engine's sink + shard-drain loop
 touches): CreateStream, DescribeStream, DeleteStream, ListShards,
-PutRecords, GetShardIterator, GetRecords. Streams become ACTIVE
-immediately. Shard iterators are stateless base64 tokens of
+PutRecords, GetShardIterator, GetRecords, SplitShard. Streams become
+ACTIVE immediately. Shard iterators are stateless base64 tokens of
 (stream, shard, offset), so GetRecords pagination and the
 TRIM_HORIZON catch-up contract (_drain_shard, sources/kinesis.py:46)
 behave like the real service's.
+
+Resharding model (r10, r9 verdict item 4): ``SplitShard`` CLOSES the
+parent (new puts route only among open shards; a drained closed shard
+returns ``NextShardIterator: null`` — the real service's
+end-of-closed-shard signal) and appends two open children carrying
+``ParentShardId``, so a streaming reader observes the real mid-stream
+reshard sequence: parent drains to its end, children appear in
+ListShards and start from TRIM_HORIZON.
 
 Optional fault injection: ``fail_first_puts=N`` makes the first N
 PutRecords calls report every record as
@@ -38,14 +46,30 @@ import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 
+class _Shard:
+    """One shard: records are (sequence, partition_key, data, ts);
+    ``open`` flips False on SplitShard (closed shards take no new
+    records and signal end-of-shard to a fully-caught-up reader)."""
+
+    def __init__(self, parent: str | None = None):
+        self.records: list[tuple] = []
+        self.open = True
+        self.parent = parent
+
+
 class _KinesisState:
-    def __init__(self, fail_first_puts: int = 0):
+    def __init__(
+        self, fail_first_puts: int = 0, fail_every_nth_record: int = 0
+    ):
         self.lock = threading.Lock()
-        # stream -> list of shards; each shard is a list of
-        # (sequence_number, partition_key, data_bytes, arrival_ts)
-        self.streams: dict[str, list[list[tuple]]] = {}
+        self.streams: dict[str, list[_Shard]] = {}
         self.seq = 0
         self.fail_first_puts = fail_first_puts
+        # steady-state partial-failure injection: every Nth record
+        # (counted across calls) gets a per-record throttle entry —
+        # the 10%-failure envelope the sink throughput bench drives
+        self.fail_every_nth_record = fail_every_nth_record
+        self.rec_counter = 0
         self.put_calls = 0
 
     def next_seq(self) -> str:
@@ -61,11 +85,13 @@ def _shard_id(i: int) -> str:
     return f"shardId-{i:012d}"
 
 
-def _route(partition_key: str, n_shards: int) -> int:
-    """Deterministic key→shard routing (stands in for the service's
-    MD5-of-key hash-range split; same distribution property)."""
+def _route(partition_key: str, open_idx: list[int]) -> int:
+    """Deterministic key→shard routing over the OPEN shards (stands in
+    for the service's MD5-of-key hash-range split; same distribution
+    property, and closed parents take no new records — the real
+    post-split behavior)."""
     h = hashlib.md5(partition_key.encode()).digest()
-    return int.from_bytes(h[:8], "big") % n_shards
+    return open_idx[int.from_bytes(h[:8], "big") % len(open_idx)]
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -100,7 +126,7 @@ class _Handler(BaseHTTPRequestHandler):
         if name in self.state.streams:
             return _err("ResourceInUseException", name)
         self.state.streams[name] = [
-            [] for _ in range(int(body.get("ShardCount", 1)))
+            _Shard() for _ in range(int(body.get("ShardCount", 1)))
         ]
         return 200, {}
 
@@ -110,6 +136,28 @@ class _Handler(BaseHTTPRequestHandler):
             return _err("ResourceNotFoundException", name)
         del self.state.streams[name]
         return 200, {}
+
+    def _shard_descriptions(self, shards: list[_Shard]) -> list[dict]:
+        out = []
+        for i, sh in enumerate(shards):
+            desc: dict = {
+                "ShardId": _shard_id(i),
+                "HashKeyRange": {
+                    "StartingHashKey": "0",
+                    "EndingHashKey": "340282366920938463463374607431768211455",
+                },
+                "SequenceNumberRange": {"StartingSequenceNumber": "0"},
+            }
+            if sh.parent is not None:
+                desc["ParentShardId"] = sh.parent
+            if not sh.open:
+                # closed shard: the range carries an end (the real
+                # service's marker that no further records will land)
+                desc["SequenceNumberRange"]["EndingSequenceNumber"] = (
+                    sh.records[-1][0] if sh.records else "0"
+                )
+            out.append(desc)
+        return out
 
     def _op_DescribeStream(self, body):  # noqa: N802
         name = body["StreamName"]
@@ -124,17 +172,7 @@ class _Handler(BaseHTTPRequestHandler):
                 "RetentionPeriodHours": 24,
                 "EnhancedMonitoring": [],
                 "HasMoreShards": False,
-                "Shards": [
-                    {
-                        "ShardId": _shard_id(i),
-                        "HashKeyRange": {
-                            "StartingHashKey": "0",
-                            "EndingHashKey": "340282366920938463463374607431768211455",
-                        },
-                        "SequenceNumberRange": {"StartingSequenceNumber": "0"},
-                    }
-                    for i in range(len(shards))
-                ],
+                "Shards": self._shard_descriptions(shards),
             }
         }
 
@@ -145,19 +183,28 @@ class _Handler(BaseHTTPRequestHandler):
         shards = self.state.streams.get(name)
         if shards is None:
             return _err("ResourceNotFoundException", name)
-        return 200, {
-            "Shards": [
-                {
-                    "ShardId": _shard_id(i),
-                    "HashKeyRange": {
-                        "StartingHashKey": "0",
-                        "EndingHashKey": "340282366920938463463374607431768211455",
-                    },
-                    "SequenceNumberRange": {"StartingSequenceNumber": "0"},
-                }
-                for i in range(len(shards))
-            ]
-        }
+        return 200, {"Shards": self._shard_descriptions(shards)}
+
+    def _op_SplitShard(self, body):  # noqa: N802
+        name = body["StreamName"]
+        shards = self.state.streams.get(name)
+        if shards is None:
+            return _err("ResourceNotFoundException", name)
+        sid = body.get("ShardToSplit", "")
+        try:
+            idx = int(sid.rsplit("-", 1)[1])
+        except (IndexError, ValueError):
+            return _err("InvalidArgumentException", sid)
+        if not 0 <= idx < len(shards):
+            return _err("ResourceNotFoundException", sid)
+        if not shards[idx].open:
+            return _err(
+                "InvalidArgumentException", f"{sid} is already closed"
+            )
+        shards[idx].open = False
+        shards.append(_Shard(parent=sid))
+        shards.append(_Shard(parent=sid))
+        return 200, {}
 
     # -- data plane ---------------------------------------------------
     def _op_PutRecords(self, body):  # noqa: N802
@@ -182,18 +229,33 @@ class _Handler(BaseHTTPRequestHandler):
                     for _ in records
                 ],
             }
+        open_idx = [i for i, sh in enumerate(shards) if sh.open]
+        if not open_idx:
+            return _err("ResourceNotFoundException", "no open shards")
         out = []
+        failed = 0
         for rec in records:
             try:
                 data = base64.b64decode(rec["Data"], validate=True)
             except (KeyError, binascii.Error):
                 return _err("SerializationException", "bad Data blob")
+            self.state.rec_counter += 1
+            nth = self.state.fail_every_nth_record
+            if nth and self.state.rec_counter % nth == 0:
+                failed += 1
+                out.append(
+                    {
+                        "ErrorCode": "ProvisionedThroughputExceededException",
+                        "ErrorMessage": "stub-injected per-record throttle",
+                    }
+                )
+                continue
             pk = rec.get("PartitionKey", "")
-            idx = _route(pk, len(shards))
+            idx = _route(pk, open_idx)
             seq = self.state.next_seq()
-            shards[idx].append((seq, pk, data, time.time()))
+            shards[idx].records.append((seq, pk, data, time.time()))
             out.append({"SequenceNumber": seq, "ShardId": _shard_id(idx)})
-        return 200, {"FailedRecordCount": 0, "Records": out}
+        return 200, {"FailedRecordCount": failed, "Records": out}
 
     def _op_GetShardIterator(self, body):  # noqa: N802
         name = body["StreamName"]
@@ -205,10 +267,30 @@ class _Handler(BaseHTTPRequestHandler):
         if not 0 <= idx < len(shards):
             return _err("ResourceNotFoundException", shard)
         it_type = body.get("ShardIteratorType", "TRIM_HORIZON")
+        recs = shards[idx].records
         if it_type == "TRIM_HORIZON":
             offset = 0
         elif it_type == "LATEST":
-            offset = len(shards[idx])
+            offset = len(recs)
+        elif it_type in ("AT_SEQUENCE_NUMBER", "AFTER_SEQUENCE_NUMBER"):
+            want = body.get("StartingSequenceNumber")
+            if want is None:
+                return _err(
+                    "InvalidArgumentException", "StartingSequenceNumber"
+                )
+            # Sequence numbers increase within a shard; an aged-out
+            # start lands on the first record strictly after it (the
+            # real service resumes from the trim horizon likewise).
+            offset = len(recs)
+            for i, (seq, *_rest) in enumerate(recs):
+                if int(seq) >= int(want):
+                    offset = i + (
+                        1
+                        if it_type == "AFTER_SEQUENCE_NUMBER"
+                        and seq == str(want)
+                        else 0
+                    )
+                    break
         else:
             return _err(
                 "InvalidArgumentException", f"iterator type {it_type}"
@@ -224,12 +306,11 @@ class _Handler(BaseHTTPRequestHandler):
         shards = self.state.streams.get(name)
         if shards is None:
             return _err("ResourceNotFoundException", name)
+        shard = shards[idx]
         limit = min(int(body.get("Limit", 10_000)), 10_000)
-        chunk = shards[idx][offset : offset + limit]
-        nxt = base64.b64encode(
-            json.dumps({"s": name, "i": idx, "o": offset + len(chunk)}).encode()
-        ).decode()
-        return 200, {
+        chunk = shard.records[offset : offset + limit]
+        new_offset = offset + len(chunk)
+        resp = {
             "Records": [
                 {
                     "SequenceNumber": seq,
@@ -239,17 +320,27 @@ class _Handler(BaseHTTPRequestHandler):
                 }
                 for seq, pk, data, ts in chunk
             ],
-            "NextShardIterator": nxt,
             "MillisBehindLatest": 0,
         }
+        if shard.open or new_offset < len(shard.records):
+            resp["NextShardIterator"] = base64.b64encode(
+                json.dumps({"s": name, "i": idx, "o": new_offset}).encode()
+            ).decode()
+        else:
+            # fully-drained CLOSED shard: null iterator — the real
+            # service's "this shard will never have more" signal
+            resp["NextShardIterator"] = None
+        return 200, resp
 
 
 class KinesisStub:
     """Context manager owning the server thread; ``endpoint`` is the
     ``host:port`` string to export as ``KINESIS_ENDPOINT``."""
 
-    def __init__(self, fail_first_puts: int = 0):
-        state = _KinesisState(fail_first_puts)
+    def __init__(
+        self, fail_first_puts: int = 0, fail_every_nth_record: int = 0
+    ):
+        state = _KinesisState(fail_first_puts, fail_every_nth_record)
         handler = type("BoundHandler", (_Handler,), {"state": state})
         self.state = state
         self.server = ThreadingHTTPServer(("127.0.0.1", 0), handler)

@@ -10,7 +10,17 @@ import duckdb
 import __spark_entry__ as entrymod
 from pyspark.sql import SparkSession
 
-spark = (SparkSession.builder.master(
+# Stock heap (1g) by default — DELIBERATE: the sim doubles as the
+# small-executor OOM insurance (r8 caught a real Expand+ObjectHashAgg
+# sort-fallback OOM this way). For the sf1 volume pass set
+# SPARK_GRAFT_DRIVER_MEM=4g — a realistic production executor size;
+# the exact-percentile baseline legitimately buffers ~2M values/group
+# there (its registered scale path is the agg_approx_quantile sketch).
+_builder = SparkSession.builder
+if os.environ.get("SPARK_GRAFT_DRIVER_MEM"):
+    _builder = _builder.config(
+        "spark.driver.memory", os.environ["SPARK_GRAFT_DRIVER_MEM"])
+spark = (_builder.master(
              f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
          .appName("driver-sim")
          .config("spark.sql.session.timeZone", "UTC")
