@@ -390,7 +390,7 @@ def main() -> None:
 
 def _sink_throughput() -> dict | None:
     """Drive ~500k records through the BatchProducer against the
-    in-process Kinesis stub with 10%% per-record failures injected;
+    in-process Kinesis stub with 10% per-record failures injected;
     returns the recorded envelope (records/s, retry/drop/shed counts).
     None when boto3 or the stub is unavailable (bench must never
     break on an env gap)."""

@@ -34,32 +34,67 @@ from pyspark.sql import functions as F
 # remain for the sums.
 _SCALE = 6
 _DECIMAL = f"decimal(28,{_SCALE})"
+# Exact scaled-integer path (r10, found by the sf1 correctness pass):
+# the final decimal→DOUBLE cast itself diverges across engines once
+# the sum exceeds 2^53 scale-6 units (~9.0e9 in value) — Spark's
+# BigDecimal.doubleValue() is correctly rounded while DuckDB casts
+# int128→double and THEN divides by 10^scale (two roundings), a ±1 ulp
+# split that flipped agg_group_sum/sql_tpch_q1/join_salted_skew hashes
+# at sf1 (sums ~2.8e10). The deterministic form both engines compute
+# bit-identically: carry the sum as an int64 of scale-6 units (exact),
+# convert int→double (one correctly-rounded conversion on BOTH
+# engines), divide by 10^scale (one shared IEEE op). Domain bound:
+# |sum| ≤ 2^63/10^6 ≈ 9.2e12 — an int64-units overflow fails LOUDLY on
+# both engines (Spark ANSI ARITHMETIC_OVERFLOW, DuckDB conversion
+# error), never silently. That bound is a property of the DRIVER'S
+# double-emitting hash contract, not of the engine: a production
+# 100 TB pipeline keeps money sums in DECIMAL end-to-end (exact at any
+# volume) and never round-trips them through double at all.
+_UNITS = 10**_SCALE
+
+
+def _scaled_units(c: Column) -> Column:
+    """Per-row exact scale-6 integer units of a money-domain double."""
+    # decimal(28,6) × 10^6 → decimal(36,6) (fits: 28+7+1 ≤ 38 on both
+    # engines), integral by construction → exact BIGINT.
+    return (c.cast(_DECIMAL) * _UNITS).cast("long")
 
 
 def dsum(col: Column | str) -> Column:
     """Exact, order-independent SUM of a double expression → double."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(_DECIMAL)).cast("double")
+    return F.sum(_scaled_units(c)).cast("double") / F.lit(float(_UNITS))
 
 
 def davg(col: Column | str) -> Column:
-    """Exact-sum average: decimal SUM / COUNT, evaluated in double.
+    """Exact-sum average: scaled-integer SUM / COUNT in double.
 
-    Deterministic because the numerator is exact and the final single
-    division is one IEEE op on identical operands in every engine.
+    Deterministic because the numerator is exact and the two IEEE ops
+    (÷10^scale, ÷count) run in the same order on identical operands in
+    every engine.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(_DECIMAL)).cast("double") / F.count(c)
+    return (
+        F.sum(_scaled_units(c)).cast("double")
+        / F.lit(float(_UNITS))
+        / F.count(c)
+    )
 
 
 def oracle_dsum(expr: str) -> str:
-    """DuckDB SQL equivalent of :func:`dsum` for oracle strings."""
-    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(28,{_SCALE}))) AS DOUBLE)"
+    """DuckDB SQL equivalent of :func:`dsum` for oracle strings.
+
+    Also valid Spark SQL — the shared TPC-H strings embed it verbatim
+    (DuckDB SUM(BIGINT) widens to HUGEINT, so the outer BIGINT cast
+    restores the exact int64 before the one shared int→double
+    conversion; on Spark that cast is a no-op)."""
+    return (
+        f"(CAST(CAST(SUM(CAST(CAST(({expr}) AS DECIMAL(28,{_SCALE})) "
+        f"* {_UNITS} AS BIGINT)) AS BIGINT) AS DOUBLE) / {_UNITS}.0)"
+    )
 
 
 def oracle_davg(expr: str) -> str:
-    """DuckDB SQL equivalent of :func:`davg`."""
-    return (
-        f"CAST(SUM(CAST(({expr}) AS DECIMAL(28,{_SCALE}))) AS DOUBLE)"
-        f" / COUNT({expr})"
-    )
+    """DuckDB SQL equivalent of :func:`davg` (same shared-dialect note
+    as :func:`oracle_dsum`)."""
+    return f"({oracle_dsum(expr)} / COUNT({expr}))"

@@ -429,8 +429,8 @@ def rolling_quantile_chunked(
             "event_type",
             "ts",
             "value",
-            F.col("q")[0].alias("med_trailing"),
-            F.col("q")[1].alias("p90_trailing"),
+            F.round(F.col("q")[0], 6).alias("med_trailing"),
+            F.round(F.col("q")[1], 6).alias("p90_trailing"),
         )
     )
 
@@ -452,8 +452,8 @@ def rolling_quantile_serial(e: DataFrame) -> DataFrame:
         "event_type",
         "ts",
         "value",
-        F.col("q")[0].alias("med_trailing"),
-        F.col("q")[1].alias("p90_trailing"),
+        F.round(F.col("q")[0], 6).alias("med_trailing"),
+        F.round(F.col("q")[1], 6).alias("p90_trailing"),
     )
 
 
@@ -465,12 +465,18 @@ def q_window_rolling_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     chases).
 
     ``percentile(...) OVER`` is an exact interpolating quantile as a
-    window aggregate; DuckDB's ``quantile_cont`` computes the same
-    ``lower + (upper-lower)·frac`` interpolation, so the doubles
-    hash-match without tolerance. Both fractions come from ONE
-    ``percentile(value, array(...))`` evaluator — one frame buffer
-    maintained per row instead of two (measured 1.6× over separate
-    evaluators at sf0.1).
+    window aggregate. Interpolation FORMULAS differ across engines
+    (found by the r10 sf1 pass, 36/1M rows): Spark computes
+    ``lower + (upper-lower)·frac`` (exact when the two bounds are
+    equal duplicates) while DuckDB's ``quantile_cont`` computes
+    ``lower·(1-frac) + upper·frac`` (±1 ulp even at equal bounds, e.g.
+    99.51·0.9 + 99.51·0.1 = 99.51000000000002). Both sides ROUND(6):
+    the mathematically exact results of interpolating 2-decimal inputs
+    at frac ∈ {.5, .1} carry ≤ 3 decimals, so the rounding sits ~1e-4
+    away from any tie boundary — ulp folding can never flip it. Both
+    fractions come from ONE ``percentile(value, array(...))``
+    evaluator — one frame buffer maintained per row instead of two
+    (measured 1.6× over separate evaluators at sf0.1).
 
     Plan (r8): bounded-overlap re-chunking — see
     ``rolling_quantile_chunked``. Window parallelism is now
@@ -1232,8 +1238,8 @@ ORACLE = {
     """,
     "window_rolling_quantile": f"""
         SELECT event_id, event_type, ts, value,
-               quantile_cont(value, 0.5) OVER w AS med_trailing,
-               quantile_cont(value, 0.9) OVER w AS p90_trailing
+               ROUND(quantile_cont(value, 0.5) OVER w, 6) AS med_trailing,
+               ROUND(quantile_cont(value, 0.9) OVER w, 6) AS p90_trailing
         FROM events
         WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
                      ROWS BETWEEN {_ROLL_FRAME - 1} PRECEDING

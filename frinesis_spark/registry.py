@@ -98,6 +98,20 @@ _CHANGED_SINCE_VERDICT = (
     # parity green) but the contract AND the oracle text changed, so
     # it re-verifies under the new oracle
     "dedup_fuzzy_editdist",
+    # r10: the sf1 correctness pass found DuckDB's quantile_cont
+    # interpolates lower·(1-f)+upper·f (±1 ulp even at equal bounds)
+    # where Spark computes lower+(upper-lower)·f — both sides now
+    # ROUND(6), which CHANGES the fixture hash (ulp folding), so it
+    # re-verifies. The same pass found the decimal→double cast
+    # divergence above 2^53 scale-6 units and moved dsum/davg (and
+    # their 137 oracle twins) onto the scaled-int64 path — those
+    # queries' fixture outputs are BIT-IDENTICAL at sf0.01/sf0.1
+    # (probed old-vs-new in one session AND a full post-change sf0.01
+    # sim green), so per the tier-0 policy they are demoted with that
+    # evidence; the three whose sf1 values actually moved
+    # (agg_group_sum, sql_tpch_q1, join_salted_skew) are r7/r8-stale
+    # and re-verify inside this round's window regardless.
+    "window_rolling_quantile",
 )
 
 _STALE_EVIDENCE = {
@@ -190,7 +204,6 @@ _STALE_EVIDENCE = {
     "udtf_table_chunks": 8,
     "window_ewma_smooth": 8,
     "window_rank_topk": 8,
-    "window_rolling_quantile": 8,
     "window_time_range": 8,
 }
 _VERIFIED_LAST = frozenset(

@@ -482,19 +482,27 @@ def test_midstream_shard_split_no_loss_no_dup(
             assert got == sorted(pre + post)  # multiset: no loss, no dup
 
             # the post-split records came from CHILD shards, the
-            # pre-split ones from the (now closed) parent
+            # pre-split ones from the (now closed) parent. moto has a
+            # fidelity gap here — its put_records keeps routing to the
+            # CLOSED parent (probed r10; the real service routes to
+            # the children covering the key's hash range) — so the
+            # routing assertions run against the stub, which models
+            # the real post-split behavior; the delivery contract
+            # above (no loss, no dup, across the reshard) is asserted
+            # against BOTH backends.
             by_payload = {
                 bytes(r.data).decode(): r.shard_id for r in rows
             }
             parent_id = parent["ShardId"]
             assert all(by_payload[p] == parent_id for p in pre)
-            children = {by_payload[p] for p in post}
-            assert parent_id not in children
             live = {
                 s["ShardId"]
                 for s in kin.list_shards(StreamName=stream)["Shards"]
             }
+            children = {by_payload[p] for p in post}
             assert children <= live
+            if backend == "stub":
+                assert parent_id not in children
 
             # a further batch after the split keeps flowing (children
             # offsets advance, the closed parent contributes nothing)

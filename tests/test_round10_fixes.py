@@ -130,3 +130,93 @@ def test_fuzzy_hot_block_bound_is_quadratic_proof(spark, hot_docs):
         .collect()[0][0]
     )
     assert surviving <= dedup._BLOCK_CAP
+
+
+# --- sf1 findings: decimal→double cast divergence + quantile ulp ---------
+
+
+def test_decimal_double_cast_diverges_above_2_53_units():
+    """Pin the r10 sf1 finding itself: DuckDB casts DECIMAL→DOUBLE via
+    int128→double THEN ÷10^scale (two roundings) while Spark/Python
+    round the exact decimal once — they split by 1 ulp once the
+    scaled value exceeds 2^53. If DuckDB ever becomes correctly
+    rounded, this probe fails and dsum's scaled-int64 detour can be
+    retired."""
+    import decimal
+
+    v = "28107398295.191474"  # the sf1 sum_charge that flipped the hash
+    d = duckdb.sql(f"SELECT CAST(CAST('{v}' AS DECIMAL(28,6)) AS DOUBLE)").fetchone()[0]
+    py = float(decimal.Decimal(v))
+    assert d != py  # the divergence dsum now routes around
+    # the shared deterministic path: exact int64 units → one int→double
+    # conversion → one division; equals DuckDB's two-step here and is
+    # what BOTH engines now compute
+    units = 28107398295191474
+    assert d == float(units) / 1e6
+
+
+def test_dsum_scaled_path_matches_oracle_above_2_53(spark):
+    """dsum and oracle_dsum agree bitwise on a sum ABOVE 2^53 scale-6
+    units — the regime the old decimal→double cast diverged in."""
+    import duckdb as ddb
+    import pandas as pd
+
+    from frinesis_spark.functions.numeric import dsum, oracle_dsum
+
+    # 4M rows of 7044.999999 ≈ 2.8e10 (the sf1 magnitude) — built
+    # arithmetically, not by shipping 4M rows through the JVM
+    n, val = 4_000_000, 7044.999999
+    sdf = (
+        spark.range(n)
+        .selectExpr(f"CAST({val} AS DOUBLE) AS v")
+        .agg(dsum("v").alias("s"))
+        .toPandas()
+    )
+    duck = ddb.connect()
+    duck.register("t", pd.DataFrame({"v": [val]}))
+    dd = duck.sql(
+        f"SELECT {oracle_dsum(f'v')} * 1 AS s FROM (SELECT {val}::DOUBLE AS v FROM range({n}))"
+    ).df()
+    assert float(sdf.s[0]) == float(dd.s[0])
+    assert abs(float(sdf.s[0])) > 2**53 / 1e6  # genuinely in the regime
+
+
+def test_rolling_quantile_equal_bounds_ulp(spark, monkeypatch):
+    """The 36-rows-in-a-million sf1 case: a trailing frame whose p90
+    interpolation bounds are EQUAL duplicates — DuckDB's
+    l·(1-f)+u·f puts ulp junk on an exact value (99.51 →
+    99.51000000000002), Spark's l+(u-l)·f does not. ROUND(6) on both
+    sides folds it; this pins the crafted frame end-to-end."""
+    import datetime
+
+    import frinesis_spark.operators.timeseries as ts_mod
+    from frinesis_spark import catalog
+
+    # one series, 10 rows; frame = trailing 50 ⇒ whole prefix. Values
+    # place TWO copies of 99.51 at the p90 interpolation bounds.
+    base = datetime.datetime(2024, 1, 1)
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 99.51, 99.51]
+    rows = [
+        (i, base + datetime.timedelta(minutes=i), 1, "click", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    real_table = catalog.table
+    monkeypatch.setattr(
+        ts_mod,
+        "table",
+        lambda s, d, n: events if n == "events" else real_table(s, d, n),
+    )
+    spark_pdf = ts_mod.QUERIES["window_rolling_quantile"](
+        spark, "crafted://quantile"
+    ).toPandas()
+    duck = duckdb.connect()
+    duck.register("events", events.toPandas())
+    duck_pdf = duck.sql(ts_mod.ORACLE["window_rolling_quantile"]).df()
+    assert_frames_match(spark_pdf, duck_pdf, "window_rolling_quantile")
+    last = spark_pdf.sort_values("event_id").iloc[-1]
+    assert last["p90_trailing"] == 99.51  # exact, no ulp junk
