@@ -50,6 +50,15 @@ _DECIMAL = f"decimal(28,{_SCALE})"
 # double-emitting hash contract, not of the engine: a production
 # 100 TB pipeline keeps money sums in DECIMAL end-to-end (exact at any
 # volume) and never round-trips them through double at all.
+#
+# Residual sites of the same class (inline decimal-sum→double casts
+# outside this module, audited r10): the zscore/ab-test FRAME sums are
+# width-bounded (never near 2^53 units); the per-series cumulative
+# window sums (window_running_frame/time_range) are series-bounded
+# (~1e13 units at sf1 vs 2^53 ≈ 9e15 — three orders of headroom); the
+# rollup/pivot totalprice sums sit at ~3.8e15 units at sf1 behind a
+# ROUND(2). All verified green by the sf1 pass; each would need this
+# module's scaled-int64 idiom before any sf100-scale oracle run.
 _UNITS = 10**_SCALE
 
 
