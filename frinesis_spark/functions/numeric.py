@@ -64,8 +64,11 @@ _UNITS = 10**_SCALE
 
 def _scaled_units(c: Column) -> Column:
     """Per-row exact scale-6 integer units of a money-domain double."""
-    # decimal(28,6) × 10^6 → decimal(36,6) (fits: 28+7+1 ≤ 38 on both
-    # engines), integral by construction → exact BIGINT.
+    # decimal(28,6) × 10^6 → decimal(36,6) on Spark (28+7+1) but
+    # DECIMAL(38,6) on DuckDB (the literal promotes to DECIMAL(10,0),
+    # 28+10 = 38 — ZERO headroom there; widening the accumulator past
+    # 28 digits would overflow DuckDB's cap). Integral by construction
+    # → exact BIGINT.
     return (c.cast(_DECIMAL) * _UNITS).cast("long")
 
 

@@ -72,7 +72,7 @@ def _load_modules():
 #   1. never driver-verified (implicit: in no list);
 #   2. stale evidence, ordered OLDEST ROUND FIRST within the tier:
 #      the 44 r7-green rows lead (the r9 verdict's mandated backlog),
-#      then the 47 r8-green rows;
+#      then the 46 r8-green rows;
 #   3. green in CORRECTNESS_r09 (freshest evidence, cheapest to skip).
 #
 # VERIFICATION-WINDOW POLICY (decided r10, per r9 verdict item 2).
@@ -82,7 +82,8 @@ def _load_modules():
 # window that caps total capacity at 3 x 50 = 150 slot-uses per cycle,
 # shared between the |registry| one-per-cycle visits and tier-0
 # re-verifications of changed queries.  Policy:
-#   * net registrations are FROZEN at <= 145 queries (141 today);
+#   * net registrations are FROZEN at REGISTRY_CAP = 141 queries
+#     (exactly the current size — adding one means retiring one);
 #   * per-round tier-0 churn budget is the window slack after the
 #     oldest-stale backlog is scheduled (r10: 50 - 44 = 6 slots);
 #   * tools/refresh_tiers.py ASSERTS the arithmetic at refresh time

@@ -46,15 +46,28 @@ import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 
+_MAX_HASH = (1 << 128) - 1
+
+
 class _Shard:
     """One shard: records are (sequence, partition_key, data, ts);
     ``open`` flips False on SplitShard (closed shards take no new
-    records and signal end-of-shard to a fully-caught-up reader)."""
+    records and signal end-of-shard to a fully-caught-up reader).
+    ``start_hash``/``end_hash`` are the shard's MD5 hash-key range —
+    disjoint across open shards, exactly like the real service (a
+    split carves the parent's range at NewStartingHashKey)."""
 
-    def __init__(self, parent: str | None = None):
+    def __init__(
+        self,
+        start_hash: int = 0,
+        end_hash: int = _MAX_HASH,
+        parent: str | None = None,
+    ):
         self.records: list[tuple] = []
         self.open = True
         self.parent = parent
+        self.start_hash = start_hash
+        self.end_hash = end_hash
 
 
 class _KinesisState:
@@ -85,13 +98,17 @@ def _shard_id(i: int) -> str:
     return f"shardId-{i:012d}"
 
 
-def _route(partition_key: str, open_idx: list[int]) -> int:
-    """Deterministic key→shard routing over the OPEN shards (stands in
-    for the service's MD5-of-key hash-range split; same distribution
-    property, and closed parents take no new records — the real
-    post-split behavior)."""
-    h = hashlib.md5(partition_key.encode()).digest()
-    return open_idx[int.from_bytes(h[:8], "big") % len(open_idx)]
+def _route(partition_key: str, shards: list[_Shard]) -> int:
+    """The real service's routing: MD5 of the partition key as a
+    128-bit integer, delivered to the OPEN shard whose hash-key range
+    contains it (open ranges partition the keyspace — CreateStream
+    splits it contiguously and SplitShard carves a parent's range into
+    two disjoint children)."""
+    h = int.from_bytes(hashlib.md5(partition_key.encode()).digest(), "big")
+    for i, sh in enumerate(shards):
+        if sh.open and sh.start_hash <= h <= sh.end_hash:
+            return i
+    raise AssertionError("open shard ranges must cover the keyspace")
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -125,8 +142,11 @@ class _Handler(BaseHTTPRequestHandler):
         name = body["StreamName"]
         if name in self.state.streams:
             return _err("ResourceInUseException", name)
+        n = int(body.get("ShardCount", 1))
+        bounds = [(_MAX_HASH + 1) * i // n for i in range(n + 1)]
         self.state.streams[name] = [
-            _Shard() for _ in range(int(body.get("ShardCount", 1)))
+            _Shard(start_hash=bounds[i], end_hash=bounds[i + 1] - 1)
+            for i in range(n)
         ]
         return 200, {}
 
@@ -143,10 +163,14 @@ class _Handler(BaseHTTPRequestHandler):
             desc: dict = {
                 "ShardId": _shard_id(i),
                 "HashKeyRange": {
-                    "StartingHashKey": "0",
-                    "EndingHashKey": "340282366920938463463374607431768211455",
+                    "StartingHashKey": str(sh.start_hash),
+                    "EndingHashKey": str(sh.end_hash),
                 },
-                "SequenceNumberRange": {"StartingSequenceNumber": "0"},
+                "SequenceNumberRange": {
+                    "StartingSequenceNumber": (
+                        sh.records[0][0] if sh.records else "0"
+                    )
+                },
             }
             if sh.parent is not None:
                 desc["ParentShardId"] = sh.parent
@@ -201,9 +225,21 @@ class _Handler(BaseHTTPRequestHandler):
             return _err(
                 "InvalidArgumentException", f"{sid} is already closed"
             )
-        shards[idx].open = False
-        shards.append(_Shard(parent=sid))
-        shards.append(_Shard(parent=sid))
+        parent = shards[idx]
+        try:
+            split_at = int(body["NewStartingHashKey"])
+        except (KeyError, ValueError):
+            return _err("InvalidArgumentException", "NewStartingHashKey")
+        if not parent.start_hash < split_at <= parent.end_hash:
+            return _err(
+                "InvalidArgumentException",
+                "NewStartingHashKey must fall inside the shard's range",
+            )
+        parent.open = False
+        shards.append(
+            _Shard(parent.start_hash, split_at - 1, parent=sid)
+        )
+        shards.append(_Shard(split_at, parent.end_hash, parent=sid))
         return 200, {}
 
     # -- data plane ---------------------------------------------------
@@ -229,8 +265,7 @@ class _Handler(BaseHTTPRequestHandler):
                     for _ in records
                 ],
             }
-        open_idx = [i for i, sh in enumerate(shards) if sh.open]
-        if not open_idx:
+        if not any(sh.open for sh in shards):
             return _err("ResourceNotFoundException", "no open shards")
         out = []
         failed = 0
@@ -251,7 +286,7 @@ class _Handler(BaseHTTPRequestHandler):
                 )
                 continue
             pk = rec.get("PartitionKey", "")
-            idx = _route(pk, open_idx)
+            idx = _route(pk, shards)
             seq = self.state.next_seq()
             shards[idx].records.append((seq, pk, data, time.time()))
             out.append({"SequenceNumber": seq, "ShardId": _shard_id(idx)})

@@ -91,10 +91,19 @@ def test_window_capacity_invariant():
     assert len(names) <= registry.REGISTRY_CAP
 
     # The oldest-stale backlog (rows that MUST verify this round to
-    # keep the guarantee) + expected churn must fit one window.
+    # keep the guarantee) + never-verified registrations (tier 1 —
+    # in NO list; they also need a slot now) + expected churn must
+    # fit one window.
     oldest = min(registry._STALE_EVIDENCE.values(), default=0)
     must = [n for n, r in registry._STALE_EVIDENCE.items() if r == oldest]
-    ok, problems = rt.window_capacity_ok(len(names), len(must))
+    never = [
+        n
+        for n in names
+        if n not in registry._STALE_EVIDENCE
+        and n not in registry._VERIFIED_LAST
+        and n not in registry._CHANGED_SINCE_VERDICT
+    ]
+    ok, problems = rt.window_capacity_ok(len(names), len(must), len(never))
     assert ok, problems
 
     # And the must-verify rows actually sit inside the window.

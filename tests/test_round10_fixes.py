@@ -159,7 +159,6 @@ def test_dsum_scaled_path_matches_oracle_above_2_53(spark):
     """dsum and oracle_dsum agree bitwise on a sum ABOVE 2^53 scale-6
     units — the regime the old decimal→double cast diverged in."""
     import duckdb as ddb
-    import pandas as pd
 
     from frinesis_spark.functions.numeric import dsum, oracle_dsum
 
@@ -172,10 +171,9 @@ def test_dsum_scaled_path_matches_oracle_above_2_53(spark):
         .agg(dsum("v").alias("s"))
         .toPandas()
     )
-    duck = ddb.connect()
-    duck.register("t", pd.DataFrame({"v": [val]}))
-    dd = duck.sql(
-        f"SELECT {oracle_dsum(f'v')} * 1 AS s FROM (SELECT {val}::DOUBLE AS v FROM range({n}))"
+    dd = ddb.sql(
+        f"SELECT {oracle_dsum('v')} AS s "
+        f"FROM (SELECT {val}::DOUBLE AS v FROM range({n}))"
     ).df()
     assert float(sdf.s[0]) == float(dd.s[0])
     assert abs(float(sdf.s[0])) > 2**53 / 1e6  # genuinely in the regime

@@ -124,15 +124,33 @@ def main() -> None:
         row = dict(ts)
         t001, t01, t1 = (
             ts.get("t_sf0.01"), ts.get("t_sf0.1"), ts.get("t_sf1"))
-        if t001 and t1:
-            row["exp_001_1"] = round(math.log10(t1 / t001) / 2, 2)
-        if t01 and t1:
-            row["exp_01_1"] = round(math.log10(t1 / t01), 2)
-            if name in GRADER_QUADRATIC:
-                row["grader_quadratic"] = True
-            elif row["exp_01_1"] > FLAG_EXP and t1 >= FLAG_SEC:
-                row["flag"] = True
-                flagged.append(name)
+        # `is not None`, never truthiness: a sub-0.5 ms rep rounds to
+        # 0.0 and must not silently drop the exponent (and with it the
+        # superlinear flag — the tool's whole purpose); a zero
+        # denominator is surfaced instead of skipped.
+        if t001 is not None and t1 is not None:
+            if t001 > 0:
+                row["exp_001_1"] = round(math.log10(t1 / t001) / 2, 2)
+            else:
+                row["exp_001_1_skipped"] = "t_sf0.01 rounded to 0"
+                print(f"WARN {name}: t_sf0.01 == 0, exponent skipped",
+                      file=sys.stderr)
+        if t01 is not None and t1 is not None:
+            if t01 > 0:
+                row["exp_01_1"] = round(math.log10(t1 / t01), 2)
+                if name in GRADER_QUADRATIC:
+                    row["grader_quadratic"] = True
+                elif row["exp_01_1"] > FLAG_EXP and t1 >= FLAG_SEC:
+                    row["flag"] = True
+                    flagged.append(name)
+            else:
+                row["exp_01_1_skipped"] = "t_sf0.1 rounded to 0"
+                # a zero base with real sf1 work is ITSELF flag-worthy
+                if t1 >= FLAG_SEC:
+                    row["flag"] = True
+                    flagged.append(name)
+                print(f"WARN {name}: t_sf0.1 == 0, exponent skipped",
+                      file=sys.stderr)
         out[name] = row
 
     record = {
