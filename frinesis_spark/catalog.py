@@ -27,7 +27,36 @@ TABLES = (
 )
 
 
-_TS_UNIT_CACHE: dict[tuple, str] = {}
+# path -> (stat signature, unit). Keyed by PATH with the signature in
+# the value (not the key): a fixture regenerated in-process replaces
+# its entry instead of accumulating one dead 10k-element key per
+# rewrite (r10 review wave).
+_TS_UNIT_CACHE: dict[str, tuple] = {}
+
+
+def _stat_sig(paths: list[str]) -> tuple:
+    """Per-file (path, size, mtime_ns) signature — ONE stat per file.
+
+    The shared cheap-invalidation fingerprint idiom (same shape as
+    caches.corpus_fingerprint and runner._stage_dir's sig; those hash
+    theirs because their keys travel, this one stays in-process)."""
+    out = []
+    for p in paths:
+        st = os.stat(p)
+        out.append((p, st.st_size, st.st_mtime_ns))
+    return tuple(out)
+
+
+def _table_files(sf_dir: str, name: str) -> list[str]:
+    """The parquet file list backing one table (single file or dir)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        return [
+            os.path.join(path, n)
+            for n in sorted(os.listdir(path))
+            if n.endswith(".parquet")
+        ]
+    return [path]
 
 
 def events_ts_unit(path: str) -> str:
@@ -48,18 +77,14 @@ def events_ts_unit(path: str) -> str:
                 f"update catalog.py / FIXTURES.md for the new layout"
             )
         probes = [os.path.join(path, n) for n in names]
-    # Cache keyed on (path, per-file stat signature) — a file
-    # regenerated IN-PROCESS at the same path with a different ts unit
-    # previously kept the stale classification and read µs values
-    # through div-1000 with no error (r9 review wave 6). Stat-only,
-    # same cost class as caches.corpus_fingerprint.
-    sig = tuple(
-        (p, os.stat(p).st_size, os.stat(p).st_mtime_ns) for p in probes
-    )
-    key = (path, sig)
-    cached = _TS_UNIT_CACHE.get(key)
-    if cached is not None:
-        return cached
+    # Stat-signature invalidation — a file regenerated IN-PROCESS at
+    # the same path with a different ts unit previously kept the stale
+    # classification and read µs values through div-1000 with no error
+    # (r9 review wave 6). Stat-only, one syscall per file.
+    sig = _stat_sig(probes)
+    cached = _TS_UNIT_CACHE.get(path)
+    if cached is not None and cached[0] == sig:
+        return cached[1]
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -104,7 +129,7 @@ def events_ts_unit(path: str) -> str:
             f"per-file read strategy"
         )
     out = units.pop()
-    _TS_UNIT_CACHE[key] = out
+    _TS_UNIT_CACHE[path] = (sig, out)
     return out
 
 
@@ -224,15 +249,26 @@ def register_views(
 
     Idempotent and INCREMENTAL per (session, sf_dir): repeat calls
     register only the not-yet-registered subset; a different sf_dir
-    re-registers from scratch. Keyed weakly on the session object, so
-    a dead session's entry vanishes with it (no id-reuse aliasing) and
-    a stopped-then-recreated context re-registers; pass ``force=True``
-    to re-register within one session (e.g. after dropping a view).
+    re-registers from scratch. Each registration records the table's
+    stat signature, so a fixture regenerated IN-PROCESS at the same
+    path re-registers instead of serving a stale view plan (r10 review
+    wave — the same hazard events_ts_unit stat-invalidates; cost is
+    ~one stat syscall per table per call, preserving the footer-read
+    savings the cache exists for). Keyed weakly on the session object,
+    so a dead session's entry vanishes with it (no id-reuse aliasing)
+    and a stopped-then-recreated context re-registers; ``force=True``
+    re-registers the REQUESTED tables only (e.g. after dropping a
+    view), leaving the others' records intact.
     """
-    cached_dir, done = _VIEWS_CACHE.get(spark, (None, frozenset()))
-    if force or cached_dir != sf_dir:
-        done = frozenset()
-    missing = [n for n in tables if n not in done]
-    for name in missing:
-        table(spark, sf_dir, name).createOrReplaceTempView(name)
-    _VIEWS_CACHE[spark] = (sf_dir, done | set(missing))
+    cached_dir, done = _VIEWS_CACHE.get(spark, (None, {}))
+    if cached_dir != sf_dir:
+        done = {}
+    elif force:
+        done = {n: s for n, s in done.items() if n not in tables}
+    done = dict(done)
+    for name in tables:
+        sig = _stat_sig(_table_files(sf_dir, name))
+        if done.get(name) != sig:
+            table(spark, sf_dir, name).createOrReplaceTempView(name)
+            done[name] = sig
+    _VIEWS_CACHE[spark] = (sf_dir, done)

@@ -218,3 +218,51 @@ def test_rolling_quantile_equal_bounds_ulp(spark, monkeypatch):
     assert_frames_match(spark_pdf, duck_pdf, "window_rolling_quantile")
     last = spark_pdf.sort_values("event_id").iloc[-1]
     assert last["p90_trailing"] == 99.51  # exact, no ulp junk
+
+
+def test_register_views_invalidates_on_inprocess_rewrite(
+    spark, tmp_path, monkeypatch
+):
+    """r10 review wave: a fixture regenerated IN-PROCESS at the same
+    path must re-register its view (stat-signature invalidation — the
+    same hazard events_ts_unit guards one layer down); an untouched
+    table stays cached, and force=True on a SUBSET leaves the other
+    tables' registration records intact."""
+    import shutil
+    import time as _time
+
+    from frinesis_spark import catalog
+
+    src = "/root/testdata/sf0.001"
+    d = str(tmp_path / "sf")
+    (tmp_path / "sf").mkdir()
+    for t in ("region", "nation"):
+        shutil.copy(f"{src}/{t}.parquet", f"{d}/{t}.parquet")
+
+    calls = []
+    real_table = catalog.table
+
+    def counting_table(sp, dd, name):
+        calls.append(name)
+        return real_table(sp, dd, name)
+
+    monkeypatch.setattr(catalog, "table", counting_table)
+    monkeypatch.setattr(catalog, "_VIEWS_CACHE", {})
+
+    tables = ("region", "nation")
+    catalog.register_views(spark, d, tables=tables)
+    assert calls == ["region", "nation"]
+    catalog.register_views(spark, d, tables=tables)
+    assert calls == ["region", "nation"]  # cache hit
+
+    # rewrite ONE table in-process (new mtime/size)
+    _time.sleep(0.01)
+    shutil.copy(f"{src}/part.parquet", f"{d}/region.parquet")
+    catalog.register_views(spark, d, tables=tables)
+    assert calls == ["region", "nation", "region"]  # only the rewrite
+
+    # force on a subset re-registers that subset only
+    catalog.register_views(spark, d, tables=("nation",), force=True)
+    assert calls == ["region", "nation", "region", "nation"]
+    catalog.register_views(spark, d, tables=tables)
+    assert calls == ["region", "nation", "region", "nation"]  # all cached
