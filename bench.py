@@ -277,6 +277,28 @@ def main() -> None:
     # genuinely warm.
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    # Evidence channels for cross-round attribution (r10 verdict item
+    # 1): the r10 driver bench flagged 12 queries >=1.5x vs r9 while a
+    # same-HEAD local run showed zero — host contention, but nothing
+    # on record could PROVE it. Three artifacts fix that permanently:
+    #   raw_reps   — every rep's wall time (not just the min), so a
+    #                contended run shows its own outlier structure;
+    #   load_reps  — os.getloadavg()[0] sampled before each rep, the
+    #                direct host-contention witness;
+    #   plan_fp    — normalized physical-plan fingerprint per query
+    #                (frinesis_spark/planfp.py). Identical fp across
+    #                rounds + elevated load = drift, closed; changed
+    #                fp = a real plan change to audit.
+    raw_reps: dict[str, list[float]] = {}
+    load_reps: dict[str, list[float]] = {}
+    plan_fp: dict[str, str] = {}
+    from frinesis_spark import planfp as _planfp
+
+    def _load1() -> float:
+        try:
+            return round(os.getloadavg()[0], 1)
+        except OSError:  # pragma: no cover — getloadavg is POSIX-only
+            return -1.0
     # A HEADLINE name missing from the registry is a rename that would
     # otherwise silently shrink the total and drop the query from the
     # regression alarm (r9 review wave 5) — surface it in the record.
@@ -289,8 +311,20 @@ def main() -> None:
     for name in HEADLINE:
         if name not in queries:
             continue
-        samples = [run_once(name) for _ in range(reps)]
+        samples, loads = [], []
+        for _ in range(reps):
+            loads.append(_load1())
+            samples.append(run_once(name))
         timings[name] = round(min(samples), 3)
+        raw_reps[name] = [round(s, 3) for s in samples]
+        load_reps[name] = loads
+        # Fingerprint OUTSIDE the timed region: building the DataFrame
+        # re-runs only plan construction (plus any cached-artifact
+        # lookups, all warm here); .explain-level planning, no jobs.
+        try:
+            plan_fp[name] = _planfp.fingerprint(queries[name](spark, sf_dir))
+        except Exception as exc:  # never let evidence break the bench
+            plan_fp[name] = f"<error: {type(exc).__name__}>"
         # max/min ratio across reps (r4 verdict #8): a reported 1.1-1.2x
         # cross-round drift on a query whose own reps spread 1.5x is
         # noise by the bench's own evidence; a drift larger than the
@@ -307,6 +341,17 @@ def main() -> None:
     # it against the reference's own 500-records/call x call-latency
     # bound (batchproducer.go:15).
     sink = _sink_throughput()
+    # Second envelope at realistic wire latency (r10 verdict item 7):
+    # 15 ms per PutRecords call — the synchronous-producer bound is
+    # then ~500 records / (15 ms + cpu-per-call), directly comparable
+    # to the reference's 25-50k/s arithmetic. Fewer records: the wall
+    # is latency-dominated, so 100k records ≈ 222 calls ≈ 3.3 s.
+    sink_n = int(os.environ.get("SPARK_GRAFT_SINK_BENCH_RECORDS", "500000"))
+    sink_wire = (
+        _sink_throughput(call_latency_s=0.015, n_records=min(sink_n, 100_000))
+        if sink_n > 0
+        else None
+    )
 
     total = round(sum(timings.values()), 3)
     # Suite rollup (r6 verdict #5): one number for the full TPC-H 22 so
@@ -324,9 +369,14 @@ def main() -> None:
         "rep_spread": spreads,
         "reps": reps,
         "sf": sf,
+        "raw_reps": raw_reps,
+        "load_reps": load_reps,
+        "plan_fp": plan_fp,
     }
     if sink:
         full["sink"] = sink
+    if sink_wire:
+        full["sink_15ms"] = sink_wire
     if unknown_headline:
         full["unknown_headline"] = unknown_headline
 
@@ -388,13 +438,25 @@ def main() -> None:
     ))
 
 
-def _sink_throughput() -> dict | None:
-    """Drive ~500k records through the BatchProducer against the
-    in-process Kinesis stub with 10% per-record failures injected;
-    returns the recorded envelope (records/s, retry/drop/shed counts).
-    None when boto3 or the stub is unavailable (bench must never
-    break on an env gap)."""
-    n = int(os.environ.get("SPARK_GRAFT_SINK_BENCH_RECORDS", "500000"))
+def _sink_throughput(
+    call_latency_s: float = 0.0, n_records: int | None = None
+) -> dict | None:
+    """Drive records through the BatchProducer against the in-process
+    Kinesis stub with 10% per-record failures injected; returns the
+    recorded envelope (records/s, retry/drop/shed counts). None when
+    boto3 or the stub is unavailable (bench must never break on an
+    env gap).
+
+    Two envelopes per round (r10 verdict item 7): latency 0 measures
+    the producer's pure CPU path (serialization/chunking/retry
+    bookkeeping); ``call_latency_s=0.015`` simulates AWS's ~15 ms
+    in-region PutRecords latency — the number a user comparing
+    against the reference's 500-records/call × call-latency bound
+    (batchproducer.go:15) actually needs, since this producer is
+    synchronous exactly like the reference's send loop."""
+    n = n_records if n_records is not None else int(
+        os.environ.get("SPARK_GRAFT_SINK_BENCH_RECORDS", "500000")
+    )
     if n <= 0:
         return None
     try:
@@ -411,7 +473,9 @@ def _sink_throughput() -> dict | None:
         return None
     # The reference's filler record (batchproducer_test.go:876-877).
     payload = b"The cheese is old and moldy, where is the bathroom?"
-    with KinesisStub(fail_every_nth_record=10) as stub:
+    with KinesisStub(
+        fail_every_nth_record=10, call_latency_s=call_latency_s
+    ) as stub:
         client = make_boto3_client_factory(
             {"AWS_REGION_NAME": "us-east-1",
              "KINESIS_ENDPOINT": stub.endpoint}
@@ -432,6 +496,7 @@ def _sink_throughput() -> dict | None:
         "records": n,
         "payload_bytes": len(payload),
         "injected_failure": "every 10th record throttled (10%)",
+        "call_latency_ms": round(call_latency_s * 1000, 1),
         "wall_sec": round(wall, 2),
         "records_per_sec": int(n / wall),
         "delivered": delivered,

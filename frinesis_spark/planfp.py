@@ -1,0 +1,85 @@
+"""Normalized physical-plan fingerprints (r10 verdict item 1).
+
+The round-10 driver bench flagged 12 queries >=1.5x slower while the
+same-HEAD local bench showed zero regressions — a host-contention
+signature that could not be *proven* because nothing recorded whether
+the physical plans had changed between rounds. This module makes plan
+identity a first-class, hashable artifact: ``fingerprint(df)`` returns
+a short stable hash of the query's physical plan with every
+run-varying token (expression IDs, plan IDs, temp paths, object
+addresses, statistics, timestamps) normalized away.
+
+``bench.py`` records a fingerprint per headline query in
+``BENCH_full.json`` every round, so any future cross-round timing
+shift can be attributed in one comparison: identical fingerprint =>
+same plan => the shift is environmental; different fingerprint => a
+real plan change to audit. ``tools/plan_fp_probe.py`` computes the
+same fingerprints against an arbitrary source tree (e.g. a git
+worktree of a previous round) for retroactive attribution.
+
+Determinism notes:
+- Under AQE the pre-execution ``executedPlan`` is the
+  ``AdaptiveSparkPlan isFinalPlan=false`` wrapper around the initial
+  plan — deterministic for fixed code + data layout, which is exactly
+  the identity we want (the *compiled* plan, before runtime re-plan).
+- exprIds (``#123``, ``#123L``) are assigned by a global counter and
+  vary with session history; normalized to ``#x``.
+- Roundtrip queries read back from per-run temp dirs; any
+  ``file:/...`` or ``/tmp/...`` token is normalized to a placeholder.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+_SUBS: list[tuple[re.Pattern, str]] = [
+    # expression IDs: col#123, col#123L — session-history dependent
+    (re.compile(r"#\d+L?"), "#x"),
+    # plan / subquery / CTE ids
+    (re.compile(r"plan_id=\d+"), "plan_id=x"),
+    (re.compile(r"\[id=#?\d+\]"), "[id=x]"),
+    (re.compile(r"cte\[\d+\]"), "cte[x]"),
+    (re.compile(r"exprId=\d+"), "exprId=x"),
+    # JVM object addresses in udf/lambda reprs
+    (re.compile(r"@[0-9a-fA-F]{6,}"), "@x"),
+    (re.compile(r"0x[0-9a-fA-F]{6,}"), "0xX"),
+    # per-run paths: scratch dirs, roundtrip temp outputs, warehouse
+    (re.compile(r"file:[^\s,\]\)\}]*"), "<path>"),
+    (re.compile(r"/tmp/[^\s,\]\)\}]*"), "<tmp>"),
+    # optimizer statistics annotations (data-stat dependent formatting)
+    (re.compile(r"Statistics\([^)]*\)"), "Statistics(x)"),
+    # embedded timestamps (e.g. current_timestamp folding, temp names)
+    (re.compile(r"\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}[^\s,\]\)\}]*"), "<ts>"),
+    # python UDF worker ids / accumulator ids
+    (re.compile(r"accumulator\(\d+\)"), "accumulator(x)"),
+]
+
+
+def normalize(plan_text: str) -> str:
+    """Strip every run-varying token from a physical-plan string."""
+    out = plan_text
+    for pat, repl in _SUBS:
+        out = pat.sub(repl, out)
+    return out
+
+
+def fingerprint_text(plan_text: str) -> str:
+    """12-hex-char stable hash of a normalized plan string."""
+    return hashlib.sha256(normalize(plan_text).encode()).hexdigest()[:12]
+
+
+def plan_text(df) -> str:
+    """The physical plan string of a (not-yet-executed) DataFrame.
+
+    Uses ``queryExecution().executedPlan()`` — under AQE this is the
+    initial compiled plan inside the AdaptiveSparkPlan wrapper, i.e.
+    what Catalyst produced from this code against this data layout,
+    before any runtime re-plan. Planning runs; execution does not.
+    """
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def fingerprint(df) -> str:
+    """Normalized-plan fingerprint of a DataFrame (12 hex chars)."""
+    return fingerprint_text(plan_text(df))

@@ -65,15 +65,15 @@ def _load_modules():
 
 
 # The driver checks ~50 queries per round in registration order, so the
-# order is a verification budget. Four tiers (refreshed at r10 start from
-# CORRECTNESS_r09.json via tools/refresh_tiers.py):
-#   0. changed since the r9 verdict — operators whose behavior this
+# order is a verification budget. Four tiers (refreshed at r11 start from
+# CORRECTNESS_r10.json via tools/refresh_tiers.py):
+#   0. changed since the r10 verdict — operators whose behavior this
 #      round touched, so their green rows no longer cover them;
 #   1. never driver-verified (implicit: in no list);
 #   2. stale evidence, ordered OLDEST ROUND FIRST within the tier:
-#      the 44 r7-green rows lead (the r9 verdict's mandated backlog),
-#      then the 46 r8-green rows;
-#   3. green in CORRECTNESS_r09 (freshest evidence, cheapest to skip).
+#      the 42 r8-green rows lead (the guarantee boundary — they must
+#      verify THIS round, r10 verdict item 5), then the 49 r9-green;
+#   3. green in CORRECTNESS_r10 (freshest evidence, cheapest to skip).
 #
 # VERIFICATION-WINDOW POLICY (decided r10, per r9 verdict item 2).
 # The standing guarantee is "every registered query's latest driver
@@ -85,81 +85,20 @@ def _load_modules():
 #   * net registrations are FROZEN at REGISTRY_CAP = 141 queries
 #     (exactly the current size — adding one means retiring one);
 #   * per-round tier-0 churn budget is the window slack after the
-#     oldest-stale backlog is scheduled (r10: 50 - 44 = 6 slots);
+#     oldest-stale backlog is scheduled (r11: 50 - 42 = 8 slots);
 #   * tools/refresh_tiers.py ASSERTS the arithmetic at refresh time
 #     (window_capacity_ok) and tests/test_registry.py pins it, so a
 #     growth-busts-guarantee state fails at registration time, not at
 #     verdict time.
-# r10 window fill: 44 r7-stale lead, then tier-0 as changes land, then
-# the oldest r8-stale rows absorb any remaining slots.
+# r11 window fill: the 42 r8-stale rows lead (guarantee boundary), then
+# tier-0 as changes land, then the oldest r9-stale rows absorb any
+# remaining slots.
 _CHANGED_SINCE_VERDICT = (
-    # r10: hot-block cap (r9 verdict item 3) — blocks over 512 rows
-    # refine on the next 4 chars, still-over-cap refined blocks drop;
-    # fixture output unchanged (max fixture block = 7 rows; local
-    # parity green) but the contract AND the oracle text changed, so
-    # it re-verifies under the new oracle
-    "dedup_fuzzy_editdist",
-    # r10: the sf1 correctness pass found DuckDB's quantile_cont
-    # interpolates lower·(1-f)+upper·f (±1 ulp even at equal bounds)
-    # where Spark computes lower+(upper-lower)·f — both sides now
-    # ROUND(6), which CHANGES the fixture hash (ulp folding), so it
-    # re-verifies. The same pass found the decimal→double cast
-    # divergence above 2^53 scale-6 units and moved dsum/davg (and
-    # their 137 oracle twins) onto the scaled-int64 path — those
-    # queries' fixture outputs are BIT-IDENTICAL at sf0.01/sf0.1
-    # (probed old-vs-new in one session AND a full post-change sf0.01
-    # sim green), so per the tier-0 policy they are demoted with that
-    # evidence; the three whose sf1 values actually moved
-    # (agg_group_sum, sql_tpch_q1, join_salted_skew) are r7/r8-stale
-    # and re-verify inside this round's window regardless.
-    "window_rolling_quantile",
 )
 
+# tier 2: stale evidence — last green before r10 (91 queries); name -> last-green round, the
+# _reorder sort key (oldest evidence claims window slots first)
 _STALE_EVIDENCE = {
-    "agg_collect_sorted": 7,
-    "agg_distinct": 7,
-    "agg_group_sum": 7,
-    "agg_grouping_sets": 7,
-    "agg_stats_corr": 7,
-    "agg_string_concat": 7,
-    "analytics_cumulative_distinct": 7,
-    "analytics_retention_cohort": 7,
-    "dedup_decontaminate": 7,
-    "dedup_substring_chunks": 7,
-    "embedding_quantize_int8": 7,
-    "filter_in_between_like": 7,
-    "funnel_conversion": 7,
-    "join_anti": 7,
-    "join_broadcast": 7,
-    "join_bucketed_colocated": 7,
-    "join_inner_equi": 7,
-    "join_left_outer": 7,
-    "join_multiway_star": 7,
-    "join_semi": 7,
-    "pipeline_shuffle_shard": 7,
-    "project_filter": 7,
-    "scalar_variant_shred": 7,
-    "scan_parquet": 7,
-    "sink_compacted_parquet": 7,
-    "sink_partitioned_parquet": 7,
-    "sink_sorted_clustered": 7,
-    "source_csv_roundtrip": 7,
-    "source_schema_evolution": 7,
-    "source_text_lines_roundtrip": 7,
-    "sql_tpch_q1": 7,
-    "sql_tpch_q14": 7,
-    "sql_tpch_q17": 7,
-    "sql_tpch_q21": 7,
-    "sql_tpch_q22": 7,
-    "sql_tpch_q3": 7,
-    "sql_tpch_q4": 7,
-    "stream_foreach_batch_upsert": 7,
-    "time_downsample_m4": 7,
-    "time_gapfill_locf": 7,
-    "window_first_last": 7,
-    "window_ranking_suite": 7,
-    "window_running_frame": 7,
-    "window_session_islands": 7,
     "agg_approx_distinct": 8,
     "agg_bool_bitwise": 8,
     "agg_histogram": 8,
@@ -177,7 +116,6 @@ _STALE_EVIDENCE = {
     "join_range_theta": 8,
     "join_salted_skew": 8,
     "merge_upsert": 8,
-    "sample_stratified_hash": 8,
     "scalar_conditional_regex": 8,
     "set_union_except_intersect": 8,
     "similarity_ann_ivf": 8,
@@ -197,67 +135,116 @@ _STALE_EVIDENCE = {
     "stream_stream_join": 8,
     "stream_tumbling_agg": 8,
     "stream_watermark_late": 8,
-    "text_ngram_profile": 8,
-    "text_repetition_filter": 8,
-    "text_url_canonicalize": 8,
     "time_resample_interp": 8,
     "time_rollup_hypertable": 8,
     "udtf_table_chunks": 8,
     "window_ewma_smooth": 8,
     "window_rank_topk": 8,
     "window_time_range": 8,
+    "agg_approx_quantile": 9,
+    "agg_filtered_conditional": 9,
+    "agg_regression": 9,
+    "agg_rollup_cube": 9,
+    "dedup_containment_ngram": 9,
+    "dedup_embedding_ann": 9,
+    "dedup_embedding_cosine": 9,
+    "dedup_exact": 9,
+    "dedup_near_minhash": 9,
+    "dedup_simhash": 9,
+    "explode_token_freq": 9,
+    "join_asof_tolerance": 9,
+    "merge_scd2": 9,
+    "multimodal_decode": 9,
+    "multimodal_frame_sample": 9,
+    "multimodal_join": 9,
+    "multimodal_resize": 9,
+    "pipeline_llm_prep": 9,
+    "pipeline_source_mixture": 9,
+    "scalar_array_map_json": 9,
+    "scalar_string_date_math": 9,
+    "similarity_topk_cosine": 9,
+    "source_json_roundtrip": 9,
+    "sql_tpch_q11": 9,
+    "sql_tpch_q12": 9,
+    "sql_tpch_q13": 9,
+    "sql_tpch_q15": 9,
+    "sql_tpch_q16": 9,
+    "sql_tpch_q18": 9,
+    "sql_tpch_q19": 9,
+    "sql_tpch_q2": 9,
+    "sql_tpch_q20": 9,
+    "sql_tpch_q7": 9,
+    "sql_tpch_q8": 9,
+    "sql_tpch_q9": 9,
+    "stream_incremental_batches": 9,
+    "stream_session_window": 9,
+    "stream_user_profile": 9,
+    "text_analysis_stats": 9,
+    "text_fingerprint": 9,
+    "text_language_id": 9,
+    "text_pii_scrub": 9,
+    "text_quality_score": 9,
+    "text_token_count": 9,
+    "time_ohlc_bars": 9,
+    "tokenize_pack_sequences": 9,
+    "udf_python": 9,
+    "window_anomaly_zscore": 9,
+    "window_lag_lead": 9,
 }
+
+# tier 3: green in CORRECTNESS_r10 (50 queries)
 _VERIFIED_LAST = frozenset(
     {
-        "agg_approx_quantile",
-        "agg_filtered_conditional",
-        "agg_regression",
-        "agg_rollup_cube",
-        "dedup_containment_ngram",
-        "dedup_embedding_ann",
-        "dedup_embedding_cosine",
-        "dedup_exact",
-        "dedup_near_minhash",
-        "dedup_simhash",
-        "explode_token_freq",
-        "join_asof_tolerance",
-        "merge_scd2",
-        "multimodal_decode",
-        "multimodal_frame_sample",
-        "multimodal_join",
-        "multimodal_resize",
-        "pipeline_llm_prep",
-        "pipeline_source_mixture",
-        "scalar_array_map_json",
-        "scalar_string_date_math",
-        "similarity_topk_cosine",
-        "source_json_roundtrip",
-        "sql_tpch_q11",
-        "sql_tpch_q12",
-        "sql_tpch_q13",
-        "sql_tpch_q15",
-        "sql_tpch_q16",
-        "sql_tpch_q18",
-        "sql_tpch_q19",
-        "sql_tpch_q2",
-        "sql_tpch_q20",
-        "sql_tpch_q7",
-        "sql_tpch_q8",
-        "sql_tpch_q9",
-        "stream_incremental_batches",
-        "stream_session_window",
-        "stream_user_profile",
-        "text_analysis_stats",
-        "text_fingerprint",
-        "text_language_id",
-        "text_pii_scrub",
-        "text_quality_score",
-        "text_token_count",
-        "time_ohlc_bars",
-        "tokenize_pack_sequences",
-        "udf_python",
-        "window_anomaly_zscore",
-        "window_lag_lead",
+        "agg_collect_sorted",
+        "agg_distinct",
+        "agg_group_sum",
+        "agg_grouping_sets",
+        "agg_stats_corr",
+        "agg_string_concat",
+        "analytics_cumulative_distinct",
+        "analytics_retention_cohort",
+        "dedup_decontaminate",
+        "dedup_fuzzy_editdist",
+        "dedup_substring_chunks",
+        "embedding_quantize_int8",
+        "filter_in_between_like",
+        "funnel_conversion",
+        "join_anti",
+        "join_broadcast",
+        "join_bucketed_colocated",
+        "join_inner_equi",
+        "join_left_outer",
+        "join_multiway_star",
+        "join_semi",
+        "pipeline_shuffle_shard",
+        "project_filter",
+        "sample_stratified_hash",
+        "scalar_variant_shred",
+        "scan_parquet",
+        "sink_compacted_parquet",
+        "sink_partitioned_parquet",
+        "sink_sorted_clustered",
+        "source_csv_roundtrip",
+        "source_schema_evolution",
+        "source_text_lines_roundtrip",
+        "sql_tpch_q1",
+        "sql_tpch_q14",
+        "sql_tpch_q17",
+        "sql_tpch_q21",
+        "sql_tpch_q22",
+        "sql_tpch_q3",
+        "sql_tpch_q4",
+        "stream_foreach_batch_upsert",
+        "text_ngram_profile",
+        "text_repetition_filter",
+        "text_url_canonicalize",
+        "time_downsample_m4",
+        "time_gapfill_locf",
+        "window_first_last",
+        "window_ranking_suite",
+        "window_rolling_quantile",
+        "window_running_frame",
+        "window_session_islands",
     }
 )
 

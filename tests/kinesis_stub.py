@@ -72,12 +72,20 @@ class _Shard:
 
 class _KinesisState:
     def __init__(
-        self, fail_first_puts: int = 0, fail_every_nth_record: int = 0
+        self,
+        fail_first_puts: int = 0,
+        fail_every_nth_record: int = 0,
+        call_latency_s: float = 0.0,
     ):
         self.lock = threading.Lock()
         self.streams: dict[str, list[_Shard]] = {}
         self.seq = 0
         self.fail_first_puts = fail_first_puts
+        # Simulated per-PutRecords wire latency (r10 verdict item 7):
+        # the stub answers in µs, so the CPU envelope alone overstates
+        # what a user sees against real AWS (~10-20 ms in-region).
+        # Slept OUTSIDE the state lock, before the op handler runs.
+        self.call_latency_s = call_latency_s
         # steady-state partial-failure injection: every Nth record
         # (counted across calls) gets a per-record throttle entry —
         # the 10%-failure envelope the sink throughput bench drives
@@ -128,6 +136,10 @@ class _Handler(BaseHTTPRequestHandler):
                 "UnknownOperationException", f"unsupported op {op!r}"
             )
         else:
+            if self.state.call_latency_s and op == "PutRecords":
+                # outside the lock: concurrent producers overlap their
+                # wire waits exactly as real sockets would
+                time.sleep(self.state.call_latency_s)
             with self.state.lock:
                 status, resp = handler(body)
         payload = json.dumps(resp).encode()
@@ -319,10 +331,14 @@ class _Handler(BaseHTTPRequestHandler):
             offset = len(recs)
             for i, (seq, *_rest) in enumerate(recs):
                 if int(seq) >= int(want):
+                    # Numeric equality, consistent with the >= search
+                    # above (ADVICE r10): a client-supplied sequence
+                    # with leading zeros matched numerically but not
+                    # as a string, yielding a duplicate record.
                     offset = i + (
                         1
                         if it_type == "AFTER_SEQUENCE_NUMBER"
-                        and seq == str(want)
+                        and int(seq) == int(want)
                         else 0
                     )
                     break
@@ -373,9 +389,14 @@ class KinesisStub:
     ``host:port`` string to export as ``KINESIS_ENDPOINT``."""
 
     def __init__(
-        self, fail_first_puts: int = 0, fail_every_nth_record: int = 0
+        self,
+        fail_first_puts: int = 0,
+        fail_every_nth_record: int = 0,
+        call_latency_s: float = 0.0,
     ):
-        state = _KinesisState(fail_first_puts, fail_every_nth_record)
+        state = _KinesisState(
+            fail_first_puts, fail_every_nth_record, call_latency_s
+        )
         handler = type("BoundHandler", (_Handler,), {"state": state})
         self.state = state
         self.server = ThreadingHTTPServer(("127.0.0.1", 0), handler)

@@ -1,0 +1,214 @@
+"""Round-11 fixes: plan-fingerprint attribution infrastructure
+(VERDICT r10 item 1) and the round's ADVICE items."""
+
+from __future__ import annotations
+
+import pytest
+
+from frinesis_spark import planfp
+
+
+class TestPlanFingerprint:
+    def test_normalize_strips_expr_ids(self):
+        a = planfp.normalize("Project [l_orderkey#123L, l_qty#45]")
+        b = planfp.normalize("Project [l_orderkey#9876L, l_qty#2]")
+        assert a == b == "Project [l_orderkey#x, l_qty#x]"
+
+    def test_normalize_strips_paths_and_plan_ids(self):
+        a = planfp.normalize(
+            "Scan parquet [x#1] Location: InMemoryFileIndex(1 paths)"
+            "[file:/tmp/spark-abc123/out.parquet], plan_id=77 [id=#12]"
+        )
+        b = planfp.normalize(
+            "Scan parquet [x#9] Location: InMemoryFileIndex(1 paths)"
+            "[file:/tmp/spark-zzz999/other.parquet], plan_id=3 [id=#99]"
+        )
+        assert a == b
+
+    def test_normalize_strips_addresses_and_stats(self):
+        a = planfp.normalize(
+            "BatchEvalPython [f(x#1)@1a2b3c4d5e], Statistics(sizeInBytes=1.2 KiB)"
+        )
+        b = planfp.normalize(
+            "BatchEvalPython [f(x#2)@ffeeddccbb], Statistics(sizeInBytes=9.9 MiB)"
+        )
+        assert a == b
+
+    def test_distinct_plans_get_distinct_fingerprints(self):
+        assert planfp.fingerprint_text(
+            "HashAggregate(keys=[a#1], functions=[sum(b#2)])"
+        ) != planfp.fingerprint_text(
+            "HashAggregate(keys=[a#1], functions=[count(b#2)])"
+        )
+
+    def test_fingerprint_is_stable_for_a_real_query(self, spark, sf_dir):
+        """Two independent constructions of the same query in one
+        session get fresh exprIds from the global counter; the
+        fingerprint must absorb that (the cross-SESSION variant is
+        exercised by the r11 attribution run: identical fp across
+        separate probe processes)."""
+        from frinesis_spark import registry
+
+        q = registry.queries()["agg_group_sum"]
+        f1 = planfp.fingerprint(q(spark, sf_dir))
+        f2 = planfp.fingerprint(q(spark, sf_dir))
+        assert f1 == f2
+        assert len(f1) == 12 and int(f1, 16) >= 0
+
+    def test_attribution_artifact_complete(self):
+        """BENCH_attribution_r11.json must cover every query the r10
+        driver flagged, each resolved with plan-identity evidence."""
+        import json
+        from pathlib import Path
+
+        repo = Path(__file__).resolve().parents[1]
+        att = json.loads((repo / "BENCH_attribution_r11.json").read_text())
+        r10 = json.loads((repo / "BENCH_r10.json").read_text())
+        flagged = set(r10["parsed"]["regressions"])
+        assert flagged == set(att["queries"])
+        for name, row in att["queries"].items():
+            assert row["verdict"].startswith("drift"), name
+            if row["plan_changed"]:
+                assert row["plan_change_why"], name
+            else:
+                assert row["plan_fp_r9"] == row["plan_fp_head"], name
+
+
+class TestNgramDfCapBinding:
+    """VERDICT r10 item 2: the ngram-dedup DF cap (``_MAX_DF=256``) had
+    never fired on data at a size where it binds (fixtures top out at
+    50k docs; SCALE.md says the cap starts binding ~130k). These tests
+    build Heaps-law-violating corpora (closed vocabulary, so shingle
+    document-frequency grows linearly with corpus size) at sizes where
+    EVERY boilerplate shingle exceeds the cap, and pin:
+
+    * both stop-set regimes actually drop (anti-join at 150k/vocab-17:
+      ~4913 stop shingles > _STOP_LIT_CAP; isin literal-list at
+      75k/vocab-13: ~2197 stop shingles);
+    * candidate pairs = exactly the injected near-dup pairs — O(n) in
+      genuine near-dup content while the boilerplate pair space is
+      1.1e10; the removed quadratic term (sum of df^2 over stop
+      shingles) is measured, not estimated;
+    * recall impact: distinctive-content near-dups (rare shingles)
+      recall 1.0; boilerplate-only duplicates are missed BY DESIGN
+      (their every shingle carries no dedup signal at df>256) — the
+      documented trade, now measured.
+    """
+
+    @staticmethod
+    def _cap_corpus(spark, tmp_path, n_boiler: int, n_pairs: int,
+                    vocab_n: int, n_boiler_dups: int = 3) -> str:
+        from pyspark.sql import functions as F
+
+        vocab = ",".join(f"'w{i}'" for i in range(vocab_n))
+        # Boilerplate: 14 words drawn (deterministically, via hash)
+        # from a closed vocab — shingle space = vocab_n^3, so each
+        # shingle's df ~= n_boiler*12/vocab_n^3, far above _MAX_DF at
+        # these sizes. Distributed generation: no driver-side rows.
+        boiler_text = F.expr(
+            f"concat_ws(' ', transform(sequence(1, 14), i -> "
+            f"element_at(array({vocab}), "
+            f"int(pmod(hash(id * 1000003 + i), {vocab_n})) + 1)))"
+        )
+        boiler = spark.range(n_boiler).select(
+            F.col("id").alias("doc_id"), boiler_text.alias("text")
+        )
+        # Injected near-dup pairs on pair-unique tokens (df=2 per
+        # shingle — always under the cap): 12 words, partner differs
+        # only in the last word -> 9 of 10 shingles shared, J=9/11.
+        def pair_doc(offset: int, last: str):
+            return spark.range(n_pairs).select(
+                (F.lit(1_000_000) + F.col("id") * 2 + offset).alias("doc_id"),
+                F.concat(
+                    F.expr(
+                        "concat_ws(' ', transform(sequence(1, 11), "
+                        "j -> concat('u', id, '_', j)))"
+                    ),
+                    F.lit(" "),
+                    F.expr(f"concat('u', id, '_{last}')"),
+                ).alias("text"),
+            )
+
+        # Boilerplate-only TRUE duplicates: verbatim copies of the
+        # first n_boiler_dups boiler docs — Jaccard 1.0, but every
+        # shingle is boilerplate, so the cap erases them from the
+        # index. The measured recall cost.
+        boiler_dups = spark.range(n_boiler_dups).select(
+            (F.lit(2_000_000) + F.col("id")).alias("doc_id"), boiler_text.alias("text")
+        )
+        docs = boiler.unionAll(pair_doc(0, "12")).unionAll(
+            pair_doc(1, "LAST")).unionAll(boiler_dups)
+        docs = docs.select(
+            "doc_id", "text", F.lit("en").alias("lang"),
+            F.lit("synthetic").alias("source"),
+            F.length("text").alias("n_chars"),
+        )
+        out = str(tmp_path / "documents.parquet")
+        docs.repartition(8).write.parquet(out)
+        return str(tmp_path)
+
+    def _run(self, spark, tmp_path, n_boiler, n_pairs, vocab_n,
+             expect_antijoin_regime: bool):
+        from pyspark.sql import functions as F
+
+        from frinesis_spark.operators import dedup as D
+
+        corpus = self._cap_corpus(spark, tmp_path, n_boiler, n_pairs, vocab_n)
+        docs = D.table(spark, corpus, "documents")
+
+        # Independent stop-set measurement (not via _shingle_index):
+        # which regime does this corpus force?
+        inv0 = docs.select(
+            "doc_id", F.explode(D._shingles()).alias("shingle"))
+        dfreq = inv0.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        stop_n = dfreq.where(F.col("df") > D._MAX_DF).count()
+        assert stop_n > 0, "cap did not bind — corpus too small"
+        if expect_antijoin_regime:
+            assert stop_n > D._STOP_LIT_CAP, (
+                f"expected the anti-join drop regime, got {stop_n} stop "
+                f"shingles <= {D._STOP_LIT_CAP}")
+        else:
+            assert 0 < stop_n <= D._STOP_LIT_CAP
+
+        # The removed quadratic term, measured: pair work the cap
+        # eliminated = sum(df^2) over stop shingles.
+        removed = (dfreq.where(F.col("df") > D._MAX_DF)
+                   .agg(F.sum(F.col("df") * F.col("df"))).collect()[0][0])
+
+        # The real capped index: survivors must respect the cap.
+        idx = D._shingle_index(docs)
+        max_df = (idx.groupBy("shingle").count()
+                  .agg(F.max("count")).collect()[0][0])
+        assert max_df <= D._MAX_DF
+
+        # Candidate pairs over the capped index = injected pairs ONLY:
+        # boilerplate contributes zero despite n_boiler^2/2 potential
+        # pairs. This is the O(n) pin.
+        a, b = idx.alias("a"), idx.alias("b")
+        candidates = (a.join(
+            b, (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select("a.doc_id", "b.doc_id").distinct().count())
+        assert candidates == n_pairs, (candidates, n_pairs)
+        assert removed >= 100_000 * candidates  # the avoided blow-up
+
+        # End-to-end through the REGISTERED operator: recall 1.0 on
+        # distinctive-content pairs, 0 on boilerplate-only dups.
+        found = D.q_dedup_ngram_jaccard(spark, corpus)
+        rows = found.collect()
+        assert len(rows) == n_pairs
+        assert all(r.doc_a >= 1_000_000 and r.doc_b == r.doc_a + 1
+                   and abs(r.jaccard - 9 / 11) < 1e-6 for r in rows)
+        return stop_n, removed
+
+    def test_cap_binds_at_150k_antijoin_regime(self, spark, tmp_path):
+        stop_n, removed = self._run(
+            spark, tmp_path, n_boiler=150_000, n_pairs=1000, vocab_n=17,
+            expect_antijoin_regime=True)
+        # ~4913 closed-vocab shingles, each df ~ 366: all stop.
+        assert stop_n > 4500
+        assert removed > 10**8  # >= 1e8 pair-works eliminated
+
+    def test_cap_binds_at_75k_isin_regime(self, spark, tmp_path):
+        self._run(spark, tmp_path, n_boiler=75_000, n_pairs=500,
+                  vocab_n=13, expect_antijoin_regime=False)
