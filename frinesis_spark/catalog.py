@@ -267,7 +267,22 @@ def register_views(
         done = {n: s for n, s in done.items() if n not in tables}
     done = dict(done)
     for name in tables:
-        sig = _stat_sig(_table_files(sf_dir, name))
+        try:
+            sig = _stat_sig(_table_files(sf_dir, name))
+        except OSError:
+            # Table files vanished (or a listing raced a rewrite)
+            # AFTER a successful registration (ADVICE r10): keep
+            # serving the existing view — the pre-stat-invalidation
+            # no-op behavior — and let the actual scan raise if a
+            # query really touches the missing table. A
+            # never-registered table registers anyway, so the eager
+            # schema read surfaces Spark's own PATH_NOT_FOUND (clearer
+            # than this probe's FileNotFoundError, and only for a
+            # table someone actually asked for).
+            if name in done:
+                continue
+            table(spark, sf_dir, name).createOrReplaceTempView(name)
+            continue
         if done.get(name) != sig:
             table(spark, sf_dir, name).createOrReplaceTempView(name)
             done[name] = sig

@@ -212,3 +212,81 @@ class TestNgramDfCapBinding:
     def test_cap_binds_at_75k_isin_regime(self, spark, tmp_path):
         self._run(spark, tmp_path, n_boiler=75_000, n_pairs=500,
                   vocab_n=13, expect_antijoin_regime=False)
+
+
+class TestDsumOverflowBound:
+    """ADVICE r10 item 1: dsum/davg's scaled-int64 path narrows the
+    summable domain to |sum| <= 2^63/10^6 (~9.2e12). The documented
+    contract is that BOTH engines fail LOUDLY past that bound — pin it
+    so a future non-ANSI session config can't reintroduce silent int64
+    wraparound (under ansi.enabled=false, Spark's SUM(BIGINT) wraps
+    silently and this test would fail by seeing a result, not an
+    error)."""
+
+    def test_spark_overflow_is_loud(self, spark):
+        from frinesis_spark.functions.numeric import dsum
+
+        df = spark.createDataFrame([(5e12,), (5e12,)], "v double")
+        with pytest.raises(Exception, match="ARITHMETIC_OVERFLOW"):
+            df.agg(dsum("v").alias("s")).collect()
+        # just under the bound: one 5e12 row sums fine (5e18 < 2^63)
+        [row] = df.limit(1).agg(dsum("v").alias("s")).collect()
+        assert row.s == 5e12
+
+    def test_duckdb_overflow_is_loud(self):
+        import duckdb
+
+        from frinesis_spark.functions.numeric import oracle_dsum
+
+        sql = (
+            f"SELECT {oracle_dsum('v')} AS s "
+            "FROM (VALUES (5e12),(5e12)) t(v)"
+        )
+        with pytest.raises(
+            duckdb.ConversionException, match="out of range"
+        ):
+            duckdb.sql(sql).fetchall()
+        ok = duckdb.sql(
+            f"SELECT {oracle_dsum('v')} AS s FROM (VALUES (5e12)) t(v)"
+        ).fetchone()
+        assert ok[0] == 5e12
+
+
+class TestRegisterViewsVanishedTable:
+    """ADVICE r10 item 2: the r10 stat-invalidation made
+    ``register_views`` raise FileNotFoundError on a previously
+    registered call path if ANY requested table's parquet vanished
+    (it was a pure no-op before). Now a vanished already-registered
+    table keeps its view (the scan raises only if a query touches
+    it); a never-registered missing table surfaces Spark's own
+    clearer path error."""
+
+    def test_vanished_after_registration_is_not_fatal(
+        self, spark, tmp_path
+    ):
+        import shutil
+
+        from frinesis_spark.catalog import register_views
+
+        src = "/root/testdata/sf0.001"
+        for t in ("region", "nation"):
+            shutil.copy(f"{src}/{t}.parquet", tmp_path / f"{t}.parquet")
+        corpus = str(tmp_path)
+        register_views(spark, corpus, tables=("region", "nation"))
+        n_before = spark.sql("SELECT COUNT(*) FROM nation").collect()[0][0]
+        (tmp_path / "region.parquet").unlink()
+        # must NOT raise — region stays registered (stale), nation
+        # still re-probes and serves
+        register_views(spark, corpus, tables=("region", "nation"))
+        assert (
+            spark.sql("SELECT COUNT(*) FROM nation").collect()[0][0]
+            == n_before
+        )
+
+    def test_never_registered_missing_table_raises_sparks_error(
+        self, spark, tmp_path
+    ):
+        from frinesis_spark.catalog import register_views
+
+        with pytest.raises(Exception, match="PATH_NOT_FOUND|Path does not exist"):
+            register_views(spark, str(tmp_path), tables=("customer",))
