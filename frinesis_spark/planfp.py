@@ -53,7 +53,39 @@ _SUBS: list[tuple[re.Pattern, str]] = [
     (re.compile(r"\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}[^\s,\]\)\}]*"), "<ts>"),
     # python UDF worker ids / accumulator ids
     (re.compile(r"accumulator\(\d+\)"), "accumulator(x)"),
+    # session-global LAMBDA variable counters: higher-order-function
+    # plans name their lambda vars "lambda x_19#x" from a counter that
+    # advances with every HOF planned in the SESSION, so the same
+    # query fingerprints differently after other queries ran (found
+    # r11: bench-context vs fresh-probe mismatch on every HOF query).
+    (re.compile(r"lambda ([A-Za-z]+)_\d+"), r"lambda \1_n"),
+    # residual METADATA TRUNCATION: Spark cuts metadata strings
+    # (DataFilters, Location, ...) at spark.sql.maxMetadataStringLength
+    # chars with "...", so any upstream digit-width change (exprIds,
+    # lambda counters) SHIFTS the cut point and leaves a different
+    # partial token behind (found r11: the last cross-context
+    # mismatch class). plan_text() raises the limit to make truncation
+    # rare; this collapses whatever still truncates.
+    (re.compile(r"\S*\.\.\."), "<trunc>"),
+    (re.compile(r"RoundRobinPartitioning\(\d+\)"),
+     "RoundRobinPartitioning(n)"),
+    # coalesce/repartition hints carry the partitions knob
+    (re.compile(r"(?i)(REPARTITION(?:_BY_RANGE|_BY_COL)?)\(\d+"),
+     r"\1(n"),
 ]
+
+# partition COUNTS (the spark.sql.shuffle.partitions knob): the
+# trailing numPartitions in partitioning expressions — e.g.
+# "hashpartitioning(k#x, 32)", "rangepartitioning(k#x ASC, 8)" — is
+# session configuration, not plan identity; without this,
+# fingerprints taken at CPUS=8 vs 32 never match (found r11). The
+# arguments may contain NESTED parens
+# ("hashpartitioning(knownfloatingpointnormalized(normalizenanandzero
+# (x#x)), k#x, 8)"), so a [^)]* arg matcher under-reaches — the
+# greedy .* grabs the LAST ", N)" on the line (the numPartitions
+# slot), applied to fixpoint for multiple partitionings per line
+# (PartitioningCollection).
+_PARTNUM = re.compile(r"(?i)((?:hash|range)partitioning\(.*), \d+\)")
 
 
 def normalize(plan_text: str) -> str:
@@ -61,7 +93,11 @@ def normalize(plan_text: str) -> str:
     out = plan_text
     for pat, repl in _SUBS:
         out = pat.sub(repl, out)
-    return out
+    while True:
+        new = _PARTNUM.sub(r"\1, n)", out)
+        if new == out:
+            return out
+        out = new
 
 
 def fingerprint_text(plan_text: str) -> str:
@@ -76,8 +112,21 @@ def plan_text(df) -> str:
     initial compiled plan inside the AdaptiveSparkPlan wrapper, i.e.
     what Catalyst produced from this code against this data layout,
     before any runtime re-plan. Planning runs; execution does not.
+
+    Rendered with ``spark.sql.maxMetadataStringLength`` raised (and
+    restored): the default 100-char cut point moves with upstream
+    digit widths (exprIds, lambda counters), which would leave an
+    unstable partial token behind — see the ``<trunc>`` rule in
+    ``_SUBS`` for whatever still exceeds the raised limit.
     """
-    return df._jdf.queryExecution().executedPlan().toString()
+    conf = df.sparkSession.conf
+    key = "spark.sql.maxMetadataStringLength"
+    old = conf.get(key)
+    conf.set(key, "10000")
+    try:
+        return df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        conf.set(key, old)
 
 
 def fingerprint(df) -> str:

@@ -290,3 +290,62 @@ class TestRegisterViewsVanishedTable:
 
         with pytest.raises(Exception, match="PATH_NOT_FOUND|Path does not exist"):
             register_views(spark, str(tmp_path), tables=("customer",))
+
+
+class TestStubCallLatency:
+    """The sink wire-envelope knob (r10 verdict item 7): call_latency_s
+    must delay PutRecords only — control-plane and read-path calls
+    stay instant, so read-back tests under a latency-injected stub
+    don't serialize on fake waits."""
+
+    def test_latency_applies_to_putrecords_only(self):
+        import time as _t
+
+        boto3 = pytest.importorskip("boto3")  # noqa: F841
+
+        from frinesis_spark.sinks.kinesis import make_boto3_client_factory
+        from tests.kinesis_stub import KinesisStub
+
+        with KinesisStub(call_latency_s=0.2) as stub:
+            kin = make_boto3_client_factory(
+                {"AWS_REGION_NAME": "us-east-1",
+                 "KINESIS_ENDPOINT": stub.endpoint}
+            )()
+            t0 = _t.perf_counter()
+            kin.create_stream(StreamName="lat.t", ShardCount=1)
+            kin.describe_stream(StreamName="lat.t")
+            control_s = _t.perf_counter() - t0
+            assert control_s < 0.15, "control plane must not pay latency"
+            t0 = _t.perf_counter()
+            kin.put_records(
+                StreamName="lat.t",
+                Records=[{"Data": b"x", "PartitionKey": "k"}],
+            )
+            put_s = _t.perf_counter() - t0
+            assert put_s >= 0.2
+
+    def test_normalize_is_idempotent(self):
+        from frinesis_spark import planfp
+
+        s = ("Scan parquet [a#12L] file:/tmp/x plan_id=9 [id=#3] "
+             "@deadbeef99 Statistics(sizeInBytes=8.0 B) 2026-08-15 12:00:00")
+        once = planfp.normalize(s)
+        assert planfp.normalize(once) == once
+
+    def test_normalize_is_partition_count_invariant(self):
+        """Fingerprints must be comparable across session configs
+        (found r11: the bench runs CPUS=32, the probe CPUS=8, and the
+        trailing numPartitions in every Exchange made all fingerprints
+        mismatch). The knob is configuration, not plan identity."""
+        from frinesis_spark import planfp
+
+        pairs = [
+            ("Exchange hashpartitioning(k#1L, 32), ENSURE_REQUIREMENTS",
+             "Exchange hashpartitioning(k#9L, 8), ENSURE_REQUIREMENTS"),
+            ("Exchange rangepartitioning(ts#2 ASC NULLS FIRST, 16)",
+             "Exchange rangepartitioning(ts#7 ASC NULLS FIRST, 200)"),
+            ("Exchange RoundRobinPartitioning(32), REPARTITION_BY_NUM",
+             "Exchange RoundRobinPartitioning(8), REPARTITION_BY_NUM"),
+        ]
+        for a, b in pairs:
+            assert planfp.normalize(a) == planfp.normalize(b), (a, b)
