@@ -349,3 +349,50 @@ class TestStubCallLatency:
         ]
         for a, b in pairs:
             assert planfp.normalize(a) == planfp.normalize(b), (a, b)
+
+
+class TestStubAfterSequenceLeadingZeros:
+    """ADVICE r10 item 3: the stub's AFTER_SEQUENCE_NUMBER skip used
+    string equality against an int-compared search, so a
+    client-supplied sequence with leading zeros ("007") matched the
+    >= search numerically but failed the skip's string compare,
+    re-delivering the boundary record as a duplicate."""
+
+    def test_leading_zero_sequence_skips_boundary_record(self):
+        boto3 = pytest.importorskip("boto3")  # noqa: F841
+
+        from frinesis_spark.sinks.kinesis import make_boto3_client_factory
+        from tests.kinesis_stub import KinesisStub
+
+        with KinesisStub() as stub:
+            kin = make_boto3_client_factory(
+                {"AWS_REGION_NAME": "us-east-1",
+                 "KINESIS_ENDPOINT": stub.endpoint}
+            )()
+            kin.create_stream(StreamName="lz.t", ShardCount=1)
+            kin.put_records(
+                StreamName="lz.t",
+                Records=[
+                    {"Data": f"r{i}".encode(), "PartitionKey": "k"}
+                    for i in range(3)
+                ],
+            )
+            shard = kin.describe_stream(StreamName="lz.t")[
+                "StreamDescription"]["Shards"][0]["ShardId"]
+            it = kin.get_shard_iterator(
+                StreamName="lz.t", ShardId=shard,
+                ShardIteratorType="TRIM_HORIZON",
+            )["ShardIterator"]
+            recs = kin.get_records(ShardIterator=it)["Records"]
+            first_seq = recs[0]["SequenceNumber"]
+            padded = first_seq.zfill(len(first_seq) + 2)  # "007" form
+            it2 = kin.get_shard_iterator(
+                StreamName="lz.t", ShardId=shard,
+                ShardIteratorType="AFTER_SEQUENCE_NUMBER",
+                StartingSequenceNumber=padded,
+            )["ShardIterator"]
+            got = [
+                r["Data"] for r in kin.get_records(ShardIterator=it2)["Records"]
+            ]
+            # the boundary record must be SKIPPED, not re-delivered
+            assert got == [b"r1", b"r2"], got
