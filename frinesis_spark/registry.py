@@ -94,6 +94,12 @@ def _load_modules():
 # tier-0 as changes land, then the oldest r9-stale rows absorb any
 # remaining slots.
 _CHANGED_SINCE_VERDICT = (
+    # r11: run_append_to_files sizes state-store partitions to state
+    # volume (cores/4, was cores*2) — execution change under every
+    # streaming-engine query; the four r8-stale ones already lead the
+    # window, these two had fresher (r9) evidence that predates it.
+    "stream_incremental_batches",
+    "stream_user_profile",
 )
 
 # tier 2: stale evidence — last green before r10 (91 queries); name -> last-green round, the
@@ -176,9 +182,7 @@ _STALE_EVIDENCE = {
     "sql_tpch_q7": 9,
     "sql_tpch_q8": 9,
     "sql_tpch_q9": 9,
-    "stream_incremental_batches": 9,
     "stream_session_window": 9,
-    "stream_user_profile": 9,
     "text_analysis_stats": 9,
     "text_fingerprint": 9,
     "text_language_id": 9,

@@ -146,6 +146,26 @@ def events_stream(
     return sdf.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+def stream_state_partitions(
+    session_parts: int, default_parallelism: int
+) -> int:
+    """State-store partition count for a run-to-completion streaming
+    query: ``SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS`` if set (must be
+    ≥ 1), else cores/4 clamped to [4, session setting]. See the sizing
+    rationale at the call site in :func:`run_append_to_files`.
+    """
+    env = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS")
+    if env:
+        n = int(env)
+        if n < 1:
+            raise ValueError(
+                "SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS must be >= 1, "
+                f"got {env!r}"
+            )
+        return n
+    return min(session_parts, max(4, default_parallelism // 4))
+
+
 def run_append_to_files(stream_df: DataFrame) -> DataFrame:
     """Run an append-mode streaming DataFrame to completion through a
     parquet file sink; return a lazy batch scan of the result.
@@ -179,13 +199,24 @@ def run_append_to_files(stream_df: DataFrame) -> DataFrame:
     # Streaming gets no AQE coalescing: shuffle.partitions fixes the
     # state-store partition count for the query's lifetime, and a
     # default-200 session runs every micro-batch as 200 near-empty
-    # tasks. Clamp to the actual parallelism for this query (fresh
-    # checkpoint each call, so the partition count isn't pinned by
-    # prior state) and restore the session conf after. At cluster
-    # scale the same knob is sized to executor count, not left at the
-    # batch default.
+    # tasks. Size it to STATE VOLUME, not core count: every state
+    # partition pays a fixed HDFSBackedStateStore open + delta-file
+    # commit PER MICRO-BATCH, so over-partitioning small state
+    # multiplies pure overhead by (partitions × batches). Measured
+    # r11 (interleaved min-of-3, quiet host, identical outputs
+    # asserted per rep): 32 → 8 partitions cut the 8-query streaming
+    # family 16.6 s → 9.3 s at sf0.1 (stream_stream_join 6.1 → 2.2,
+    # incremental_batches 4.5 → 2.5, watermark_late 2.3 → 1.5). The
+    # replayed fixtures carry KB–MB of state, so cores/4 (min 4) is
+    # still far above the volume floor; a production deployment with
+    # large keyspaces sizes this up so per-task state fits in memory —
+    # override via SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS. Fresh
+    # checkpoint each call, so the count isn't pinned by prior state;
+    # the session conf is restored after.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    clamp = min(int(prev_parts), spark.sparkContext.defaultParallelism * 2)
+    clamp = stream_state_partitions(
+        int(prev_parts), spark.sparkContext.defaultParallelism
+    )
     spark.conf.set("spark.sql.shuffle.partitions", str(clamp))
     try:
         query = (
