@@ -345,3 +345,28 @@ def test_stream_state_partitions_sizing(monkeypatch):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         stream_state_partitions(32, 32)
+
+
+def test_state_partition_count_never_changes_answers(
+    spark, sf_dir, monkeypatch
+):
+    """Differential insurance for the state-volume clamp: the
+    state-store partition count is an execution knob, never a
+    semantics knob — the same watermarked multi-batch rollup must
+    produce the identical row multiset at 3 and at 13 partitions
+    (primes, neither the default, straddling the floor)."""
+    from frinesis_spark.streaming.windows import (
+        q_stream_incremental_batches,
+    )
+
+    def run(parts):
+        monkeypatch.setenv(
+            "SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS", str(parts)
+        )
+        df = q_stream_incremental_batches(spark, sf_dir)
+        return sorted(map(tuple, df.collect()))
+
+    a = run(3)
+    b = run(13)
+    assert a == b
+    assert len(a) > 0
