@@ -352,6 +352,19 @@ def main() -> None:
         if sink_n > 0
         else None
     )
+    # Third envelope (r11): 4 producers at wire latency — the cluster
+    # shape (one synchronous producer per Spark task). The per-producer
+    # ceiling is latency-fixed, so aggregate rec/s vs "sink_15ms" is
+    # the measured producers-scale-linearly evidence.
+    sink_wire_x4 = (
+        _sink_throughput(
+            call_latency_s=0.015,
+            n_records=min(sink_n, 100_000),
+            n_producers=4,
+        )
+        if sink_n > 0
+        else None
+    )
 
     total = round(sum(timings.values()), 3)
     # Suite rollup (r6 verdict #5): one number for the full TPC-H 22 so
@@ -377,6 +390,8 @@ def main() -> None:
         full["sink"] = sink
     if sink_wire:
         full["sink_15ms"] = sink_wire
+    if sink_wire_x4:
+        full["sink_15ms_x4"] = sink_wire_x4
     if unknown_headline:
         full["unknown_headline"] = unknown_headline
 
@@ -439,7 +454,9 @@ def main() -> None:
 
 
 def _sink_throughput(
-    call_latency_s: float = 0.0, n_records: int | None = None
+    call_latency_s: float = 0.0,
+    n_records: int | None = None,
+    n_producers: int = 1,
 ) -> dict | None:
     """Drive records through the BatchProducer against the in-process
     Kinesis stub with 10% per-record failures injected; returns the
@@ -453,7 +470,15 @@ def _sink_throughput(
     in-region PutRecords latency — the number a user comparing
     against the reference's 500-records/call × call-latency bound
     (batchproducer.go:15) actually needs, since this producer is
-    synchronous exactly like the reference's send loop."""
+    synchronous exactly like the reference's send loop.
+
+    ``n_producers > 1`` (r11) is the CLUSTER shape: one synchronous
+    producer per thread, each with its own client and stream share —
+    exactly how ``KinesisBatchWriter`` runs one producer per Spark
+    task. The latency-bound per-producer ceiling is fixed, so
+    aggregate throughput must scale ~linearly until shard limits or
+    CPU bind; the recorded ratio to the single-producer wire envelope
+    is the measured evidence for that claim."""
     n = n_records if n_records is not None else int(
         os.environ.get("SPARK_GRAFT_SINK_BENCH_RECORDS", "500000")
     )
@@ -476,36 +501,89 @@ def _sink_throughput(
     with KinesisStub(
         fail_every_nth_record=10, call_latency_s=call_latency_s
     ) as stub:
-        client = make_boto3_client_factory(
+        factory = make_boto3_client_factory(
             {"AWS_REGION_NAME": "us-east-1",
              "KINESIS_ENDPOINT": stub.endpoint}
-        )()
-        client.create_stream(StreamName="bench.sink", ShardCount=8)
+        )
+        factory().create_stream(StreamName="bench.sink", ShardCount=8)
         cfg = KinesisSinkConfig(add_blocks_when_buffer_full=True)
-        prod = BatchProducer(client, "bench.sink", cfg)
-        start = time.perf_counter()
-        for i in range(n):
-            prod.add(payload, f"pk{i}")
-        sent_now, remaining = prod.flush()
-        wall = time.perf_counter() - start
+
+        def stats_of(prod, remaining: int) -> dict:
+            s = prod.stats
+            return {
+                "remaining": remaining,
+                "retries": s.retries,
+                "dropped": s.records_dropped,
+                "shed": s.records_shed,
+                "put_calls": s.put_calls,
+                "kinesis_errors": s.kinesis_errors,
+            }
+
+        if n_producers == 1:
+            prod = BatchProducer(factory(), "bench.sink", cfg)
+            start = time.perf_counter()
+            for i in range(n):
+                prod.add(payload, f"pk{i}")
+            _, remaining = prod.flush()
+            wall = time.perf_counter() - start
+            outs = [stats_of(prod, remaining)]
+        else:
+            # FORKED processes, not threads: a Python thread pool
+            # GIL-serializes the producer's CPU term (measured: 4
+            # threads gave only 1.6x), while Spark runs one producer
+            # per PYTHON WORKER PROCESS — fork is the faithful model.
+            # Each child builds its own client pre-barrier (task-local
+            # factory, A2) and talks to the same stub over HTTP; the
+            # timed region is barrier-to-drain across all children.
+            import multiprocessing as _mp
+
+            ctx = _mp.get_context("fork")
+            barrier = ctx.Barrier(n_producers + 1)
+            q = ctx.Queue()
+            share = n // n_producers
+
+            def child(p: int) -> None:
+                prod = BatchProducer(factory(), "bench.sink", cfg)
+                cnt = share + (n % n_producers if p == 0 else 0)
+                off = p * share + (n % n_producers if p > 0 else 0)
+                barrier.wait()
+                for i in range(off, off + cnt):
+                    prod.add(payload, f"pk{i}")
+                _, remaining = prod.flush()
+                q.put(stats_of(prod, remaining))
+
+            procs = [
+                ctx.Process(target=child, args=(p,), daemon=True)
+                for p in range(n_producers)
+            ]
+            for pr in procs:
+                pr.start()
+            barrier.wait()
+            start = time.perf_counter()
+            # Drain the queue BEFORE join: a child blocks on its queue
+            # flush until the parent reads, so join-first deadlocks.
+            outs = [q.get() for _ in range(n_producers)]
+            for pr in procs:
+                pr.join()
+            wall = time.perf_counter() - start
         delivered = sum(
             len(sh.records) for sh in stub.state.streams["bench.sink"]
         )
-    s = prod.stats
     return {
         "records": n,
         "payload_bytes": len(payload),
         "injected_failure": "every 10th record throttled (10%)",
         "call_latency_ms": round(call_latency_s * 1000, 1),
+        "producers": n_producers,
         "wall_sec": round(wall, 2),
         "records_per_sec": int(n / wall),
         "delivered": delivered,
-        "remaining": remaining,
-        "retries": s.retries,
-        "dropped": s.records_dropped,
-        "shed": s.records_shed,
-        "put_calls": s.put_calls,
-        "kinesis_errors": s.kinesis_errors,
+        "remaining": sum(o["remaining"] for o in outs),
+        "retries": sum(o["retries"] for o in outs),
+        "dropped": sum(o["dropped"] for o in outs),
+        "shed": sum(o["shed"] for o in outs),
+        "put_calls": sum(o["put_calls"] for o in outs),
+        "kinesis_errors": sum(o["kinesis_errors"] for o in outs),
     }
 
 

@@ -396,3 +396,30 @@ class TestStubAfterSequenceLeadingZeros:
             ]
             # the boundary record must be SKIPPED, not re-delivered
             assert got == [b"r1", b"r2"], got
+
+
+def test_parallel_sink_envelope_loses_nothing():
+    """The multi-producer wire envelope (bench.py r11): four forked
+    producers splitting one record set over the same stream must
+    deliver every record exactly once under 10% injected per-record
+    failures — the per-Spark-task shape. Timing is host-dependent and
+    deliberately NOT asserted; delivery accounting is the contract."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import bench
+
+    env = bench._sink_throughput(
+        call_latency_s=0.0, n_records=8000, n_producers=4
+    )
+    if env is None:  # boto3 unavailable — bench itself would skip too
+        import pytest
+
+        pytest.skip("boto3/stub unavailable")
+    assert env["producers"] == 4
+    assert env["delivered"] == 8000
+    assert env["remaining"] == 0
+    assert env["dropped"] == 0
+    assert env["shed"] == 0
+    # 10% of adds are throttled on first attempt -> retries ~ n/9
+    assert env["retries"] > 0
