@@ -81,6 +81,13 @@ HEADLINE = [
     "text_analysis_stats",
     "stream_tumbling_agg",
     "stream_incremental_batches",
+    # r11 additions: the streaming-engine family is headline-worthy
+    # now that state partitions are volume-sized — stream-stream join
+    # is the hardest streaming shape the engine runs, and the
+    # watermark/dedup pair are the canonical stateful operators.
+    "stream_stream_join",
+    "stream_watermark_late",
+    "stream_dedup_stateful",
     "join_asof",
     "merge_upsert",
     "time_rollup_hypertable",
