@@ -565,13 +565,45 @@ def _sink_throughput(
             ]
             for pr in procs:
                 pr.start()
-            barrier.wait()
+            # Timeouts everywhere a dead child could wedge the parent
+            # (ADVICE r11): fork-with-live-threads (Spark gateway + the
+            # stub server run in this process) makes a child that dies
+            # pre-barrier or pre-q.put plausible, and a bare
+            # barrier.wait()/q.get() would then hang the whole bench
+            # silently. 120 s >> any observed envelope (< 15 s).
+            _deadline = 120.0
+
+            def _check_children() -> None:
+                dead = [
+                    p
+                    for p, pr in enumerate(procs)
+                    if pr.exitcode not in (None, 0)
+                ]
+                if dead:
+                    raise RuntimeError(
+                        f"sink-envelope child producer(s) {dead} died "
+                        f"(exitcodes {[procs[p].exitcode for p in dead]}) "
+                        "before reporting stats — aborting the envelope "
+                        "instead of hanging"
+                    )
+
+            try:
+                barrier.wait(timeout=_deadline)
+            except Exception:
+                _check_children()
+                raise
             start = time.perf_counter()
             # Drain the queue BEFORE join: a child blocks on its queue
             # flush until the parent reads, so join-first deadlocks.
-            outs = [q.get() for _ in range(n_producers)]
+            outs = []
+            for _ in range(n_producers):
+                try:
+                    outs.append(q.get(timeout=_deadline))
+                except Exception:
+                    _check_children()
+                    raise
             for pr in procs:
-                pr.join()
+                pr.join(timeout=_deadline)
             wall = time.perf_counter() - start
         delivered = sum(
             len(sh.records) for sh in stub.state.streams["bench.sink"]

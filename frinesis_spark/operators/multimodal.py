@@ -4,13 +4,21 @@ the BASELINE.json mandate for image/audio/video handling).
 The data model: media is an opaque ``binary`` payload column plus
 typed metadata columns traveling in the same row. Decode / feature
 extraction runs as an Arrow-batched ``mapInPandas`` stage — the one
-place Python belongs, because codec libraries are Python/C. The
-Spark-side plumbing (schema, batching, partition parallelism) is real
-and tested; the codec itself is stubbed (image/audio libs are not in
-this container) behind a ``codec`` dispatch that raises
-``NotImplementedError`` for real formats and computes deterministic
-features for the ``"fake"`` codec, so the whole pipeline is
-oracle-checkable end to end.
+place Python belongs, because codec libraries are Python/C.
+
+Codec dispatch (r12, verdict item 2): ``"png"`` is a REAL stdlib
+decode — every 10th document carries an actual PNG payload
+(deterministic RGB image encoded from fixture columns, scanline
+filters rotating through all five types) and the decode stage parses
+it for real: signature + chunk CRCs + IHDR via ``struct``, IDAT via
+``zlib``, full unfilter including Paeth
+(:mod:`frinesis_spark.functions.png`). ``"fake"`` computes
+deterministic features (the stand-in for formats that genuinely need
+native libs — PIL/cv2/ffmpeg are absent from this container, verified
+r11); anything else still raises ``NotImplementedError`` loudly. Both
+branches are oracle-checked end to end: the PNG pixel bytes are
+printable ASCII by construction, so DuckDB recomputes the decoded
+pixel checksum from the same generation rule.
 """
 
 from __future__ import annotations
@@ -23,6 +31,26 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from frinesis_spark.catalog import table
+from frinesis_spark.functions.png import (
+    png_decode,
+    png_encode,
+    png_probe_dims,
+)
+
+# Every PNG_EVERY-th doc carries a real PNG; dims/pixels derive from
+# doc_id alone (text-independent, so NULL-text rows still decode) and
+# pixel bytes stay in the printable-ASCII range so the oracle can
+# rebuild the exact byte string with chr() and hash it.
+_PNG_EVERY = 10
+_PNG_W_MOD, _PNG_W_BASE = 13, 4  # width  in [4, 16]
+_PNG_H_MOD, _PNG_H_BASE = 7, 3  # height in [3, 9]
+
+
+def _png_payload(doc_id: int) -> bytes:
+    w = doc_id % _PNG_W_MOD + _PNG_W_BASE
+    h = doc_id % _PNG_H_MOD + _PNG_H_BASE
+    rgb = bytes(32 + (doc_id + 7 * i) % 95 for i in range(w * h * 3))
+    return png_encode(w, h, rgb, filter_seed=doc_id)
 
 _DECODE_SCHEMA = (
     "doc_id long, codec string, n_bytes long, content_hash string, "
@@ -57,68 +85,112 @@ def q_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """The media 'decoder': one Arrow batch in, one feature frame out.
 
-    Real deployment: replace the ``fake`` branch with PIL/ffmpeg calls;
-    the batch shape, schema and partition parallelism stay identical.
+    ``png`` rows run the real stdlib decode (CRC-checked parse, zlib
+    inflate, unfilter) — width/height come from the IHDR, ``n_bytes``
+    is the DECODED pixel payload size (w·h·3; the decoded size is the
+    cost a downstream stage pays, the compressed size is transport
+    detail), ``content_hash`` is the md5 of the decoded pixels.
+    ``fake`` rows keep the deterministic stand-in features. Real
+    deployment: add PIL/ffmpeg branches; the batch shape, schema and
+    partition parallelism stay identical.
     """
     for pdf in batches:
         codecs = pdf["codec"].unique()
-        unsupported = [c for c in codecs if c != "fake"]
+        unsupported = [c for c in codecs if c not in ("fake", "png")]
         if unsupported:
             raise NotImplementedError(
                 f"codec(s) {unsupported} need image/audio libraries not "
-                "present in this environment; only the deterministic "
-                "'fake' codec is implemented"
+                "present in this environment; implemented: 'png' "
+                "(stdlib decode) and the deterministic 'fake' codec"
             )
-        payload = pdf["payload"]
-        # NULL payloads (a NULL text upstream) yield NULL features —
-        # SQL semantics, matching the oracle's MD5(NULL)/LEN(NULL)
-        # row; len(None)/bytes(None) previously killed the whole job
-        # (review wave 4 find).
-        n_bytes = payload.map(lambda b: None if b is None else len(b))
+        n_bytes_out: list[int | None] = []
+        hash_out: list[str | None] = []
+        w_out: list[int | None] = []
+        h_out: list[int | None] = []
+        for codec, payload in zip(pdf["codec"], pdf["payload"]):
+            # NULL payloads (a NULL text upstream) yield NULL features —
+            # SQL semantics, matching the oracle's MD5(NULL)/LEN(NULL)
+            # row; len(None)/bytes(None) previously killed the whole
+            # job (review wave 4 find).
+            if payload is None:
+                n_bytes_out.append(None)
+                hash_out.append(None)
+                w_out.append(None)
+                h_out.append(None)
+            elif codec == "png":
+                w, h, rgb = png_decode(bytes(payload))
+                n_bytes_out.append(len(rgb))
+                hash_out.append(hashlib.md5(rgb).hexdigest())
+                w_out.append(w)
+                h_out.append(h)
+            else:
+                raw = bytes(payload)
+                n_bytes_out.append(len(raw))
+                hash_out.append(hashlib.md5(raw).hexdigest())
+                # Deterministic fake "decoded dimensions" derived from
+                # the payload — stands in for real width/height.
+                w_out.append(len(raw) % 640 + 1)
+                h_out.append(len(raw) % 480 + 1)
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
                 "codec": pdf["codec"],
-                "n_bytes": pd.array(n_bytes, dtype="Int64"),
-                "content_hash": payload.map(
-                    lambda b: None
-                    if b is None
-                    else hashlib.md5(bytes(b)).hexdigest()
+                "n_bytes": pd.array(n_bytes_out, dtype="Int64"),
+                "content_hash": pd.Series(hash_out, dtype="object"),
+                "width": pd.array(w_out, dtype="Int32"),
+                "height": pd.array(h_out, dtype="Int32"),
+            }
+        )
+
+
+def _png_pack_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Synthesize the real PNG payloads for the png-tagged rows.
+
+    In production this column arrives from the lake; here it is built
+    in-stage (map-only, deterministic from doc_id) because the fixture
+    tables carry no media bytes. The payloads are REAL PNGs — CRCs,
+    zlib stream, rotating filters — not markers."""
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "payload": pdf["doc_id"].map(
+                    lambda d: _png_payload(int(d))
                 ),
-                # Deterministic fake "decoded dimensions" derived from
-                # the payload — stands in for real width/height.
-                "width": pd.array(
-                    n_bytes.map(
-                        lambda n: None if n is None else n % 640 + 1
-                    ),
-                    dtype="Int32",
-                ),
-                "height": pd.array(
-                    n_bytes.map(
-                        lambda n: None if n is None else n % 480 + 1
-                    ),
-                    dtype="Int32",
-                ),
+                "codec": "png",
             }
         )
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-payload decode pipeline: pack text into a binary column
-    (standing in for image bytes), then feature-extract via
-    ``mapInPandas``.
+    """Binary-payload decode pipeline: every ``_PNG_EVERY``-th row
+    carries a REAL PNG (decoded with the stdlib codec — parse, CRC
+    check, inflate, unfilter), the rest pack text bytes under the
+    ``fake`` codec; both feature-extract via ``mapInPandas``.
 
     Scale: decode is map-only — no shuffle, Arrow-batched, one Python
     worker per core; 100 TB of media decodes at aggregate-core
     throughput. The oracle reproduces the fake codec in SQL
-    (octet_length / md5), proving the plumbing end to end.
+    (octet_length / md5) and the PNG branch by regenerating the exact
+    decoded pixel bytes (printable-ASCII by construction) with
+    chr()/md5 — so a wrong unfilter, a wrong IHDR parse, or a wrong
+    checksum all hash-mismatch.
     """
     d = table(spark, sf_dir, "documents")
-    packed = d.select(
+    is_png = F.col("doc_id") % _PNG_EVERY == 0
+    fake = d.where(~is_png).select(
         "doc_id",
         F.encode(F.col("text"), "utf-8").alias("payload"),
         F.lit("fake").alias("codec"),
     )
+    png = d.where(is_png).select("doc_id").mapInPandas(
+        _png_pack_batches, schema="doc_id long, payload binary, codec string"
+    )
+    # Union of two map-only branches: no shuffle, each partition keeps
+    # its source codec, and the decode stage fans over both.
+    packed = fake.unionByName(png)
     return packed.mapInPandas(_decode_batches, schema=_DECODE_SCHEMA)
 
 
@@ -162,20 +234,45 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimensions feed an aspect-preserving 128×128 thumbnail fit in a
     map-only ``mapInPandas`` stage (zero shuffle at any corpus size).
 
-    The dims come from a Catalyst projection of the payload length —
-    NOT from the full decode stage: routing through
+    The fake-codec dims come from a Catalyst projection of the payload
+    length — NOT from the full decode stage: routing through
     ``q_multimodal_decode`` md5-hashed every payload just to throw
     the hash away (review wave 4 find; at media scale that is a full
-    wasted hash pass). NULL payloads are filtered up front on both
-    engines (a thumbnail of nothing is no row, matching the oracle).
+    wasted hash pass). The png rows pay a HEADER-ONLY probe
+    (``png_probe_dims``: signature + IHDR, 33 bytes, no inflate —
+    what PIL's lazy ``Image.open`` pays), the same planning-cost
+    discipline at real-media scale. NULL payloads are filtered up
+    front on both engines (a thumbnail of nothing is no row, matching
+    the oracle).
     """
     d = table(spark, sf_dir, "documents")
+    is_png = F.col("doc_id") % _PNG_EVERY == 0
     n_bytes = F.length(F.encode(F.col("text"), "utf-8"))
-    dims = d.where(F.col("text").isNotNull()).select(
+    fake_dims = d.where(F.col("text").isNotNull() & ~is_png).select(
         "doc_id",
         (n_bytes % 640 + 1).cast("int").alias("width"),
         (n_bytes % 480 + 1).cast("int").alias("height"),
     )
+
+    def _probe_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = [
+                png_probe_dims(_png_payload(int(d_))) for d_ in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pd.array([w for w, _ in dims], dtype="Int32"),
+                    "height": pd.array([h for _, h in dims], dtype="Int32"),
+                }
+            )
+
+    png_dims = d.where(is_png).select("doc_id").mapInPandas(
+        _probe_batches, schema="doc_id long, width int, height int"
+    )
+    dims = fake_dims.unionByName(png_dims)
     return dims.mapInPandas(_resize_batches, schema=_RESIZE_SCHEMA)
 
 
@@ -242,21 +339,48 @@ ORACLE = {
                CAST(n_chars AS BIGINT) AS n_chars
         FROM documents JOIN embeddings ON doc_id = vec_id
     """,
-    "multimodal_decode": """
+    # png branch: the oracle REBUILDS the decoded pixel byte string
+    # (printable ASCII by construction: 32 + (doc_id + 7i) % 95) with
+    # chr() and hashes it — an independent recomputation of what the
+    # stdlib decoder must produce after parse+inflate+unfilter.
+    "multimodal_decode": f"""
         SELECT doc_id,
                'fake' AS codec,
                CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
                MD5(text) AS content_hash,
                CAST(OCTET_LENGTH(ENCODE(text)) % 640 + 1 AS INT) AS width,
                CAST(OCTET_LENGTH(ENCODE(text)) % 480 + 1 AS INT) AS height
-        FROM documents
+        FROM documents WHERE doc_id % {_PNG_EVERY} <> 0
+        UNION ALL
+        SELECT doc_id,
+               'png' AS codec,
+               w * h * 3 AS n_bytes,
+               MD5(ARRAY_TO_STRING(
+                   LIST_TRANSFORM(
+                       RANGE(0, w * h * 3),
+                       i -> CHR(CAST(32 + (doc_id + 7 * i) % 95 AS INT))),
+                   '')) AS content_hash,
+               CAST(w AS INT) AS width,
+               CAST(h AS INT) AS height
+        FROM (
+            SELECT doc_id,
+                   CAST(doc_id % {_PNG_W_MOD} + {_PNG_W_BASE} AS BIGINT) AS w,
+                   CAST(doc_id % {_PNG_H_MOD} + {_PNG_H_BASE} AS BIGINT) AS h
+            FROM documents WHERE doc_id % {_PNG_EVERY} = 0
+        )
     """,
-    "multimodal_resize": """
+    "multimodal_resize": f"""
         WITH dims AS (
             SELECT doc_id,
                    CAST(OCTET_LENGTH(ENCODE(text)) % 640 + 1 AS BIGINT) AS w,
                    CAST(OCTET_LENGTH(ENCODE(text)) % 480 + 1 AS BIGINT) AS h
-            FROM documents WHERE text IS NOT NULL
+            FROM documents
+            WHERE text IS NOT NULL AND doc_id % {_PNG_EVERY} <> 0
+            UNION ALL
+            SELECT doc_id,
+                   CAST(doc_id % {_PNG_W_MOD} + {_PNG_W_BASE} AS BIGINT) AS w,
+                   CAST(doc_id % {_PNG_H_MOD} + {_PNG_H_BASE} AS BIGINT) AS h
+            FROM documents WHERE doc_id % {_PNG_EVERY} = 0
         )
         SELECT doc_id,
                CAST(w AS INT) AS width,

@@ -65,15 +65,15 @@ def _load_modules():
 
 
 # The driver checks ~50 queries per round in registration order, so the
-# order is a verification budget. Four tiers (refreshed at r11 start from
-# CORRECTNESS_r10.json via tools/refresh_tiers.py):
-#   0. changed since the r10 verdict — operators whose behavior this
+# order is a verification budget. Four tiers (refreshed at r12 start from
+# CORRECTNESS_r11.json via tools/refresh_tiers.py):
+#   0. changed since the r11 verdict — operators whose behavior this
 #      round touched, so their green rows no longer cover them;
 #   1. never driver-verified (implicit: in no list);
 #   2. stale evidence, ordered OLDEST ROUND FIRST within the tier:
-#      the 42 r8-green rows lead (the guarantee boundary — they must
-#      verify THIS round, r10 verdict item 5), then the 49 r9-green;
-#   3. green in CORRECTNESS_r10 (freshest evidence, cheapest to skip).
+#      the 41 r9-green rows lead (the guarantee boundary — they must
+#      verify THIS round, r11 verdict item 5), then the 50 r10-green;
+#   3. green in CORRECTNESS_r11 (freshest evidence, cheapest to skip).
 #
 # VERIFICATION-WINDOW POLICY (decided r10, per r9 verdict item 2).
 # The standing guarantee is "every registered query's latest driver
@@ -85,68 +85,25 @@ def _load_modules():
 #   * net registrations are FROZEN at REGISTRY_CAP = 141 queries
 #     (exactly the current size — adding one means retiring one);
 #   * per-round tier-0 churn budget is the window slack after the
-#     oldest-stale backlog is scheduled (r11: 50 - 42 = 8 slots);
+#     oldest-stale backlog is scheduled (r12: 50 - 41 = 9 slots);
 #   * tools/refresh_tiers.py ASSERTS the arithmetic at refresh time
 #     (window_capacity_ok) and tests/test_registry.py pins it, so a
 #     growth-busts-guarantee state fails at registration time, not at
 #     verdict time.
-# r11 window fill: the 42 r8-stale rows lead (guarantee boundary), then
-# tier-0 as changes land, then the oldest r9-stale rows absorb any
+# r12 window fill: the 41 r9-stale rows lead (guarantee boundary), then
+# tier-0 as changes land, then the oldest r10-stale rows absorb any
 # remaining slots.
 _CHANGED_SINCE_VERDICT = (
-    # r11: run_append_to_files sizes state-store partitions to state
-    # volume (cores/4, was cores*2) — execution change under every
-    # streaming-engine query; the four r8-stale ones already lead the
-    # window, these two had fresher (r9) evidence that predates it.
-    "stream_incremental_batches",
-    "stream_user_profile",
+    # r12: multimodal decode/resize gained the real stdlib PNG branch
+    # (every 10th row carries a real PNG payload; decode parses it,
+    # resize header-probes it) — output rows changed for those rows.
+    "multimodal_decode",
+    "multimodal_resize",
 )
 
-# tier 2: stale evidence — last green before r10 (91 queries); name -> last-green round, the
+# tier 2: stale evidence — last green before r11 (91 queries); name -> last-green round, the
 # _reorder sort key (oldest evidence claims window slots first)
 _STALE_EVIDENCE = {
-    "agg_approx_distinct": 8,
-    "agg_bool_bitwise": 8,
-    "agg_histogram": 8,
-    "agg_mode_frequent": 8,
-    "agg_percentile": 8,
-    "agg_pivot": 8,
-    "analytics_ab_test": 8,
-    "dedup_cluster_cc": 8,
-    "dedup_incremental_jaccard": 8,
-    "dedup_ngram_jaccard": 8,
-    "join_asof": 8,
-    "join_bloom_prefilter": 8,
-    "join_cross_dims": 8,
-    "join_interval_buckets": 8,
-    "join_range_theta": 8,
-    "join_salted_skew": 8,
-    "merge_upsert": 8,
-    "scalar_conditional_regex": 8,
-    "set_union_except_intersect": 8,
-    "similarity_ann_ivf": 8,
-    "similarity_ann_lsh": 8,
-    "sink_kinesis_batched": 8,
-    "sort_limit": 8,
-    "source_compressed_roundtrip": 8,
-    "source_kinesis_datasource": 8,
-    "source_kinesis_read": 8,
-    "source_orc_roundtrip": 8,
-    "sql_tpch_q10": 8,
-    "sql_tpch_q5": 8,
-    "sql_tpch_q6": 8,
-    "stream_custom_sessionize": 8,
-    "stream_dedup_stateful": 8,
-    "stream_sliding_agg": 8,
-    "stream_stream_join": 8,
-    "stream_tumbling_agg": 8,
-    "stream_watermark_late": 8,
-    "time_resample_interp": 8,
-    "time_rollup_hypertable": 8,
-    "udtf_table_chunks": 8,
-    "window_ewma_smooth": 8,
-    "window_rank_topk": 8,
-    "window_time_range": 8,
     "agg_approx_quantile": 9,
     "agg_filtered_conditional": 9,
     "agg_regression": 9,
@@ -157,13 +114,10 @@ _STALE_EVIDENCE = {
     "dedup_exact": 9,
     "dedup_near_minhash": 9,
     "dedup_simhash": 9,
-    "explode_token_freq": 9,
     "join_asof_tolerance": 9,
     "merge_scd2": 9,
-    "multimodal_decode": 9,
     "multimodal_frame_sample": 9,
     "multimodal_join": 9,
-    "multimodal_resize": 9,
     "pipeline_llm_prep": 9,
     "pipeline_source_mixture": 9,
     "scalar_array_map_json": 9,
@@ -183,72 +137,117 @@ _STALE_EVIDENCE = {
     "sql_tpch_q8": 9,
     "sql_tpch_q9": 9,
     "stream_session_window": 9,
-    "text_analysis_stats": 9,
     "text_fingerprint": 9,
-    "text_language_id": 9,
-    "text_pii_scrub": 9,
-    "text_quality_score": 9,
     "text_token_count": 9,
     "time_ohlc_bars": 9,
-    "tokenize_pack_sequences": 9,
     "udf_python": 9,
     "window_anomaly_zscore": 9,
     "window_lag_lead": 9,
+    "agg_collect_sorted": 10,
+    "agg_distinct": 10,
+    "agg_group_sum": 10,
+    "agg_grouping_sets": 10,
+    "agg_stats_corr": 10,
+    "agg_string_concat": 10,
+    "analytics_cumulative_distinct": 10,
+    "analytics_retention_cohort": 10,
+    "dedup_decontaminate": 10,
+    "dedup_fuzzy_editdist": 10,
+    "dedup_substring_chunks": 10,
+    "embedding_quantize_int8": 10,
+    "filter_in_between_like": 10,
+    "funnel_conversion": 10,
+    "join_anti": 10,
+    "join_broadcast": 10,
+    "join_bucketed_colocated": 10,
+    "join_inner_equi": 10,
+    "join_left_outer": 10,
+    "join_multiway_star": 10,
+    "join_semi": 10,
+    "pipeline_shuffle_shard": 10,
+    "project_filter": 10,
+    "sample_stratified_hash": 10,
+    "scalar_variant_shred": 10,
+    "scan_parquet": 10,
+    "sink_compacted_parquet": 10,
+    "sink_partitioned_parquet": 10,
+    "sink_sorted_clustered": 10,
+    "source_csv_roundtrip": 10,
+    "source_schema_evolution": 10,
+    "source_text_lines_roundtrip": 10,
+    "sql_tpch_q1": 10,
+    "sql_tpch_q14": 10,
+    "sql_tpch_q17": 10,
+    "sql_tpch_q21": 10,
+    "sql_tpch_q22": 10,
+    "sql_tpch_q3": 10,
+    "sql_tpch_q4": 10,
+    "stream_foreach_batch_upsert": 10,
+    "text_ngram_profile": 10,
+    "text_repetition_filter": 10,
+    "text_url_canonicalize": 10,
+    "time_downsample_m4": 10,
+    "time_gapfill_locf": 10,
+    "window_first_last": 10,
+    "window_ranking_suite": 10,
+    "window_rolling_quantile": 10,
+    "window_running_frame": 10,
+    "window_session_islands": 10,
 }
 
-# tier 3: green in CORRECTNESS_r10 (50 queries)
+# tier 3: green in CORRECTNESS_r11 (50 queries)
 _VERIFIED_LAST = frozenset(
     {
-        "agg_collect_sorted",
-        "agg_distinct",
-        "agg_group_sum",
-        "agg_grouping_sets",
-        "agg_stats_corr",
-        "agg_string_concat",
-        "analytics_cumulative_distinct",
-        "analytics_retention_cohort",
-        "dedup_decontaminate",
-        "dedup_fuzzy_editdist",
-        "dedup_substring_chunks",
-        "embedding_quantize_int8",
-        "filter_in_between_like",
-        "funnel_conversion",
-        "join_anti",
-        "join_broadcast",
-        "join_bucketed_colocated",
-        "join_inner_equi",
-        "join_left_outer",
-        "join_multiway_star",
-        "join_semi",
-        "pipeline_shuffle_shard",
-        "project_filter",
-        "sample_stratified_hash",
-        "scalar_variant_shred",
-        "scan_parquet",
-        "sink_compacted_parquet",
-        "sink_partitioned_parquet",
-        "sink_sorted_clustered",
-        "source_csv_roundtrip",
-        "source_schema_evolution",
-        "source_text_lines_roundtrip",
-        "sql_tpch_q1",
-        "sql_tpch_q14",
-        "sql_tpch_q17",
-        "sql_tpch_q21",
-        "sql_tpch_q22",
-        "sql_tpch_q3",
-        "sql_tpch_q4",
-        "stream_foreach_batch_upsert",
-        "text_ngram_profile",
-        "text_repetition_filter",
-        "text_url_canonicalize",
-        "time_downsample_m4",
-        "time_gapfill_locf",
-        "window_first_last",
-        "window_ranking_suite",
-        "window_rolling_quantile",
-        "window_running_frame",
-        "window_session_islands",
+        "agg_approx_distinct",
+        "agg_bool_bitwise",
+        "agg_histogram",
+        "agg_mode_frequent",
+        "agg_percentile",
+        "agg_pivot",
+        "analytics_ab_test",
+        "dedup_cluster_cc",
+        "dedup_incremental_jaccard",
+        "dedup_ngram_jaccard",
+        "explode_token_freq",
+        "join_asof",
+        "join_bloom_prefilter",
+        "join_cross_dims",
+        "join_interval_buckets",
+        "join_range_theta",
+        "join_salted_skew",
+        "merge_upsert",
+        "scalar_conditional_regex",
+        "set_union_except_intersect",
+        "similarity_ann_ivf",
+        "similarity_ann_lsh",
+        "sink_kinesis_batched",
+        "sort_limit",
+        "source_compressed_roundtrip",
+        "source_kinesis_datasource",
+        "source_kinesis_read",
+        "source_orc_roundtrip",
+        "sql_tpch_q10",
+        "sql_tpch_q5",
+        "sql_tpch_q6",
+        "stream_custom_sessionize",
+        "stream_dedup_stateful",
+        "stream_incremental_batches",
+        "stream_sliding_agg",
+        "stream_stream_join",
+        "stream_tumbling_agg",
+        "stream_user_profile",
+        "stream_watermark_late",
+        "text_analysis_stats",
+        "text_language_id",
+        "text_pii_scrub",
+        "text_quality_score",
+        "time_resample_interp",
+        "time_rollup_hypertable",
+        "tokenize_pack_sequences",
+        "udtf_table_chunks",
+        "window_ewma_smooth",
+        "window_rank_topk",
+        "window_time_range",
     }
 )
 

@@ -156,7 +156,13 @@ def stream_state_partitions(
     """
     env = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS")
     if env:
-        n = int(env)
+        try:
+            n = int(env)
+        except ValueError:
+            raise ValueError(
+                "SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS must be an "
+                f"integer >= 1, got {env!r}"
+            ) from None
         if n < 1:
             raise ValueError(
                 "SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS must be >= 1, "

@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from frinesis_spark import planfp
@@ -406,7 +408,7 @@ def test_parallel_sink_envelope_loses_nothing():
     deliberately NOT asserted; delivery accounting is the contract."""
     import sys
 
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import bench
 
     env = bench._sink_throughput(

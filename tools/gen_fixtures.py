@@ -34,10 +34,22 @@ at least two scale factors):
                      user_id U{0..15000*sf}; type uniform over 5;
                      value ~ Exp(mean 50) 2dp; props = {"k": U{0..99}}
   documents          max(500, 50k*sf) rows; text = U{10..100} words
-                     from the 30-word vocab; 5% of docs are planted
+                     drawn Zipf-Mandelbrot (p(r) ∝ 1/(r+2.7)^1.07)
+                     from an OPEN Heaps-law vocabulary of
+                     V = max(1000, 50·√n_doc) types (r12, verdict
+                     item 1 — DELIBERATE divergence from the driver
+                     fixture's closed 30-word vocab: a closed vocab
+                     makes shingle document-frequency grow linearly
+                     with n, so every inverted-index ngram query
+                     measures superlinear for corpus-degeneracy
+                     reasons, not plan reasons — the like-for-like
+                     counter-measurement is tools/measure_heaps_
+                     ngram.py, exp 0.545 vs 1.34/decade. The 30
+                     legacy words keep ranks 0-29, so they remain the
+                     stopword head). 5% of docs are planted
                      near-dups: a random base doc's text + 0-2 " dup"
                      suffix words (3% of dups exact — jac spectrum
-                     0.8-1.0 matches the observed spectrum);
+                     0.8-1.0 preserved);
                      lang ~ {en:.4, de/es/fr/zh:.15}; source =
                      src{doc_id%20}; n_chars = len(text)
   embeddings         max(500, 20k*sf) rows; 64-dim unit-normalized
@@ -176,9 +188,26 @@ def generate(sf: float, out: str, seed: int = 42) -> dict[str, int]:
            value=np.round(rng.exponential(50.0, n_ev), 2),
            props=[json.dumps({"k": int(k)}) for k in rng.integers(0, 100, n_ev)])
 
-    vocab = np.array(VOCAB)
+    # Open Heaps-law vocabulary (see the documents entry in the module
+    # doc): V grows ~√n_doc, ranks sampled Zipf-Mandelbrot via inverse
+    # CDF (searchsorted beats rng.choice-with-p ~10× at sf1's ~2.8M
+    # token draws). Legacy 30-word head keeps old text-op fixtures
+    # recognizable; the tail is doc-local types.
+    v_size = max(1000, int(50 * np.sqrt(n_doc)))
+    vocab = np.array(
+        VOCAB + [f"w{r:05d}" for r in range(len(VOCAB), v_size)]
+    )
+    zipf_p = 1.0 / (np.arange(v_size, dtype=np.float64) + 2.7) ** 1.07
+    zipf_cdf = np.cumsum(zipf_p / zipf_p.sum())
     n_words = rng.integers(10, 101, n_doc)
-    texts = [" ".join(vocab[rng.integers(0, len(vocab), w)]) for w in n_words]
+    tok_ranks = np.searchsorted(
+        zipf_cdf, rng.random(int(n_words.sum())), side="right"
+    )
+    offs = np.concatenate(([0], np.cumsum(n_words)))
+    texts = [
+        " ".join(vocab[tok_ranks[offs[i]:offs[i + 1]]])
+        for i in range(n_doc)
+    ]
     n_dup = int(0.05 * n_doc)
     dup_ids = rng.choice(n_doc, size=n_dup, replace=False)
     for j in dup_ids:
