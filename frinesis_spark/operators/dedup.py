@@ -1239,6 +1239,168 @@ def q_dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pair_recall_check(exact, cand, _EMB_ANN_RECALL_FLOOR_PCT)
 
 
+# Sampled-audit grading (r12, verdict item 4): the production form of
+# the ANN recall grade. The full-exact grader (q_dedup_embedding_ann)
+# costs O(n²); the audit restricts the exact side to pairs with at
+# least one endpoint in a deterministic md5-sampled audit set —
+# 1/_ANN_AUDIT_MOD of the vectors — so the grader's block-pair matmul
+# does n²/_ANN_AUDIT_MOD FLOPs while still estimating recall over
+# ~2/_ANN_AUDIT_MOD of the true pair population. md5-bucket, not
+# sample(): the audit set is a pure function of vec_id, identical
+# across engines/runs/re-shards (the sample_stratified_hash rationale).
+_ANN_AUDIT_MOD = 10
+
+
+def audit_exact_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine pairs restricted to the md5 audit sample: every
+    pair with ≥1 endpoint in the audit set (``md5_bucket(vec_id) %
+    _ANN_AUDIT_MOD == 0``), at 1/_ANN_AUDIT_MOD of the full exact
+    scan's FLOPs.
+
+    Same distributed shape as ``q_dedup_embedding_cosine`` (block-pair
+    ``applyInPandas``, BLAS inside, no driver materialization, no
+    corpus broadcast) with the a-side of each block-pair matmul cut to
+    the audit rows — per-task work drops by the audit fraction, and at
+    100 TB the audit runs as a 10×-cheaper scheduled job against the
+    serving ANN index. Both-audit pairs surface from both orientations;
+    one ``distinct`` on the (int, int, rounded-cos) row collapses them
+    (the two matmuls produce bit-identical dots — same normalized
+    operands, same contraction order)."""
+    from frinesis_spark.operators.text import _md5_bucket
+
+    e = table(spark, sf_dir, "embeddings")
+    B = _COS_BLOCKS
+    blocked = e.select(
+        "vec_id",
+        "embedding",
+        F.pmod(F.xxhash64("vec_id"), F.lit(B)).cast("int").alias("blk"),
+        (_md5_bucket(F.col("vec_id"), _ANN_AUDIT_MOD) == 0).alias(
+            "is_audit"
+        ),
+    )
+    pair_list = F.array_distinct(
+        F.expr(
+            f"transform(sequence(0, {B - 1}),"
+            " o -> struct(least(blk, o) AS bi, greatest(blk, o) AS bj))"
+        )
+    )
+    expanded = blocked.select(
+        "vec_id", "embedding", "blk", "is_audit", F.explode(pair_list).alias("p")
+    ).select("vec_id", "embedding", "blk", "is_audit", "p.bi", "p.bj")
+
+    chunk = 2048
+
+    def audit_block_pairs(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        bi, bj = key
+        ids = pdf["vec_id"].to_numpy(np.int64)
+        audit = pdf["is_audit"].to_numpy(bool)
+        blk = pdf["blk"].to_numpy()
+        m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        out = []
+        # a-side = audit rows of block sa, b-side = ALL rows of block
+        # sb; off-diagonal block pairs need both orientations so a
+        # (non-audit in bi, audit in bj) pair is still covered.
+        sides = [(bi, bj)] if bi == bj else [(bi, bj), (bj, bi)]
+        for sa, sb in sides:
+            a_idx = np.nonzero((blk == sa) & audit)[0]
+            b_idx = np.nonzero(blk == sb)[0]
+            if not len(a_idx) or not len(b_idx):
+                continue
+            a_ids, b_ids = ids[a_idx], ids[b_idx]
+            am, bm = m[a_idx], m[b_idx]
+            for s in range(0, len(a_ids), chunk):
+                cos = am[s : s + chunk] @ bm.T
+                hot = cos >= _COS_DUP_THRESHOLD
+                lt = a_ids[s : s + chunk, None] < b_ids[None, :]
+                gt = a_ids[s : s + chunk, None] > b_ids[None, :]
+                ai, bix = np.nonzero(hot & lt)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "a_id": a_ids[s + ai],
+                            "b_id": b_ids[bix],
+                            "cos_sim": np.round(cos[ai, bix], 6),
+                        }
+                    )
+                )
+                # strict gt, not ~lt: the diagonal a-side is a subset
+                # of the b-side, so equality (self-pair) must not emit
+                ai, bix = np.nonzero(hot & gt)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "a_id": b_ids[bix],
+                            "b_id": a_ids[s + ai],
+                            "cos_sim": np.round(cos[ai, bix], 6),
+                        }
+                    )
+                )
+        if not out:
+            return pd.DataFrame(
+                {
+                    "a_id": pd.Series(dtype="int64"),
+                    "b_id": pd.Series(dtype="int64"),
+                    "cos_sim": pd.Series(dtype="float64"),
+                }
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return (
+        expanded.groupBy("bi", "bj")
+        .applyInPandas(audit_block_pairs, "a_id long, b_id long, cos_sim double")
+        .distinct()
+    )
+
+
+def q_dedup_embedding_ann_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION grading shape for ANN dedup, registered and
+    oracle-checked (r11 verdict item 4): grade the IVF+re-rank pair
+    set's recall on the deterministic md5-sampled audit slice of the
+    exact pair population, instead of against the full O(n²) pair set.
+
+    Exact side: ``audit_exact_cosine_pairs`` (n²/10 FLOPs). Candidate
+    side: the same ``embedding_ann_pairs`` output the full grade uses,
+    filtered to audit-touching pairs (an int-column filter — the ANN
+    pass itself is untouched; grading never changes the serving path).
+    Output: (n_sampled_exact_pairs, recall_floor_met); the oracle
+    recomputes the sampled exact pair count with the same md5 bucket
+    predicate and asserts the boolean. This is the query you actually
+    schedule at 100 TB — the full-exact grade (q_dedup_embedding_ann)
+    stays registered as the correctness-time baseline."""
+    from frinesis_spark.operators.text import _md5_bucket
+
+    exact = audit_exact_cosine_pairs(spark, sf_dir).select(
+        F.col("a_id").alias("doc_a"), F.col("b_id").alias("doc_b")
+    )
+    cand = (
+        embedding_ann_pairs(spark, sf_dir)
+        .where(
+            (_md5_bucket(F.col("a_id"), _ANN_AUDIT_MOD) == 0)
+            | (_md5_bucket(F.col("b_id"), _ANN_AUDIT_MOD) == 0)
+        )
+        .select(F.col("a_id").alias("doc_a"), F.col("b_id").alias("doc_b"))
+    )
+    return _pair_recall_check(
+        exact, cand, _EMB_ANN_AUDIT_RECALL_FLOOR_PCT
+    ).select(
+        F.col("n_exact_pairs").alias("n_sampled_exact_pairs"),
+        "recall_floor_met",
+    )
+
+
+# Audit-slice recall floor: the sampled estimator sees ~2/_ANN_AUDIT_MOD
+# of the exact pairs (observed sampled/full: 0/7 at sf0.001 — vacuous
+# TRUE; 1/14 at sf0.01, recall 1.00; 34/144 at sf0.1, recall 0.853 vs
+# the full grade's 0.81), so per-fixture variance is wider than the
+# full grade's — the floor sits a full step below the worst non-vacuous
+# observation, same slack policy as _EMB_ANN_RECALL_FLOOR_PCT.
+_EMB_ANN_AUDIT_RECALL_FLOOR_PCT = 60
+
+
 _EDIT_MAX = 25  # max edit distance for a fuzzy-dup pair
 _PREFIX = 8  # blocking prefix length
 _LEN_BUCKET = 10  # blocking length-bucket width
@@ -1470,6 +1632,7 @@ QUERIES = {
     "dedup_cluster_cc": q_dedup_cluster_cc,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_embedding_ann": q_dedup_embedding_ann,
+    "dedup_embedding_ann_audit": q_dedup_embedding_ann_audit,
     "dedup_fuzzy_editdist": q_dedup_fuzzy_editdist,
     "dedup_decontaminate": q_dedup_decontaminate,
     "dedup_substring_chunks": q_dedup_substring_chunks,
@@ -1743,6 +1906,26 @@ ORACLE = {
                TRUE AS recall_floor_met
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE LIST_DOT_PRODUCT(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[]))
+              / NULLIF(SQRT(LIST_DOT_PRODUCT(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(a.embedding AS DOUBLE[])))
+                 * SQRT(LIST_DOT_PRODUCT(CAST(b.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[]))), 0)
+              >= 0.45
+    """,
+    # dedup_embedding_ann_audit: the production (sampled) grading
+    # shape — same self-grading contract; the oracle recomputes the
+    # exact pair count on the md5 audit slice with the identical
+    # bucket predicate (text._md5_bucket_sql's 0x-prefixed hex cast).
+    "dedup_embedding_ann_audit": f"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_sampled_exact_pairs,
+               TRUE AS recall_floor_met
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE (CAST(CONCAT('0x', SUBSTRING(MD5(CAST(a.vec_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % {_ANN_AUDIT_MOD} = 0
+               OR CAST(CONCAT('0x', SUBSTRING(MD5(CAST(b.vec_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % {_ANN_AUDIT_MOD} = 0)
+          AND LIST_DOT_PRODUCT(CAST(a.embedding AS DOUBLE[]),
                                CAST(b.embedding AS DOUBLE[]))
               / NULLIF(SQRT(LIST_DOT_PRODUCT(CAST(a.embedding AS DOUBLE[]),
                                        CAST(a.embedding AS DOUBLE[])))

@@ -32,7 +32,10 @@ _LANG_MARKERS: dict[str, list[str]] = {
 _LANG_ORDER = ["en", "es", "de", "fr", "zh"]  # argmax tie-break precedence
 
 _STOPWORDS = _LANG_MARKERS["en"]
-_TOKEN_REGEX = "[a-z0-9]+"
+# text_token_count retired r12 (verdict item 4 registry swap: its
+# ws/regex token sums are carried by text_analysis_stats (per-lang
+# token volumes) and tokenize_pack_sequences (per-doc counts); the
+# dedup_embedding_ann_audit production grading shape took the slot).
 
 
 def _hex_bucket(hex_col: Column, mod: int) -> Column:
@@ -156,22 +159,6 @@ def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         F.round(alpha_ratio, 6).alias("alpha_ratio"),
         score.alias("quality_score"),
-    )
-
-
-def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting two ways per source: whitespace tokens and
-    regex word tokens (the BPE-ish pre-tokenization shape)."""
-    d = table(spark, sf_dir, "documents")
-    ws_tokens = F.size(F.split("text", " ")).cast("long")
-    re_tokens = F.expr(
-        f"size(regexp_extract_all(text, '{_TOKEN_REGEX}', 0))"
-    ).cast("long")
-    return d.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(ws_tokens).alias("ws_tokens"),
-        F.sum(re_tokens).alias("re_tokens"),
-        F.max(ws_tokens).alias("max_doc_tokens"),
     )
 
 
@@ -682,7 +669,6 @@ QUERIES = {
     "text_analysis_stats": q_text_analysis_stats,
     "text_language_id": q_text_language_id,
     "text_quality_score": q_text_quality_score,
-    "text_token_count": q_text_token_count,
     "text_fingerprint": q_text_fingerprint,
     "pipeline_llm_prep": q_pipeline_llm_prep,
     "pipeline_source_mixture": q_pipeline_source_mixture,
@@ -992,17 +978,6 @@ ORACLE = {
                      + 0.3 * LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0),
                      6) AS quality_score
         FROM feats
-    """,
-    "text_token_count": f"""
-        SELECT source,
-               COUNT(*) AS n_docs,
-               CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS ws_tokens,
-               CAST(SUM(LEN(REGEXP_EXTRACT_ALL(text, '{_TOKEN_REGEX}')))
-                    AS BIGINT) AS re_tokens,
-               MAX(CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT))
-                   AS max_doc_tokens
-        FROM documents
-        GROUP BY source
     """,
     "text_fingerprint": """
         SELECT doc_id,

@@ -138,7 +138,6 @@ _STALE_EVIDENCE = {
     "sql_tpch_q9": 9,
     "stream_session_window": 9,
     "text_fingerprint": 9,
-    "text_token_count": 9,
     "time_ohlc_bars": 9,
     "udf_python": 9,
     "window_anomaly_zscore": 9,

@@ -192,3 +192,40 @@ def test_stream_partitions_env_parse_message(monkeypatch):
         stream_state_partitions(32, 32)
     monkeypatch.setenv("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS", "6")
     assert stream_state_partitions(32, 32) == 6
+
+
+class TestAnnAudit:
+    """dedup_embedding_ann_audit (r11 verdict item 4): the sampled
+    production grading shape. Differential contract: the audit exact
+    side must equal the full exact pair set filtered by the audit
+    predicate — same pairs, same rounded cosines."""
+
+    def test_audit_exact_equals_filtered_full(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from frinesis_spark.operators import dedup as D
+        from frinesis_spark.operators.text import _md5_bucket
+
+        audit = D.audit_exact_cosine_pairs(spark, sf_dir)
+        full = D.q_dedup_embedding_cosine(spark, sf_dir).where(
+            (_md5_bucket(F.col("a_id"), D._ANN_AUDIT_MOD) == 0)
+            | (_md5_bucket(F.col("b_id"), D._ANN_AUDIT_MOD) == 0)
+        )
+        a = {tuple(r) for r in audit.collect()}
+        f = {tuple(r) for r in full.collect()}
+        assert a == f
+        # canonical ordering + no self pairs + distinct held
+        assert all(x < y for x, y, _ in a)
+        assert audit.count() == len(a)
+
+    def test_registered_query_grades_true(self, spark, sf_dir):
+        from frinesis_spark.operators.dedup import (
+            q_dedup_embedding_ann_audit,
+        )
+
+        row = q_dedup_embedding_ann_audit(spark, sf_dir).collect()[0]
+        # sf0.01 fixture: 1 sampled exact pair, hit (recall 1.0);
+        # vacuous-empty also grades TRUE by the _pair_recall_check
+        # contract — either way the boolean must be TRUE and non-NULL.
+        assert row.recall_floor_met is True
+        assert row.n_sampled_exact_pairs >= 0
