@@ -1142,34 +1142,6 @@ def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Navigation deltas: per user, the gap to the previous event and
-    the type of the next event (lag/lead over the per-user timeline).
-
-    The inter-event-gap shape every sessionization / funnel query
-    starts from. One shuffle on user_id + per-partition sort; lag and
-    lead share the same window, so Catalyst evaluates both in a single
-    Window node (one sort, verified in the plan).
-    """
-    e = table(spark, sf_dir, "events")
-    # asc_nulls_last on the nullable ts (class-13): a NULL-ts row
-    # sits at the partition HEAD on Spark's bare asc and at the TAIL
-    # on DuckDB's, shifting every lag/lead neighbor (r9 review wave 3).
-    w = W.partitionBy("user_id").orderBy(
-        F.col("ts").asc_nulls_last(), "event_id"
-    )
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
-    prev_us = F.unix_micros(F.lag(F.col("ts")).over(w).cast("timestamp"))
-    return e.select(
-        "event_id",
-        "user_id",
-        "ts",
-        "event_type",
-        ((us - prev_us) / F.lit(1_000_000)).alias("gap_seconds"),
-        F.lead("event_type").over(w).alias("next_event_type"),
-    )
-
-
 def q_agg_filtered_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional aggregation: per order priority, total count plus
     counts/sums restricted by predicates (SQL ``FILTER (WHERE ...)``).
@@ -1498,7 +1470,6 @@ QUERIES = {
     "time_rollup_hypertable": q_time_rollup_hypertable,
     "window_time_range": q_window_time_range,
     "join_asof_tolerance": q_join_asof_tolerance,
-    "window_lag_lead": q_window_lag_lead,
     "agg_filtered_conditional": q_agg_filtered_conditional,
     "time_ohlc_bars": q_time_ohlc_bars,
     "funnel_conversion": q_funnel_conversion,
@@ -1560,14 +1531,6 @@ ORACLE = {
          AND v.ts <= p.ts
          AND v.ts >= p.ts - INTERVAL 30 MINUTE
         GROUP BY p.event_id, p.user_id, p.ts
-    """,
-    "window_lag_lead": """
-        SELECT event_id, user_id, ts, event_type,
-               CAST(EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) AS DOUBLE)
-                   / 1000000 AS gap_seconds,
-               LEAD(event_type) OVER w AS next_event_type
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
     "agg_regression": """
         -- + 0.0 mirrors the Spark side's negative-zero normalization

@@ -141,7 +141,6 @@ _STALE_EVIDENCE = {
     "time_ohlc_bars": 9,
     "udf_python": 9,
     "window_anomaly_zscore": 9,
-    "window_lag_lead": 9,
     "agg_collect_sorted": 10,
     "agg_distinct": 10,
     "agg_group_sum": 10,

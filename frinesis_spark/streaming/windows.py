@@ -259,6 +259,136 @@ def q_stream_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_append_to_files(deduped)
 
 
+# --- bounded-state streaming dedup (r12, verdict item 6) -------------
+#
+# The replay fixture plants two duplicate populations over the events
+# table (event_id is unique in the fixture, so duplicates must be
+# synthesized to exercise dedup at all):
+#   * event_id % _REPLAY_MOD == 0 → re-arrives at ts + 2 minutes:
+#     inside the 10-minute watermark delay, so its first instance's
+#     state is ALWAYS live on arrival → suppressed;
+#   * event_id % _REPLAY_MOD == 1 → re-arrives at ts + 15 days: the
+#     stream is staged into 7-DAY time buckets (one file = one
+#     micro-batch), and 15d > 2×7d puts the replay ≥2 buckets after
+#     its original — the margin that matters because Spark's
+#     StreamingDeduplicateWithinWatermark removes expired keys at the
+#     END of a batch using that batch's START watermark (one-batch
+#     lag, measured r12: with an 8-day shift only the Δ=2 replays
+#     re-emitted, 12/100): an original in bucket j is evicted by the
+#     end of bucket j+1 at the latest (start-wm of j+1 = max ts of
+#     bucket j − 10 min > original ts + 10 min whenever the original
+#     sits ≥20 min before its bucket's max — and the only originals
+#     that don't are in the last day of their bucket, whose +15d
+#     replays land Δ=3 buckets out, past the j+2 eviction) — so every
+#     replay processes after its original's state is gone →
+#     re-emitted.
+# Emission is therefore batch-boundary-INDEPENDENT: every original id
+# once, plus every %==1 id a second time — a pure function of the data
+# that the batch oracle reproduces with a UNION ALL. The output column
+# is event_id only: a %==0 pair that lands inside one micro-batch may
+# keep either row (within-batch processing order is nondeterministic),
+# but both carry the same event_id.
+_REPLAY_MOD = 100
+_REPLAY_BUCKET = "7 days"  # replay shift > 2x bucket width
+
+
+def _stage_events_dedup_replay(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events ∪ planted replays into fixed 7-day time-bucket
+    files (mtime in bucket order, one file per micro-batch).
+
+    FIXED time width, not ``repartitionByRange``: count-balanced
+    ranges would stretch over the sparse +8d tail (only 1% of rows
+    live past day 30), producing a last bucket wider than the replay
+    shift and collapsing original+replay into one micro-batch — the
+    exact case the bucket-width < shift invariant forbids."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from frinesis_spark.caches import corpus_fingerprint
+    from frinesis_spark.catalog import table as _table
+
+    fp = corpus_fingerprint(sf_dir, "events")
+    stage = os.path.join(tempfile.gettempdir(), f"fs_dedup_replay_v2_{fp}")
+    if os.path.exists(stage):
+        return stage
+    ev = _table(spark, sf_dir, "events").select("event_id", "ts")
+    rep_in = ev.where(F.col("event_id") % _REPLAY_MOD == 0).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 2 MINUTES")
+    )
+    rep_out = ev.where(F.col("event_id") % _REPLAY_MOD == 1).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 15 DAYS")
+    )
+    allr = ev.unionByName(rep_in).unionByName(rep_out)
+    (min_us,) = (
+        ev.agg(F.min(F.unix_micros(F.col("ts").cast("timestamp")))).first()
+    )
+    bucket_us = 7 * 86_400 * 1_000_000
+    bucketed = allr.withColumn(
+        "_bkt",
+        (
+            (F.unix_micros(F.col("ts").cast("timestamp")) - F.lit(min_us))
+            / F.lit(bucket_us)
+        ).cast("long"),
+    )
+    n_buckets = bucketed.agg(F.max("_bkt")).first()[0] + 1
+    tmp = f"{stage}.tmp_{os.getpid()}_{uuid.uuid4().hex[:6]}"
+    os.makedirs(tmp)
+    base = 1_000_000_000  # fixed epoch secs: deterministic ordering
+    for k in range(int(n_buckets)):
+        sub = os.path.join(tmp, f"_w{k}")
+        (
+            bucketed.where(F.col("_bkt") == k)
+            .drop("_bkt")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(sub)
+        )
+        (part,) = [f for f in os.listdir(sub) if f.endswith(".parquet")]
+        dst = os.path.join(tmp, f"bucket_{k:03d}.parquet")
+        os.rename(os.path.join(sub, part), dst)
+        shutil.rmtree(sub, ignore_errors=True)
+        os.utime(dst, (base + k, base + k))
+    try:
+        os.rename(tmp, stage)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost a concurrent race
+    return stage
+
+
+def q_stream_dedup_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming: BOUNDED-STATE dedup via
+    ``dropDuplicatesWithinWatermark`` — the production swap that
+    ``q_stream_dedup_stateful`` documents (its exact form carries
+    O(distinct ids) state forever; this one's state is evicted once
+    the watermark passes first-seen ts + delay, so state is O(ids per
+    watermark horizon) on an unbounded stream).
+
+    The weaker contract — an id recurring beyond the watermark delay
+    re-emits — is exactly what the replay fixture makes checkable: the
+    +2 min duplicates are always suppressed, the +15 day replays are
+    always re-emitted (see the end-of-batch eviction-lag argument at
+    ``_REPLAY_MOD``), so the oracle is plain
+    ``events UNION ALL (events WHERE id % mod = 1)``. The state-stays-
+    flat-vs-exact differential is pinned in
+    tests/test_round12_fixes.py."""
+    stage = _stage_events_dedup_replay(spark, sf_dir)
+    schema = spark.read.parquet(stage).schema
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    deduped = (
+        ev.withWatermark("ts", _WATERMARK)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id")
+    )
+    return run_append_to_files(deduped)
+
+
 def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL streaming: stream-stream interval join (view→purchase
     attribution) — purchases matched to same-user views in the
@@ -572,6 +702,7 @@ QUERIES = {
     "stream_watermark_late": q_stream_watermark_late,
     "stream_incremental_batches": q_stream_incremental_batches,
     "stream_dedup_stateful": q_stream_dedup_stateful,
+    "stream_dedup_bounded": q_stream_dedup_bounded,
     "stream_stream_join": q_stream_stream_join,
 }
 
@@ -674,6 +805,15 @@ ORACLE = {
         HAVING {_TRUNC_HOUR} + INTERVAL 1 HOUR <= (SELECT w FROM wm)
     """,
     "stream_dedup_stateful": "SELECT DISTINCT event_id FROM events",
+    # stream_dedup_bounded: the within-watermark contract on the
+    # replay fixture is batch-boundary-independent by construction
+    # (see _REPLAY_MOD): every original id emits once, the +8d
+    # replays emit a second time, the +2min duplicates never emit.
+    "stream_dedup_bounded": f"""
+        SELECT event_id FROM events
+        UNION ALL
+        SELECT event_id FROM events WHERE event_id % {_REPLAY_MOD} = 1
+    """,
     # Same emitted-window contract as stream_watermark_late: the
     # multi-batch replay must produce the identical set (cross-batch
     # state merging changes nothing — that is what the hash proves).

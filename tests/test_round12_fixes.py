@@ -229,3 +229,85 @@ class TestAnnAudit:
         # contract — either way the boolean must be TRUE and non-NULL.
         assert row.recall_floor_met is True
         assert row.n_sampled_exact_pairs >= 0
+
+
+class TestStreamDedupBounded:
+    """stream_dedup_bounded (r11 verdict item 6): the bounded-state
+    production dedup, verified — not described."""
+
+    def _run_with_progress(self, spark, stage, bounded: bool, tmp_path):
+        from pyspark.sql import functions as F
+
+        from frinesis_spark.streaming.windows import _WATERMARK
+
+        schema = spark.read.parquet(stage).schema
+        ev = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        if bounded:
+            ded = ev.withWatermark(
+                "ts", _WATERMARK
+            ).dropDuplicatesWithinWatermark(["event_id"])
+        else:
+            ded = ev.dropDuplicates(["event_id"])
+        name = f"dd_diff_{'b' if bounded else 'e'}"
+        q = (
+            ded.select("event_id")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / name))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            state_rows = [
+                p["stateOperators"][0]["numRowsTotal"]
+                for p in q.recentProgress
+                if p["stateOperators"] and p["numInputRows"]
+            ]
+            emitted = spark.sql(
+                f"SELECT COUNT(*) c FROM {name}"
+            ).first().c
+        finally:
+            q.stop()
+        return state_rows, emitted
+
+    def test_state_stays_flat_vs_exact(self, spark, sf_dir, tmp_path):
+        from frinesis_spark.streaming.windows import (
+            _REPLAY_MOD,
+            _stage_events_dedup_replay,
+        )
+
+        stage = _stage_events_dedup_replay(spark, sf_dir)
+        b_state, b_emit = self._run_with_progress(
+            spark, stage, True, tmp_path
+        )
+        e_state, e_emit = self._run_with_progress(
+            spark, stage, False, tmp_path
+        )
+        from frinesis_spark.catalog import table
+
+        ev = table(spark, sf_dir, "events")
+        n_ids = ev.select("event_id").distinct().count()
+        n_beyond = (
+            ev.where(ev.event_id % _REPLAY_MOD == 1)
+            .select("event_id")
+            .distinct()
+            .count()
+        )
+        # Contract: exact emits each id once; bounded re-emits the
+        # beyond-watermark replays.
+        assert e_emit == n_ids
+        assert b_emit == n_ids + n_beyond
+        # Exact's state is cumulative distinct ids — it ends at n.
+        assert e_state[-1] == n_ids
+        assert e_state == sorted(e_state)  # monotone growth
+        # Bounded state is O(ids per watermark horizon per batch):
+        # every batch's state is at most one bucket's ids (plus the
+        # eviction lag), never the cumulative total.
+        assert max(b_state) < 0.35 * n_ids
+        assert b_state[-1] < 0.35 * n_ids

@@ -444,9 +444,13 @@ def test_merge_scd2_null_value_noop(spark, monkeypatch):
 def test_window_lag_lead_null_ts(spark, monkeypatch):
     """A NULL-ts row sorts at the partition HEAD on Spark's bare asc
     and at the TAIL on DuckDB's — lag/lead neighbors shifted until the
-    asc_nulls_last pin."""
-    import frinesis_spark.operators.relational as rel_mod
-    from frinesis_spark import catalog
+    asc_nulls_last pin. The query vehicle (window_lag_lead) was
+    retired in the r12 registry swap, so the class is pinned on the
+    same lag/lead-over-nullable-ts shape built inline — identical to
+    the shape still live in window_running_frame and the timeseries
+    gapfill/zscore family."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
 
     events = spark.createDataFrame(
         [
@@ -456,18 +460,31 @@ def test_window_lag_lead_null_ts(spark, monkeypatch):
         ],
         _EV_SCHEMA,
     )
-    real_table = catalog.table
-    monkeypatch.setattr(
-        rel_mod,
-        "table",
-        lambda s, d, n: events if n == "events" else real_table(s, d, n),
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_last(), "event_id"
     )
+    spark_pdf = events.select(
+        "event_id",
+        "user_id",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.lag(F.col("ts")).over(w).cast("timestamp"))
+        ).cast("double").alias("gap_us"),
+        F.lead("event_type").over(w).alias("next_event_type"),
+    ).toPandas()
     duck = duckdb.connect()
     duck.register("events", events.toPandas())
-    spark_pdf = rel_mod.QUERIES["window_lag_lead"](
-        spark, "crafted://nullts"
-    ).toPandas()
-    duck_pdf = duck.sql(rel_mod.ORACLE["window_lag_lead"]).df()
+    duck_pdf = duck.sql(
+        """
+        SELECT event_id, user_id,
+               CAST(EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) AS DOUBLE)
+                   AS gap_us,
+               LEAD(event_type) OVER w AS next_event_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY ts ASC NULLS LAST, event_id)
+        """
+    ).df()
     assert_frames_match(spark_pdf, duck_pdf, "window_lag_lead")
     by_id = spark_pdf.set_index("event_id")
     assert by_id.loc[1, "next_event_type"] == "purchase"

@@ -52,7 +52,6 @@ AUDITED = [
     "similarity_ann_lsh",
     "similarity_ann_ivf",
     "join_asof_tolerance",
-    "window_lag_lead",
     "agg_filtered_conditional",
     "explode_token_freq",
     "source_orc_roundtrip",
