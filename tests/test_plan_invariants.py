@@ -88,3 +88,69 @@ def test_dimension_joins_broadcast(all_plans):
         assert "BroadcastHashJoin" in all_plans[name], (
             f"{name}: dimension join is not broadcasting"
         )
+
+
+# --- per-query shuffle-count pins (r12, verdict item 8) ---------------
+#
+# The class tests above guard anti-pattern *classes*; this table pins
+# the EXACT Exchange counts of the most expensive registered queries
+# (top of the r11 driver bench), so an edit that adds (or drops) a
+# shuffle on a hot path fails the suite instead of only shifting a
+# plan fingerprint someone must notice. Counts measured at the suite's
+# sf fixture; shuffle = Exchange hash/range/round-robin/Single (broadcast
+# and reused exchanges counted separately — a broadcast is the CHEAP
+# alternative being verified, not a shuffle). The three hottest
+# streaming queries are excluded structurally: their query functions
+# run the stream to completion and return a parquet scan of the sink,
+# so the batch plan carries no Exchange to pin.
+#
+# UPDATING: a deliberate plan change must update this table in the
+# same commit, stating why the new shuffle count is the plan you want.
+_EXPECTED_SHUFFLES = {
+    "dedup_embedding_ann": (4, 3),  # (shuffles, broadcasts)
+    "dedup_embedding_ann_audit": (5, 3),
+    "window_rolling_quantile": (4, 1),
+    "similarity_ann_lsh": (9, 4),  # incl. 2 round-robin rebalances
+    "dedup_cluster_cc": (2, 0),
+    "dedup_simhash": (4, 4),
+    "dedup_near_minhash": (3, 6),
+    "agg_approx_quantile": (1, 0),
+    "similarity_ann_ivf": (7, 2),  # incl. 1 round-robin rebalance
+    "dedup_ngram_jaccard": (1, 3),
+}
+
+_SHUF_RE = __import__("re").compile(
+    r"\bExchange (hashpartitioning|rangepartitioning"
+    r"|RoundRobinPartitioning|SinglePartition)"
+)
+
+
+def _count_exchanges(plan: str) -> tuple[int, int]:
+    return len(_SHUF_RE.findall(plan)), plan.count("BroadcastExchange")
+
+
+def test_hot_query_shuffle_counts_pinned(all_plans):
+    got = {
+        n: _count_exchanges(all_plans[n]) for n in _EXPECTED_SHUFFLES
+    }
+    assert got == _EXPECTED_SHUFFLES, (
+        "shuffle/broadcast counts moved on a hot query — if the plan "
+        "change is deliberate, update _EXPECTED_SHUFFLES in the same "
+        "commit and say why; if not, you just added a shuffle to one "
+        f"of the most expensive queries. diff: "
+        f"{ {n: (got[n], _EXPECTED_SHUFFLES[n]) for n in got if got[n] != _EXPECTED_SHUFFLES[n]} }"
+    )
+
+
+def test_shuffle_pin_catches_added_exchange(spark, sf_dir):
+    """Sanity check THE TEST: a deliberately-added repartition must
+    move the counted shuffle number (guards the regex against Spark
+    renaming the Exchange node)."""
+    from frinesis_spark import registry
+
+    q = registry.queries()["agg_approx_quantile"]
+    base = _count_exchanges(planfp.plan_text(q(spark, sf_dir)))[0]
+    extra = _count_exchanges(
+        planfp.plan_text(q(spark, sf_dir).repartition(7))
+    )[0]
+    assert extra == base + 1
