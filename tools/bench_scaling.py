@@ -46,11 +46,20 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
+# All three points come from tools/gen_fixtures.py (auto-generated
+# below when missing), NOT from the driver's /root/testdata dirs —
+# r12: the documents fixture diverged deliberately (open Heaps-law
+# vocabulary vs the driver's closed 30-word list, gen_fixtures.py's
+# documents entry), and a scaling exponent is only meaningful when
+# every point is drawn from the same corpus family. Non-document
+# tables remain distribution-matched to the driver data, so the other
+# queries' exponents are comparable with pre-r12 curves.
 SF_DIRS = [
-    ("sf0.01", "/root/testdata/sf0.01"),
-    ("sf0.1", "/root/testdata/sf0.1"),
+    ("sf0.01", str(REPO / ".sf001x")),
+    ("sf0.1", str(REPO / ".sf01x")),
     ("sf1", str(REPO / ".sf1")),
 ]
+SF_VALUES = {"sf0.01": 0.01, "sf0.1": 0.1, "sf1": 1.0}
 
 # exact O(n²) by declared contract — excluded at sf1 (see module doc)
 SF1_EXCLUDED = {"dedup_embedding_cosine"}
@@ -88,8 +97,11 @@ def main() -> None:
     results: dict[str, dict] = {}
     for sf_label, sf_dir in SF_DIRS:
         if not Path(sf_dir).exists():
-            print(f"SKIP {sf_label}: {sf_dir} missing", file=sys.stderr)
-            continue
+            from tools.gen_fixtures import generate
+
+            print(f"generating {sf_label} fixtures at {sf_dir}",
+                  file=sys.stderr)
+            generate(SF_VALUES[sf_label], sf_dir)
         # Session warm-up per sf: footer reads + first-scan decodes +
         # Python worker pool, mirroring bench.py.
         for t in TABLES:
