@@ -76,6 +76,7 @@ HEADLINE = [
     "window_anomaly_zscore",
     "dedup_embedding_cosine",
     "dedup_embedding_ann",
+    "dedup_embedding_ann_audit",  # r12: the production grading shape
     "similarity_topk_cosine",
     "similarity_ann_lsh",
     "text_analysis_stats",
@@ -88,6 +89,7 @@ HEADLINE = [
     "stream_stream_join",
     "stream_watermark_late",
     "stream_dedup_stateful",
+    "stream_dedup_bounded",  # r12: the bounded-state production dedup
     "join_asof",
     "merge_upsert",
     "time_rollup_hypertable",
