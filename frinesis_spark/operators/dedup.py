@@ -678,14 +678,28 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (integer cross-multiplication below — engine-exact, no float
 # compare). Everything is deterministic (fixed minhash seeds,
 # xxhash64 token votes), so the observed recalls are constants per
-# fixture: minhash 1.00/1.00/1.00 and simhash 0.93/0.92/0.89 at
-# sf0.001/0.01/0.1 — floors sit a full step below the worst observed
-# so fixture regeneration noise can't flip the boolean, while a
-# broken index (scrambled hashes, wrong column, empty candidates)
-# lands far below. Sharp per-sf recall/precision margins stay pinned
-# in tests/test_round5_fixes.py.
+# CORPUS FAMILY (r12: there are now two — the driver's closed-vocab
+# fixtures and gen_fixtures' open Heaps-law family the scaling sweep
+# runs on):
+#   minhash: 1.00 everywhere, on both families, every sf measured.
+#   simhash: 0.93/0.92/0.89 at sf0.001/0.01/0.1 (closed vocab), but
+#   0.75/0.69/0.72 at the same sfs on the Heaps family — the TEXTBOOK
+#   simhash weakness, measured r12: the Heaps corpus's exact-Jaccard
+#   pair set is the planted near-dups, which include 10-word docs
+#   where the appended dup words shift ~20% of token-frequency weight
+#   and few fingerprints keep one clean 16-bit band (banded candidate
+#   generation misses them outright, so a bigger _HAMMING_MAX cannot
+#   recover them). On the closed-vocab family the J≥0.5 pairs are
+#   long docs with near-identical frequency profiles, simhash's best
+#   case. The floors sit a full step below the worst observation
+#   ACROSS BOTH FAMILIES — the floor's job is to catch a broken index
+#   (scrambled hashes, wrong column, empty candidates: recall ~0),
+#   not to grade the algorithm's inherent short-doc recall, which is
+#   exactly why minhash is the registered primary near-dup path.
+# Sharp per-sf recall/precision margins stay pinned in
+# tests/test_round5_fixes.py.
 _MINHASH_RECALL_FLOOR_PCT = 80
-_SIMHASH_RECALL_FLOOR_PCT = 75
+_SIMHASH_RECALL_FLOOR_PCT = 55
 
 
 def _pair_recall_check(

@@ -99,6 +99,10 @@ _CHANGED_SINCE_VERDICT = (
     # resize header-probes it) — output rows changed for those rows.
     "multimodal_decode",
     "multimodal_resize",
+    # r12: simhash recall floor recalibrated across both corpus
+    # families (75 -> 55) after the Heaps-family sweep measured the
+    # short-doc recall regime the old floor never saw.
+    "dedup_simhash",
 )
 
 # tier 2: stale evidence — last green before r11 (91 queries); name -> last-green round, the
@@ -113,7 +117,6 @@ _STALE_EVIDENCE = {
     "dedup_embedding_cosine": 9,
     "dedup_exact": 9,
     "dedup_near_minhash": 9,
-    "dedup_simhash": 9,
     "join_asof_tolerance": 9,
     "merge_scd2": 9,
     "multimodal_frame_sample": 9,
