@@ -31,6 +31,8 @@ AUDITED = [
     "sort_limit",
     "dedup_exact",
     "dedup_near_minhash",
+    "multimodal_decode",
+    "multimodal_resize",
     "similarity_topk_cosine",
     "text_analysis_stats",
     "join_asof",
@@ -46,6 +48,7 @@ AUDITED = [
     "pipeline_llm_prep",
     "dedup_embedding_cosine",
     "dedup_embedding_ann",
+    "dedup_embedding_ann_audit",
     "dedup_containment_ngram",
     "window_anomaly_zscore",
     "agg_approx_quantile",
