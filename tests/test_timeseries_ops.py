@@ -268,17 +268,35 @@ def test_sessionize_property_matches_reference(spark):
     run()
 
 
+def _dsum_units(x: float) -> int:
+    """Mirror of functions.numeric.dsum's PER-ROW step: the double is
+    quantized to decimal scale 6 (Spark cast double→decimal =
+    BigDecimal.valueOf → shortest repr → HALF_UP) and summed as exact
+    integer micro-units. Hypothesis caught both wrong references here
+    (r12): Python's banker's round() diverges on ties (1.5390625 →
+    .062 vs Spark's .063), and rounding the SUM instead of the values
+    diverges whenever two per-row quantizations both round up
+    (1.8828125 + 0.2578125: dsum 2.140626 vs round-of-sum 2.140625)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(
+        Decimal(repr(x))
+        .quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        .scaleb(6)
+    )
+
+
 def _reference_gapfill(rows):
     """Single-threaded reference gapfill+LOCF over (uid, eid, ts, val)."""
     from collections import defaultdict
     from datetime import timedelta
 
-    hourly = defaultdict(lambda: [0, 0.0])
+    hourly = defaultdict(lambda: [0, 0])
     for uid, eid, ts, val in rows:
         h = ts.replace(minute=0, second=0, microsecond=0)
         cell = hourly[(uid, h)]
         cell[0] += 1
-        cell[1] += val
+        cell[1] += _dsum_units(val)
     out = []
     users = {uid for uid, _ in hourly}
     for uid in users:
@@ -286,7 +304,8 @@ def _reference_gapfill(rows):
         h, last = hours[0], None
         while h <= hours[-1]:
             n, s = hourly.get((uid, h), (0, None))
-            vs = round(s, 6) if n else None
+            # same two IEEE ops as dsum: exact long → double, ÷ 1e6
+            vs = s / 1e6 if n else None
             if vs is not None:
                 last = vs
             out.append((uid, h, n, vs, last))
