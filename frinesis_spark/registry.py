@@ -65,15 +65,15 @@ def _load_modules():
 
 
 # The driver checks ~50 queries per round in registration order, so the
-# order is a verification budget. Four tiers (refreshed at r12 start from
-# CORRECTNESS_r11.json via tools/refresh_tiers.py):
-#   0. changed since the r11 verdict — operators whose behavior this
+# order is a verification budget. Four tiers (refreshed at r13 start from
+# CORRECTNESS_r12.json via tools/refresh_tiers.py):
+#   0. changed since the r12 verdict — operators whose behavior this
 #      round touched, so their green rows no longer cover them;
 #   1. never driver-verified (implicit: in no list);
 #   2. stale evidence, ordered OLDEST ROUND FIRST within the tier:
-#      the 41 r9-green rows lead (the guarantee boundary — they must
-#      verify THIS round, r11 verdict item 5), then the 50 r10-green;
-#   3. green in CORRECTNESS_r11 (freshest evidence, cheapest to skip).
+#      the 41 r10-green rows lead (the guarantee boundary — they must
+#      verify THIS round, r12 verdict item 2), then the 50 r11-green;
+#   3. green in CORRECTNESS_r12 (freshest evidence, cheapest to skip).
 #
 # VERIFICATION-WINDOW POLICY (decided r10, per r9 verdict item 2).
 # The standing guarantee is "every registered query's latest driver
@@ -85,65 +85,20 @@ def _load_modules():
 #   * net registrations are FROZEN at REGISTRY_CAP = 141 queries
 #     (exactly the current size — adding one means retiring one);
 #   * per-round tier-0 churn budget is the window slack after the
-#     oldest-stale backlog is scheduled (r12: 50 - 41 = 9 slots);
+#     oldest-stale backlog is scheduled (r13: 50 - 41 = 9 slots);
 #   * tools/refresh_tiers.py ASSERTS the arithmetic at refresh time
 #     (window_capacity_ok) and tests/test_registry.py pins it, so a
 #     growth-busts-guarantee state fails at registration time, not at
 #     verdict time.
-# r12 window fill: the 41 r9-stale rows lead (guarantee boundary), then
-# tier-0 as changes land, then the oldest r10-stale rows absorb any
+# r13 window fill: the 41 r10-stale rows lead (guarantee boundary), then
+# tier-0 as changes land, then the oldest r11-stale rows absorb any
 # remaining slots.
 _CHANGED_SINCE_VERDICT = (
-    # r12: multimodal decode/resize gained the real stdlib PNG branch
-    # (every 10th row carries a real PNG payload; decode parses it,
-    # resize header-probes it) — output rows changed for those rows.
-    "multimodal_decode",
-    "multimodal_resize",
-    # r12: simhash recall floor recalibrated across both corpus
-    # families (75 -> 55) after the Heaps-family sweep measured the
-    # short-doc recall regime the old floor never saw.
-    "dedup_simhash",
 )
 
-# tier 2: stale evidence — last green before r11 (91 queries); name -> last-green round, the
+# tier 2: stale evidence — last green before r12 (91 queries); name -> last-green round, the
 # _reorder sort key (oldest evidence claims window slots first)
 _STALE_EVIDENCE = {
-    "agg_approx_quantile": 9,
-    "agg_filtered_conditional": 9,
-    "agg_regression": 9,
-    "agg_rollup_cube": 9,
-    "dedup_containment_ngram": 9,
-    "dedup_embedding_ann": 9,
-    "dedup_embedding_cosine": 9,
-    "dedup_exact": 9,
-    "dedup_near_minhash": 9,
-    "join_asof_tolerance": 9,
-    "merge_scd2": 9,
-    "multimodal_frame_sample": 9,
-    "multimodal_join": 9,
-    "pipeline_llm_prep": 9,
-    "pipeline_source_mixture": 9,
-    "scalar_array_map_json": 9,
-    "scalar_string_date_math": 9,
-    "similarity_topk_cosine": 9,
-    "source_json_roundtrip": 9,
-    "sql_tpch_q11": 9,
-    "sql_tpch_q12": 9,
-    "sql_tpch_q13": 9,
-    "sql_tpch_q15": 9,
-    "sql_tpch_q16": 9,
-    "sql_tpch_q18": 9,
-    "sql_tpch_q19": 9,
-    "sql_tpch_q2": 9,
-    "sql_tpch_q20": 9,
-    "sql_tpch_q7": 9,
-    "sql_tpch_q8": 9,
-    "sql_tpch_q9": 9,
-    "stream_session_window": 9,
-    "text_fingerprint": 9,
-    "time_ohlc_bars": 9,
-    "udf_python": 9,
-    "window_anomaly_zscore": 9,
     "agg_collect_sorted": 10,
     "agg_distinct": 10,
     "agg_group_sum": 10,
@@ -165,17 +120,12 @@ _STALE_EVIDENCE = {
     "join_left_outer": 10,
     "join_multiway_star": 10,
     "join_semi": 10,
-    "pipeline_shuffle_shard": 10,
     "project_filter": 10,
-    "sample_stratified_hash": 10,
     "scalar_variant_shred": 10,
     "scan_parquet": 10,
     "sink_compacted_parquet": 10,
     "sink_partitioned_parquet": 10,
     "sink_sorted_clustered": 10,
-    "source_csv_roundtrip": 10,
-    "source_schema_evolution": 10,
-    "source_text_lines_roundtrip": 10,
     "sql_tpch_q1": 10,
     "sql_tpch_q14": 10,
     "sql_tpch_q17": 10,
@@ -183,10 +133,6 @@ _STALE_EVIDENCE = {
     "sql_tpch_q22": 10,
     "sql_tpch_q3": 10,
     "sql_tpch_q4": 10,
-    "stream_foreach_batch_upsert": 10,
-    "text_ngram_profile": 10,
-    "text_repetition_filter": 10,
-    "text_url_canonicalize": 10,
     "time_downsample_m4": 10,
     "time_gapfill_locf": 10,
     "window_first_last": 10,
@@ -194,61 +140,111 @@ _STALE_EVIDENCE = {
     "window_rolling_quantile": 10,
     "window_running_frame": 10,
     "window_session_islands": 10,
+    "agg_approx_distinct": 11,
+    "agg_bool_bitwise": 11,
+    "agg_histogram": 11,
+    "agg_mode_frequent": 11,
+    "agg_percentile": 11,
+    "agg_pivot": 11,
+    "analytics_ab_test": 11,
+    "dedup_cluster_cc": 11,
+    "dedup_incremental_jaccard": 11,
+    "dedup_ngram_jaccard": 11,
+    "explode_token_freq": 11,
+    "join_asof": 11,
+    "join_bloom_prefilter": 11,
+    "join_cross_dims": 11,
+    "join_interval_buckets": 11,
+    "join_range_theta": 11,
+    "join_salted_skew": 11,
+    "merge_upsert": 11,
+    "scalar_conditional_regex": 11,
+    "set_union_except_intersect": 11,
+    "similarity_ann_ivf": 11,
+    "similarity_ann_lsh": 11,
+    "sink_kinesis_batched": 11,
+    "sort_limit": 11,
+    "source_compressed_roundtrip": 11,
+    "source_kinesis_datasource": 11,
+    "source_kinesis_read": 11,
+    "source_orc_roundtrip": 11,
+    "sql_tpch_q10": 11,
+    "sql_tpch_q5": 11,
+    "sql_tpch_q6": 11,
+    "stream_custom_sessionize": 11,
+    "stream_dedup_stateful": 11,
+    "stream_incremental_batches": 11,
+    "stream_sliding_agg": 11,
+    "stream_stream_join": 11,
+    "stream_tumbling_agg": 11,
+    "stream_user_profile": 11,
+    "stream_watermark_late": 11,
+    "text_analysis_stats": 11,
+    "text_language_id": 11,
+    "text_pii_scrub": 11,
+    "text_quality_score": 11,
+    "time_resample_interp": 11,
+    "time_rollup_hypertable": 11,
+    "tokenize_pack_sequences": 11,
+    "udtf_table_chunks": 11,
+    "window_ewma_smooth": 11,
+    "window_rank_topk": 11,
+    "window_time_range": 11,
 }
 
-# tier 3: green in CORRECTNESS_r11 (50 queries)
+# tier 3: green in CORRECTNESS_r12 (50 queries)
 _VERIFIED_LAST = frozenset(
     {
-        "agg_approx_distinct",
-        "agg_bool_bitwise",
-        "agg_histogram",
-        "agg_mode_frequent",
-        "agg_percentile",
-        "agg_pivot",
-        "analytics_ab_test",
-        "dedup_cluster_cc",
-        "dedup_incremental_jaccard",
-        "dedup_ngram_jaccard",
-        "explode_token_freq",
-        "join_asof",
-        "join_bloom_prefilter",
-        "join_cross_dims",
-        "join_interval_buckets",
-        "join_range_theta",
-        "join_salted_skew",
-        "merge_upsert",
-        "scalar_conditional_regex",
-        "set_union_except_intersect",
-        "similarity_ann_ivf",
-        "similarity_ann_lsh",
-        "sink_kinesis_batched",
-        "sort_limit",
-        "source_compressed_roundtrip",
-        "source_kinesis_datasource",
-        "source_kinesis_read",
-        "source_orc_roundtrip",
-        "sql_tpch_q10",
-        "sql_tpch_q5",
-        "sql_tpch_q6",
-        "stream_custom_sessionize",
-        "stream_dedup_stateful",
-        "stream_incremental_batches",
-        "stream_sliding_agg",
-        "stream_stream_join",
-        "stream_tumbling_agg",
-        "stream_user_profile",
-        "stream_watermark_late",
-        "text_analysis_stats",
-        "text_language_id",
-        "text_pii_scrub",
-        "text_quality_score",
-        "time_resample_interp",
-        "time_rollup_hypertable",
-        "tokenize_pack_sequences",
-        "udtf_table_chunks",
-        "window_ewma_smooth",
-        "window_rank_topk",
-        "window_time_range",
+        "agg_approx_quantile",
+        "agg_filtered_conditional",
+        "agg_regression",
+        "agg_rollup_cube",
+        "dedup_containment_ngram",
+        "dedup_embedding_ann",
+        "dedup_embedding_ann_audit",
+        "dedup_embedding_cosine",
+        "dedup_exact",
+        "dedup_near_minhash",
+        "dedup_simhash",
+        "join_asof_tolerance",
+        "merge_scd2",
+        "multimodal_decode",
+        "multimodal_frame_sample",
+        "multimodal_join",
+        "multimodal_resize",
+        "pipeline_llm_prep",
+        "pipeline_shuffle_shard",
+        "pipeline_source_mixture",
+        "sample_stratified_hash",
+        "scalar_array_map_json",
+        "scalar_string_date_math",
+        "similarity_topk_cosine",
+        "source_csv_roundtrip",
+        "source_json_roundtrip",
+        "source_schema_evolution",
+        "source_text_lines_roundtrip",
+        "sql_tpch_q11",
+        "sql_tpch_q12",
+        "sql_tpch_q13",
+        "sql_tpch_q15",
+        "sql_tpch_q16",
+        "sql_tpch_q18",
+        "sql_tpch_q19",
+        "sql_tpch_q2",
+        "sql_tpch_q20",
+        "sql_tpch_q7",
+        "sql_tpch_q8",
+        "sql_tpch_q9",
+        "stream_dedup_bounded",
+        "stream_foreach_batch_upsert",
+        "stream_session_window",
+        "text_fingerprint",
+        "text_ngram_profile",
+        "text_repetition_filter",
+        "text_url_canonicalize",
+        "time_ohlc_bars",
+        "udf_python",
+        "window_anomaly_zscore",
     }
 )
 
