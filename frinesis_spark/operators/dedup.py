@@ -1256,39 +1256,62 @@ def q_dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Sampled-audit grading (r12, verdict item 4): the production form of
 # the ANN recall grade. The full-exact grader (q_dedup_embedding_ann)
 # costs O(n²); the audit restricts the exact side to pairs with at
-# least one endpoint in a deterministic md5-sampled audit set —
-# 1/_ANN_AUDIT_MOD of the vectors — so the grader's block-pair matmul
-# does n²/_ANN_AUDIT_MOD FLOPs while still estimating recall over
-# ~2/_ANN_AUDIT_MOD of the true pair population. md5-bucket, not
-# sample(): the audit set is a pure function of vec_id, identical
-# across engines/runs/re-shards (the sample_stratified_hash rationale).
-_ANN_AUDIT_MOD = 10
+# least one endpoint in a deterministic md5-sampled audit set, so the
+# grader's block-pair matmul cuts its a-side to the audit rows.
+# md5-bucket, not sample(): the audit set is a pure function of
+# vec_id, identical across engines/runs/re-shards (the
+# sample_stratified_hash rationale).
+#
+# r13 (verdict item 5): the audit slice is SIZE-ABSOLUTE, not a fixed
+# fraction. mod scales with the corpus (mod = n // _ANN_AUDIT_TARGET,
+# floored at _ANN_AUDIT_MOD_FLOOR) so the audit set holds ~
+# _ANN_AUDIT_TARGET vectors regardless of n — the exact grader is
+# O(n · target) = O(n), the shape you can literally schedule at
+# 100 TB, instead of n²/10 (quadratic with a constant shaved off).
+# The floor keeps small corpora at the old 1/10 fraction, so the
+# driver's sf0.01 fixture (n=500 → mod 10) is byte-identical to the
+# r12 evidence. The oracle twin computes the SAME mod from COUNT(*)
+# in SQL, so it follows the corpus automatically.
+_ANN_AUDIT_TARGET = 100
+_ANN_AUDIT_MOD_FLOOR = 10
+
+
+def _ann_audit_mod(n_vectors: int) -> int:
+    """Audit-slice modulus for a corpus of ``n_vectors``: the smallest
+    mod that caps the audit set near ``_ANN_AUDIT_TARGET`` vectors."""
+    return max(_ANN_AUDIT_MOD_FLOOR, n_vectors // _ANN_AUDIT_TARGET)
 
 
 def audit_exact_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine pairs restricted to the md5 audit sample: every
     pair with ≥1 endpoint in the audit set (``md5_bucket(vec_id) %
-    _ANN_AUDIT_MOD == 0``), at 1/_ANN_AUDIT_MOD of the full exact
-    scan's FLOPs.
+    _ann_audit_mod(n) == 0`` — a fixed-size ~``_ANN_AUDIT_TARGET``
+    vector slice), at O(n · target) FLOPs.
 
     Same distributed shape as ``q_dedup_embedding_cosine`` (block-pair
     ``applyInPandas``, BLAS inside, no driver materialization, no
     corpus broadcast) with the a-side of each block-pair matmul cut to
-    the audit rows — per-task work drops by the audit fraction, and at
-    100 TB the audit runs as a 10×-cheaper scheduled job against the
+    the audit rows — per-task work is n_block · target/n, and at
+    100 TB the audit runs as a LINEAR scheduled job against the
     serving ANN index. Both-audit pairs surface from both orientations;
-    one ``distinct`` on the (int, int, rounded-cos) row collapses them
-    (the two matmuls produce bit-identical dots — same normalized
-    operands, same contraction order)."""
+    ``dropDuplicates`` on the pair KEY collapses them (r13, ADVICE:
+    deduping on the rounded cosine too relied on the two
+    differently-shaped matmuls rounding bit-identically — the ids
+    alone are the pair identity, and the downstream grade only uses
+    ids)."""
     from frinesis_spark.operators.text import _md5_bucket
 
     e = table(spark, sf_dir, "embeddings")
+    # count-star over parquet footers — metadata-cheap, and the mod
+    # must be a pure function of corpus size so the oracle can
+    # recompute it from COUNT(*)
+    mod = _ann_audit_mod(e.count())
     B = _COS_BLOCKS
     blocked = e.select(
         "vec_id",
         "embedding",
         F.pmod(F.xxhash64("vec_id"), F.lit(B)).cast("int").alias("blk"),
-        (_md5_bucket(F.col("vec_id"), _ANN_AUDIT_MOD) == 0).alias(
+        (_md5_bucket(F.col("vec_id"), mod) == 0).alias(
             "is_audit"
         ),
     )
@@ -1366,7 +1389,7 @@ def audit_exact_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         expanded.groupBy("bi", "bj")
         .applyInPandas(audit_block_pairs, "a_id long, b_id long, cos_sim double")
-        .distinct()
+        .dropDuplicates(["a_id", "b_id"])
     )
 
 
@@ -1376,7 +1399,8 @@ def q_dedup_embedding_ann_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     set's recall on the deterministic md5-sampled audit slice of the
     exact pair population, instead of against the full O(n²) pair set.
 
-    Exact side: ``audit_exact_cosine_pairs`` (n²/10 FLOPs). Candidate
+    Exact side: ``audit_exact_cosine_pairs`` (O(n), size-absolute
+    slice — r13 verdict item 5). Candidate
     side: the same ``embedding_ann_pairs`` output the full grade uses,
     filtered to audit-touching pairs (an int-column filter — the ANN
     pass itself is untouched; grading never changes the serving path).
@@ -1387,14 +1411,15 @@ def q_dedup_embedding_ann_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays registered as the correctness-time baseline."""
     from frinesis_spark.operators.text import _md5_bucket
 
+    mod = _ann_audit_mod(table(spark, sf_dir, "embeddings").count())
     exact = audit_exact_cosine_pairs(spark, sf_dir).select(
         F.col("a_id").alias("doc_a"), F.col("b_id").alias("doc_b")
     )
     cand = (
         embedding_ann_pairs(spark, sf_dir)
         .where(
-            (_md5_bucket(F.col("a_id"), _ANN_AUDIT_MOD) == 0)
-            | (_md5_bucket(F.col("b_id"), _ANN_AUDIT_MOD) == 0)
+            (_md5_bucket(F.col("a_id"), mod) == 0)
+            | (_md5_bucket(F.col("b_id"), mod) == 0)
         )
         .select(F.col("a_id").alias("doc_a"), F.col("b_id").alias("doc_b"))
     )
@@ -1406,12 +1431,14 @@ def q_dedup_embedding_ann_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Audit-slice recall floor: the sampled estimator sees ~2/_ANN_AUDIT_MOD
-# of the exact pairs (observed sampled/full: 0/7 at sf0.001 — vacuous
-# TRUE; 1/14 at sf0.01, recall 1.00; 34/144 at sf0.1, recall 0.853 vs
-# the full grade's 0.81), so per-fixture variance is wider than the
-# full grade's — the floor sits a full step below the worst non-vacuous
-# observation, same slack policy as _EMB_ANN_RECALL_FLOOR_PCT.
+# Audit-slice recall floor: the size-absolute sampled estimator sees
+# ~2·target/n of the exact pairs (observed with the r13 size-absolute
+# mod: 1/1 hit at sf0.01 [mod 10], recall 1.00; 16/17 at sf0.1
+# [mod 20], recall 0.94 vs the full grade's 0.81 — the sampled slice
+# happens to over-draw well-recalled pairs there), so per-fixture
+# variance is wider than the full grade's — the floor sits a full
+# step below the worst non-vacuous observation, same slack policy as
+# _EMB_ANN_RECALL_FLOOR_PCT.
 _EMB_ANN_AUDIT_RECALL_FLOOR_PCT = 60
 
 
@@ -1930,15 +1957,24 @@ ORACLE = {
     # dedup_embedding_ann_audit: the production (sampled) grading
     # shape — same self-grading contract; the oracle recomputes the
     # exact pair count on the md5 audit slice with the identical
-    # bucket predicate (text._md5_bucket_sql's 0x-prefixed hex cast).
+    # bucket predicate (text._md5_bucket_sql's 0x-prefixed hex cast)
+    # AND the identical size-absolute modulus, recomputed from
+    # COUNT(*) via a scalar subquery so the oracle follows the corpus
+    # size exactly as the Spark side's _ann_audit_mod(e.count()) does.
     "dedup_embedding_ann_audit": f"""
         SELECT CAST(COUNT(*) AS BIGINT) AS n_sampled_exact_pairs,
                TRUE AS recall_floor_met
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE (CAST(CONCAT('0x', SUBSTRING(MD5(CAST(a.vec_id AS VARCHAR)), 1, 8))
-                    AS BIGINT) % {_ANN_AUDIT_MOD} = 0
+                    AS BIGINT)
+                 % GREATEST({_ANN_AUDIT_MOD_FLOOR},
+                            (SELECT COUNT(*) FROM embeddings)
+                              // {_ANN_AUDIT_TARGET}) = 0
                OR CAST(CONCAT('0x', SUBSTRING(MD5(CAST(b.vec_id AS VARCHAR)), 1, 8))
-                       AS BIGINT) % {_ANN_AUDIT_MOD} = 0)
+                       AS BIGINT)
+                 % GREATEST({_ANN_AUDIT_MOD_FLOOR},
+                            (SELECT COUNT(*) FROM embeddings)
+                              // {_ANN_AUDIT_TARGET}) = 0)
           AND LIST_DOT_PRODUCT(CAST(a.embedding AS DOUBLE[]),
                                CAST(b.embedding AS DOUBLE[]))
               / NULLIF(SQRT(LIST_DOT_PRODUCT(CAST(a.embedding AS DOUBLE[]),

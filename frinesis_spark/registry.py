@@ -94,6 +94,11 @@ def _load_modules():
 # tier-0 as changes land, then the oldest r11-stale rows absorb any
 # remaining slots.
 _CHANGED_SINCE_VERDICT = (
+    # r13: audit slice made size-absolute (mod = max(10, n/100)) and
+    # both-audit dedupe moved to the pair key — output changes for any
+    # corpus with >1000 vectors (sf0.01 driver fixture is unchanged,
+    # but the contract is new).
+    "dedup_embedding_ann_audit",
 )
 
 # tier 2: stale evidence — last green before r12 (91 queries); name -> last-green round, the

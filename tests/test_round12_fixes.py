@@ -206,10 +206,13 @@ class TestAnnAudit:
         from frinesis_spark.operators import dedup as D
         from frinesis_spark.operators.text import _md5_bucket
 
+        from frinesis_spark.catalog import table
+
+        mod = D._ann_audit_mod(table(spark, sf_dir, "embeddings").count())
         audit = D.audit_exact_cosine_pairs(spark, sf_dir)
         full = D.q_dedup_embedding_cosine(spark, sf_dir).where(
-            (_md5_bucket(F.col("a_id"), D._ANN_AUDIT_MOD) == 0)
-            | (_md5_bucket(F.col("b_id"), D._ANN_AUDIT_MOD) == 0)
+            (_md5_bucket(F.col("a_id"), mod) == 0)
+            | (_md5_bucket(F.col("b_id"), mod) == 0)
         )
         a = {tuple(r) for r in audit.collect()}
         f = {tuple(r) for r in full.collect()}
