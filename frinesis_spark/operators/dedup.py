@@ -691,15 +691,49 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   generation misses them outright, so a bigger _HAMMING_MAX cannot
 #   recover them). On the closed-vocab family the J≥0.5 pairs are
 #   long docs with near-identical frequency profiles, simhash's best
-#   case. The floors sit a full step below the worst observation
-#   ACROSS BOTH FAMILIES — the floor's job is to catch a broken index
-#   (scrambled hashes, wrong column, empty candidates: recall ~0),
-#   not to grade the algorithm's inherent short-doc recall, which is
-#   exactly why minhash is the registered primary near-dup path.
+#   case. r13 (verdict item 6): the floor is FAMILY-CONDITIONAL —
+#   the r12 single cross-family floor of 55 would have passed a
+#   closed-vocab regression from 0.89 to 0.56, masking a real broken
+#   index on the family where the operator is strong. The corpus
+#   family is read off the corpus itself (approx distinct token
+#   count: the closed fixture has 30 types at every sf, the open
+#   Heaps family ≥ 1000 — three decades of separation, so the 500
+#   threshold is insensitive to the sketch's ~5% error), and the
+#   grading boolean uses the matching floor: 80 closed (observed
+#   0.89–0.93), 55 open (observed 0.69–0.75 — the textbook short-doc
+#   weakness). The floor's job stays catching a broken index
+#   (scrambled hashes, wrong column, empty candidates: recall ~0) —
+#   now at the sharpest level each family supports — and minhash
+#   remains the registered primary near-dup path.
 # Sharp per-sf recall/precision margins stay pinned in
-# tests/test_round5_fixes.py.
+# tests/test_round5_fixes.py; the family split is differential-tested
+# in tests/test_round13_fixes.py (a planted closed-family recall drop
+# to ~0.62 fails the 80 floor that the old 55 floor waved through).
 _MINHASH_RECALL_FLOOR_PCT = 80
-_SIMHASH_RECALL_FLOOR_PCT = 55
+_SIMHASH_RECALL_FLOOR_CLOSED_PCT = 80
+_SIMHASH_RECALL_FLOOR_OPEN_PCT = 55
+_VOCAB_FAMILY_THRESHOLD = 500
+
+
+def _simhash_recall_floor_pct(spark: SparkSession, sf_dir: str) -> int:
+    """Pick the simhash recall floor for the corpus family at hand.
+
+    Family statistic: approximate distinct token count over the
+    corpus (one scan + partial agg — vocab-bounded, negligible next
+    to the exact-Jaccard grader this feeds). Closed-vocabulary
+    corpora hold ~30 types at any sf; open Heaps-law corpora ≥ 1000.
+    """
+    d = table(spark, sf_dir, "documents")
+    (n_types,) = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .agg(F.approx_count_distinct("tok"))
+        .first()
+    )
+    return (
+        _SIMHASH_RECALL_FLOOR_OPEN_PCT
+        if (n_types or 0) > _VOCAB_FAMILY_THRESHOLD
+        else _SIMHASH_RECALL_FLOOR_CLOSED_PCT
+    )
 
 
 def _pair_recall_check(
@@ -753,14 +787,16 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup detection with an in-query recall grade —
     same contract as ``q_dedup_near_minhash``: the Hamming ≤ 8 pair
-    set must recover ≥ ``_SIMHASH_RECALL_FLOOR_PCT``% of the exact
-    Jaccard ≥ 0.5 pairs. SimHash's token-frequency similarity is a
-    looser notion than set Jaccard, so only recall is graded, not
-    precision (the operator's declared contract since r4)."""
+    set must recover the family-conditional floor share
+    (:func:`_simhash_recall_floor_pct` — 80% closed-vocab, 55% open
+    Heaps-law; r13 verdict item 6) of the exact Jaccard ≥ 0.5 pairs.
+    SimHash's token-frequency similarity is a looser notion than set
+    Jaccard, so only recall is graded, not precision (the operator's
+    declared contract since r4)."""
     return _pair_recall_check(
         q_dedup_ngram_jaccard(spark, sf_dir),
         simhash_pairs(spark, sf_dir),
-        _SIMHASH_RECALL_FLOOR_PCT,
+        _simhash_recall_floor_pct(spark, sf_dir),
     )
 
 
