@@ -321,9 +321,23 @@ def _stage_events_dedup_replay(spark: SparkSession, sf_dir: str) -> str:
         "ts", F.col("ts") + F.expr("INTERVAL 15 DAYS")
     )
     allr = ev.unionByName(rep_in).unionByName(rep_out)
-    (min_us,) = (
-        ev.agg(F.min(F.unix_micros(F.col("ts").cast("timestamp")))).first()
-    )
+    # NULL-ts rows would take a NULL bucket, match no per-bucket
+    # filter below, and vanish from the staged stream while the
+    # oracle still counts them (and downstream, the watermark
+    # operator would drop them again) — fail loudly instead of
+    # silently losing rows if a future fixture makes events.ts
+    # nullable in practice (r13, ADVICE). Same agg as the min —
+    # zero extra jobs.
+    min_us, n_null_ts = ev.agg(
+        F.min(F.unix_micros(F.col("ts").cast("timestamp"))),
+        F.sum(F.col("ts").isNull().cast("int")),
+    ).first()
+    if n_null_ts:
+        raise ValueError(
+            f"_stage_events_dedup_replay: {n_null_ts} NULL-ts events "
+            "would be silently dropped by time-bucketing and the "
+            "downstream watermark; filter or impute ts upstream"
+        )
     bucket_us = 7 * 86_400 * 1_000_000
     bucketed = allr.withColumn(
         "_bkt",
