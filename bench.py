@@ -49,6 +49,99 @@ _EXPECTED_SHIFTS = {
     "dedup_simhash": (8, "r9: in-query recall grade adds the exact-Jaccard grader"),
 }
 
+# Self-attribution (r13, verdict item 4): the r11 and r12 rounds both
+# attributed >1.25x vs_prev movers BY HAND in BUILDLOG (plan
+# fingerprint byte-identical + loadavg evidence -> host contention).
+# The artifact now does that itself: every mover gets the same two
+# pieces of evidence and a mechanical verdict, and the whole run gets
+# a load-quality stamp. The in-run load_reps samples include the
+# bench's OWN Spark activity (32 local threads), so the run-level
+# quiet/loaded stamp keys off load1 at PROCESS START — the external-
+# contention witness the builder's quiet-host rule actually checks.
+_MOVER_RATIO = 1.25
+_QUIET_START_LOAD1 = 0.5  # loadavg decays slowly; < 0.5 at start ≈ idle host
+_LOAD_SHIFT_DELTA = 2.0  # mean load1 delta between rounds that reads as a shift
+
+
+def load_quality(load1_start: float) -> dict:
+    """Run-level load stamp for the artifact (schema pinned in
+    tests/test_round13_fixes.py)."""
+    return {
+        "load1_start": load1_start,
+        "quiet_start_bar": _QUIET_START_LOAD1,
+        "verdict": (
+            "quiet-start"
+            if 0 <= load1_start < _QUIET_START_LOAD1
+            else ("unknown" if load1_start < 0 else "loaded-start")
+        ),
+        "note": (
+            "in-run load_reps include the bench's own Spark activity; "
+            "load1 at process start is the external-contention witness"
+        ),
+    }
+
+
+def attribute_movers(
+    vs_prev: dict[str, float],
+    timings: dict[str, float],
+    prev: dict[str, float],
+    plan_fp: dict[str, str],
+    prev_plan_fp: dict[str, str],
+    load_reps: dict[str, list[float]],
+    prev_load_reps: dict[str, list[float]],
+    spreads: dict[str, float],
+    noise_floor: float = _NOISE_FLOOR_SEC,
+) -> dict[str, dict]:
+    """Per-mover evidence + mechanical verdict for every above-floor
+    >_MOVER_RATIO shift (either direction matters, but only slowdowns
+    alarm — speedups are annotated for the same audit trail).
+
+    Verdicts: ``plan-change`` (fingerprint differs — audit the plan),
+    ``load-shift`` (fingerprint identical, mean load1 at this query's
+    reps moved > _LOAD_SHIFT_DELTA between rounds — host contention),
+    ``unexplained`` (identical plan, comparable load — investigate),
+    ``no-prev-fingerprint`` (anchor predates fingerprint recording).
+    """
+
+    def _mean(xs: list[float]) -> float | None:
+        xs = [x for x in xs if x >= 0]
+        return round(sum(xs) / len(xs), 2) if xs else None
+
+    out: dict[str, dict] = {}
+    for name, ratio in vs_prev.items():
+        if ratio <= _MOVER_RATIO and ratio >= 1 / _MOVER_RATIO:
+            continue
+        if max(timings.get(name, 0.0), prev.get(name, 0.0)) < noise_floor:
+            continue
+        prev_fp = prev_plan_fp.get(name)
+        fp_same = prev_fp is not None and prev_fp == plan_fp.get(name)
+        cur_load = _mean(load_reps.get(name, []))
+        prv_load = _mean(prev_load_reps.get(name, []))
+        if prev_fp is None:
+            verdict = "no-prev-fingerprint"
+        elif not fp_same:
+            verdict = "plan-change"
+        elif (
+            cur_load is not None
+            and prv_load is not None
+            and abs(cur_load - prv_load) > _LOAD_SHIFT_DELTA
+        ):
+            verdict = "load-shift"
+        else:
+            verdict = "unexplained"
+        out[name] = {
+            "ratio": ratio,
+            "plan_fp_identical": fp_same if prev_fp is not None else None,
+            "load1_at_reps": load_reps.get(name, []),
+            "prev_load1_at_reps": prev_load_reps.get(name, []),
+            "mean_load1": cur_load,
+            "prev_mean_load1": prv_load,
+            "rep_spread": spreads.get(name),
+            "verdict": verdict,
+        }
+    return out
+
+
 HEADLINE = [
     # r8 additions
     "join_bloom_prefilter",
@@ -184,6 +277,13 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
     os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
+
+    # Sampled BEFORE the Spark session exists: the one load1 reading
+    # the bench's own activity cannot have inflated yet.
+    try:
+        load1_start = round(os.getloadavg()[0], 2)
+    except OSError:  # pragma: no cover — getloadavg is POSIX-only
+        load1_start = -1.0
 
     from frinesis_spark import registry
     from frinesis_spark.session import get_spark
@@ -394,6 +494,7 @@ def main() -> None:
         "raw_reps": raw_reps,
         "load_reps": load_reps,
         "plan_fp": plan_fp,
+        "load_quality": load_quality(load1_start),
     }
     if sink:
         full["sink"] = sink
@@ -448,6 +549,29 @@ def main() -> None:
             for n in flagged
             if _expected(n)
         }
+        # Self-attribution of movers (r13): evidence comes from the
+        # previous committed BENCH_full.json (read here, BEFORE this
+        # run overwrites it) — the prior run's plan fingerprints and
+        # per-rep load samples.
+        try:
+            _prev_full = json.loads(
+                (Path(__file__).resolve().parent / "BENCH_full.json")
+                .read_text()
+            )
+            if _prev_full.get("sf") != sf:
+                _prev_full = {}
+        except (OSError, json.JSONDecodeError):
+            _prev_full = {}
+        full["mover_attribution"] = attribute_movers(
+            vs_prev,
+            timings,
+            prev,
+            plan_fp,
+            _prev_full.get("plan_fp") or {},
+            load_reps,
+            _prev_full.get("load_reps") or {},
+            spreads,
+        )
 
     # Two outputs (r5 verdict #1 — BENCH_r05 was lost to truncation):
     # the FULL record goes to a committed repo file, and stdout gets a
