@@ -99,6 +99,17 @@ _CHANGED_SINCE_VERDICT = (
     # corpus with >1000 vectors (sf0.01 driver fixture is unchanged,
     # but the contract is new).
     "dedup_embedding_ann_audit",
+    # r13: PNG corpus cycles 4 color types, decode gains a channels
+    # column, resize resamples real pixels on png rows (thumb_hash).
+    "multimodal_decode",
+    "multimodal_resize",
+    # r13: recall floor became family-conditional (80 closed / 55
+    # open) — the grading contract changed even though the boolean
+    # stays TRUE on the driver fixtures.
+    "dedup_simhash",
+    # r13: staging now asserts events.ts is non-null (inert on current
+    # fixtures, but the staging path changed).
+    "stream_dedup_bounded",
 )
 
 # tier 2: stale evidence — last green before r12 (91 queries); name -> last-green round, the
@@ -206,17 +217,13 @@ _VERIFIED_LAST = frozenset(
         "agg_rollup_cube",
         "dedup_containment_ngram",
         "dedup_embedding_ann",
-        "dedup_embedding_ann_audit",
         "dedup_embedding_cosine",
         "dedup_exact",
         "dedup_near_minhash",
-        "dedup_simhash",
         "join_asof_tolerance",
         "merge_scd2",
-        "multimodal_decode",
         "multimodal_frame_sample",
         "multimodal_join",
-        "multimodal_resize",
         "pipeline_llm_prep",
         "pipeline_shuffle_shard",
         "pipeline_source_mixture",
@@ -240,7 +247,6 @@ _VERIFIED_LAST = frozenset(
         "sql_tpch_q7",
         "sql_tpch_q8",
         "sql_tpch_q9",
-        "stream_dedup_bounded",
         "stream_foreach_batch_upsert",
         "stream_session_window",
         "text_fingerprint",

@@ -56,13 +56,13 @@ class TestPngRoundTrip:
         rgb = bytes(rng.integers(0, 256, w * h * 3, dtype=np.uint8))
         data = png_encode(w, h, rgb, filter_seed=seed)
         assert data[:8] == b"\x89PNG\r\n\x1a\n"
-        w2, h2, rgb2 = png_decode(data)
-        assert (w2, h2) == (w, h)
+        w2, h2, ch2, rgb2 = png_decode(data)
+        assert (w2, h2, ch2) == (w, h, 3)
         assert rgb2 == rgb
 
     def test_one_pixel(self):
         data = png_encode(1, 1, b"\x01\x02\x03")
-        assert png_decode(data) == (1, 1, b"\x01\x02\x03")
+        assert png_decode(data) == (1, 1, 3, b"\x01\x02\x03")
 
     def test_probe_matches_decode(self):
         data = png_encode(7, 3, bytes(range(7 * 3 * 3)), filter_seed=2)
@@ -89,12 +89,13 @@ class TestPngValidation:
             png_probe_dims(bytes(data))
 
     def test_unsupported_shape_named(self):
-        # Rebuild an IHDR claiming grayscale (color type 0): the
-        # decoder must name the unsupported field, not mis-decode.
+        # Rebuild an IHDR claiming palette (color type 3 — the one
+        # 8-bit type the r13 codec still excludes): the decoder must
+        # name the unsupported field, not mis-decode.
         import struct
         import zlib
 
-        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
         chunk = (
             struct.pack(">I", 13)
             + b"IHDR"
@@ -102,7 +103,7 @@ class TestPngValidation:
             + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
         )
         data = b"\x89PNG\r\n\x1a\n" + chunk
-        with pytest.raises(ValueError, match="color_type=0"):
+        with pytest.raises(ValueError, match="color_type=3"):
             png_decode(data)
 
     def test_invalid_scanline_filter(self):
@@ -137,16 +138,19 @@ class TestFixturePayloads:
     @pytest.mark.parametrize("doc_id", [0, 10, 20, 130, 12340])
     def test_payload_decodes_to_oracle_rule(self, doc_id):
         assert doc_id % _PNG_EVERY == 0
-        w, h, rgb = png_decode(_png_payload(doc_id))
+        w, h, ch, rgb = png_decode(_png_payload(doc_id))
+        from frinesis_spark.operators.multimodal import _png_ctype, _PNG_BPP
+
+        assert ch == _PNG_BPP[_png_ctype(doc_id)]
         assert w == doc_id % _PNG_W_MOD + _PNG_W_BASE
         assert h == doc_id % _PNG_H_MOD + _PNG_H_BASE
         expect = bytes(
-            32 + (doc_id + 7 * i) % 95 for i in range(w * h * 3)
+            32 + (doc_id + 7 * i) % 95 for i in range(w * h * ch)
         )
         assert rgb == expect
         # printable-ASCII invariant: the oracle builds this exact
         # string with chr(); a byte >= 128 would break the SQL parity
-        assert all(32 <= b < 127 for b in rgb)
+        assert all(32 <= b < 127 for b in rgb)  # noqa: keep rule-pinned
         assert hashlib.md5(rgb).hexdigest() == hashlib.md5(expect).hexdigest()
 
     def test_payloads_cover_all_filters(self):
@@ -163,20 +167,23 @@ class TestFixturePayloads:
         Python-side decoded-pixel hash (guards the chr()/encoding
         assumption independent of the driver run)."""
         duckdb = pytest.importorskip("duckdb")
+        from frinesis_spark.operators.multimodal import _png_ctype, _PNG_BPP
+
         for doc_id in (0, 20, 130):
             w = doc_id % _PNG_W_MOD + _PNG_W_BASE
             h = doc_id % _PNG_H_MOD + _PNG_H_BASE
+            bpp = _PNG_BPP[_png_ctype(doc_id)]
             (sql_hash,) = duckdb.sql(
                 f"""
                 SELECT MD5(ARRAY_TO_STRING(
                     LIST_TRANSFORM(
-                        RANGE(0, {w * h * 3}),
+                        RANGE(0, {w * h * bpp}),
                         i -> CHR(CAST(32 + ({doc_id} + 7 * i) % 95 AS INT))),
                     ''))
                 """
             ).fetchone()
-            _, _, rgb = png_decode(_png_payload(doc_id))
-            assert sql_hash == hashlib.md5(rgb).hexdigest()
+            _, _, _, px = png_decode(_png_payload(doc_id))
+            assert sql_hash == hashlib.md5(px).hexdigest()
 
 
 def test_stream_partitions_env_parse_message(monkeypatch):
