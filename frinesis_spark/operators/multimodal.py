@@ -421,7 +421,8 @@ ORACLE = {
                MD5(text) AS content_hash,
                CAST(OCTET_LENGTH(ENCODE(text)) % 640 + 1 AS INT) AS width,
                CAST(OCTET_LENGTH(ENCODE(text)) % 480 + 1 AS INT) AS height,
-               CAST(3 AS INT) AS channels
+               CAST(CASE WHEN text IS NULL THEN NULL ELSE 3 END AS INT)
+                   AS channels
         FROM documents WHERE doc_id % {_PNG_EVERY} <> 0
         UNION ALL
         SELECT doc_id,

@@ -108,7 +108,11 @@ def test_dimension_joins_broadcast(all_plans):
 # same commit, stating why the new shuffle count is the plan you want.
 _EXPECTED_SHUFFLES = {
     "dedup_embedding_ann": (4, 3),  # (shuffles, broadcasts)
-    "dedup_embedding_ann_audit": (5, 3),
+    # r13: dropDuplicates on the pair KEY (was distinct over
+    # a_id,b_id,cos_sim) hash-partitions on exactly the columns the
+    # downstream recall join needs, so Catalyst reuses the exchange —
+    # one shuffle FEWER than the r12 pin.
+    "dedup_embedding_ann_audit": (4, 3),
     "window_rolling_quantile": (4, 1),
     "similarity_ann_lsh": (9, 4),  # incl. 2 round-robin rebalances
     "dedup_cluster_cc": (2, 0),
