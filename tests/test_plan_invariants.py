@@ -111,8 +111,12 @@ _EXPECTED_SHUFFLES = {
     # r13: dropDuplicates on the pair KEY (was distinct over
     # a_id,b_id,cos_sim) hash-partitions on exactly the columns the
     # downstream recall join needs, so Catalyst reuses the exchange —
-    # one shuffle FEWER than the r12 pin.
-    "dedup_embedding_ann_audit": (4, 3),
+    # one shuffle FEWER than the r12 pin. The audit-restricted
+    # candidate generation (the sf10 flag fix) then broadcasts the
+    # ~100-row audit sides of its two cell joins instead of
+    # shuffle-joining them: +1 broadcast, shuffle count unchanged —
+    # exactly the plan a fixed-size audit should have.
+    "dedup_embedding_ann_audit": (4, 4),
     "window_rolling_quantile": (4, 1),
     "similarity_ann_lsh": (9, 4),  # incl. 2 round-robin rebalances
     "dedup_cluster_cc": (2, 0),

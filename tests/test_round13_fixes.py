@@ -212,6 +212,38 @@ class TestAnnAuditSizeAbsolute:
             ).fetchone()
             assert mod == _ann_audit_mod(n)
 
+    def test_restricted_candidates_equal_filtered_full(self, spark, sf_dir):
+        """The sf10 flag fix's correctness contract: pushing the audit
+        predicate into candidate generation must yield EXACTLY the
+        full candidate set filtered by the predicate — same pairs,
+        same rounded cosines."""
+        from pyspark.sql import functions as F
+
+        from frinesis_spark.catalog import table
+        from frinesis_spark.operators.dedup import (
+            _ann_audit_mod,
+            embedding_ann_pairs,
+        )
+        from frinesis_spark.operators.text import _md5_bucket
+
+        mod = _ann_audit_mod(table(spark, sf_dir, "embeddings").count())
+        restricted = {
+            tuple(r)
+            for r in embedding_ann_pairs(
+                spark, sf_dir, audit_mod=mod
+            ).collect()
+        }
+        full_filtered = {
+            tuple(r)
+            for r in embedding_ann_pairs(spark, sf_dir)
+            .where(
+                (_md5_bucket(F.col("a_id"), mod) == 0)
+                | (_md5_bucket(F.col("b_id"), mod) == 0)
+            )
+            .collect()
+        }
+        assert restricted == full_filtered
+
     def test_audit_pairs_deduped_on_pair_key(self, spark, sf_dir):
         """r12 ADVICE: one row per (a_id, b_id) even if the two matmul
         orientations were to round differently at the last ulp."""

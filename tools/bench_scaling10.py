@@ -19,13 +19,15 @@ Query set = the families the verdict names as scale-critical:
   * the streaming state family       (micro-batch state-store shapes)
 
 Annotations:
-  * ``grader_quadratic`` — the timed query INCLUDES an exact O(n²) (or
-    superlinear exact-Jaccard) in-query grader that production replaces
-    with a sampled audit; reported, never flagged. Note what r13 makes
-    measurable here: ``dedup_embedding_ann`` (full exact grade) carries
-    the annotation while ``dedup_embedding_ann_audit`` (the O(n)
-    size-absolute audit, r12 verdict item 5) does NOT — the pair of
-    exponents is the before/after of exactly that fix.
+  * ``grader_quadratic`` — the timed query INCLUDES a superlinear
+    exact-Jaccard in-query grader that production replaces with a
+    sampled audit; reported, never flagged.
+  * ``dedup_embedding_ann`` is EXCLUDED at sf10 by declaration (its
+    in-query grade is the full exact O(n²) pair set — ~45 min/rep at
+    200k vectors); ``dedup_embedding_ann_audit`` — the size-absolute
+    O(n) audit that replaces it at scale (r13) — is measured in full,
+    and its exponent is the number that answers "does ANN-dedup
+    grading scale".
 
 Usage: python tools/bench_scaling10.py   (run SOLO — no other Spark
 JVM; ~30-60 min dominated by fixture generation + the sf10 exact-grade
@@ -75,8 +77,19 @@ SCALE_CRITICAL = [
 GRADER_QUADRATIC = {
     "dedup_near_minhash",
     "dedup_simhash",
-    "dedup_embedding_ann",
 }
+
+# Excluded at sf10 by declaration, mirroring bench_scaling.py's sf1
+# exclusion of dedup_embedding_cosine: dedup_embedding_ann grades the
+# ANN pass against the FULL exact O(n²) pair set in-query (its
+# documented correctness-time contract) — 27 s at sf1 (20k vectors)
+# extrapolates to ~45 min/rep at sf10 (200k vectors, 100× the
+# matmul). The production grading shape at this scale is
+# dedup_embedding_ann_audit (size-absolute O(n) audit slice, r13),
+# which IS measured here — the audit exponent is the number that
+# answers "does ANN dedup grading scale", and the serving ANN pass
+# itself is identical between the two queries.
+SF10_EXCLUDED = {"dedup_embedding_ann"}
 
 FLAG_EXP = 1.25
 FLAG_SEC = 1.0
@@ -85,6 +98,14 @@ FLAG_SEC = 1.0
 def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
     os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
+    # sf10 holds 10× the state of any prior measurement (60M-row
+    # lineitem, 27M exploded shingles, 10M-row streaming state): the
+    # default 8g heap OOMed in dedup_cluster_cc's CC iterations on the
+    # first attempt. 32g on the 128 GiB host; a REAL cluster spreads
+    # this across executors — local[32] concentrates every partition
+    # in one JVM, which is a measurement-harness constraint, not an
+    # operator property.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
 
     from frinesis_spark import registry
@@ -126,6 +147,8 @@ def main() -> None:
                 print(f"WARN: {name} not registered, skipped",
                       file=sys.stderr)
                 continue
+            if sf_label == "sf10" and name in SF10_EXCLUDED:
+                continue
             run_once(name)  # untimed warm rep (caches/indexes/staging)
             t = min(run_once(name) for _ in range(reps))
             results.setdefault(name, {})[f"t_{sf_label}"] = round(t, 3)
@@ -158,6 +181,7 @@ def main() -> None:
         "reps": reps,
         "load1_start": load1_start,
         "flag_rule": f"exp_1_10 > {FLAG_EXP} and t_sf10 >= {FLAG_SEC}s",
+        "sf10_excluded": sorted(SF10_EXCLUDED),
         "flagged": sorted(flagged),
         "queries": out,
     }
