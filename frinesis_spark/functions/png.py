@@ -3,10 +3,12 @@ filters) — the r11 verdict item-2 upgrade that takes the multimodal
 decode path from "deterministic fake" to a REAL binary-format decode
 without any native image library.
 
-Scope (r13, verdict item 7 — widened from RGB-only): 8-bit greyscale
-(color type 0), truecolor RGB (2), greyscale+alpha (4) and RGBA (6),
-no interlace. Palette (type 3) and sub-8-bit depths still raise
-loudly naming the unsupported field, as does anything interlaced —
+Scope (r13, verdict item 7 — widened from RGB-only): all five 8-bit
+color types — greyscale (0), truecolor RGB (2), palette (3, PLTE
+chunk, expanded to RGB on decode), greyscale+alpha (4) and RGBA (6) —
+no interlace. Sub-8-bit depths and interlacing still raise loudly
+naming the unsupported field, as does a palette image with a tRNS
+chunk (expanding it without the alpha would silently drop data) —
 this module removes the "no real codec exists in the container"
 excuse for the formats the stdlib can handle end to end, and the
 operator layer (`multimodal.py`) keeps raising for formats that
@@ -31,10 +33,10 @@ import zlib
 
 _SIG = b"\x89PNG\r\n\x1a\n"
 
-# 8-bit color type -> bytes per pixel (spec §6.1). Palette (3) is the
-# deliberate omission: it needs PLTE chunk bookkeeping for a format
-# variant the fixture corpus has no use for.
-_BPP = {0: 1, 2: 3, 4: 2, 6: 4}
+# 8-bit color type -> bytes per pixel IN THE FILTERED STREAM (spec
+# §6.1). Palette (3) filters on 1-byte indices; decode expands them
+# through PLTE to RGB, so its decoded channel count is 3.
+_BPP = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def paeth_predictor(a: int, b: int, c: int) -> int:
@@ -64,12 +66,15 @@ def png_encode(
     pixels: bytes,
     filter_seed: int = 0,
     color_type: int = 2,
+    palette: bytes | None = None,
 ) -> bytes:
     """Encode raw row-major 8-bit pixel bytes as a valid PNG.
 
-    ``color_type`` picks the channel layout (0 grey, 2 RGB, 4
-    grey+alpha, 6 RGBA); ``pixels`` must be ``width*height*bpp``
-    bytes. ``filter_seed`` rotates the per-scanline filter choice
+    ``color_type`` picks the channel layout (0 grey, 2 RGB, 3 palette
+    indices + a ``palette`` of RGB triples, 4 grey+alpha, 6 RGBA);
+    ``pixels`` must be ``width*height*bpp`` bytes (for type 3: one
+    index byte per pixel, every index < len(palette)/3).
+    ``filter_seed`` rotates the per-scanline filter choice
     (``(filter_seed + y) % 5``) so a corpus of encoded payloads covers
     all five filter types — the decoder correctness surface.
     """
@@ -78,6 +83,20 @@ def png_encode(
             f"unsupported color_type {color_type}; this stdlib codec "
             f"encodes {sorted(_BPP)}"
         )
+    if color_type == 3:
+        if not palette or len(palette) % 3 or len(palette) > 768:
+            raise ValueError(
+                "color_type 3 needs a palette of 1-256 RGB triples"
+            )
+        n_entries = len(palette) // 3
+        bad = max(pixels, default=0)
+        if bad >= n_entries:
+            raise ValueError(
+                f"palette index {bad} out of range for a "
+                f"{n_entries}-entry palette"
+            )
+    elif palette is not None:
+        raise ValueError("palette is only valid with color_type 3")
     bpp = _BPP[color_type]
     if len(pixels) != width * height * bpp:
         raise ValueError(
@@ -121,9 +140,11 @@ def png_encode(
             )
         prev = line
     ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    plte = _chunk(b"PLTE", palette) if color_type == 3 else b""
     return (
         _SIG
         + _chunk(b"IHDR", ihdr)
+        + plte
         + _chunk(b"IDAT", zlib.compress(bytes(raw)))
         + _chunk(b"IEND", b"")
     )
@@ -133,19 +154,23 @@ def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
     """Decode a PNG to ``(width, height, channels, raw pixel bytes)``.
 
     Validates the signature, every chunk CRC, and the IHDR shape
-    (8-bit, color type 0/2/4/6, no interlace — anything else raises
+    (8-bit, color type 0/2/3/4/6, no interlace — anything else raises
     ``ValueError`` naming the unsupported field; a payload cut short
     mid-chunk raises ``ValueError('truncated PNG ...')``, never a
     bare ``struct.error`` — r13 ADVICE). Concatenates IDAT chunks,
-    inflates, and reverses the per-scanline filter. ``channels`` is
-    the bytes-per-pixel of the decoded layout (1 grey, 2 grey+alpha,
-    3 RGB, 4 RGBA) — returned as data, not normalized away, because a
+    inflates, and reverses the per-scanline filter; palette images
+    (type 3) expand their indices through PLTE to RGB (a type-3 image
+    carrying tRNS raises — expanding without the alpha would silently
+    drop data). ``channels`` is the bytes-per-pixel of the decoded
+    layout (1 grey, 2 grey+alpha, 3 RGB incl. expanded palette,
+    4 RGBA) — returned as data, not normalized away, because a
     training-data decode stage must not silently drop alpha.
     """
     if data[:8] != _SIG:
         raise ValueError("not a PNG: bad signature")
     pos = 8
-    width = height = bpp = None
+    width = height = bpp = ctype = None
+    palette = None
     idat = bytearray()
     while pos < len(data):
         # Bounds-check the header and CRC slices BEFORE unpacking: a
@@ -186,6 +211,19 @@ def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
                     f"{sorted(_BPP)}, non-interlaced only"
                 )
             bpp = _BPP[ctype]
+        elif tag == b"PLTE":
+            if len(body) % 3 or not 3 <= len(body) <= 768:
+                raise ValueError(
+                    f"PNG PLTE length {len(body)} is not 1-256 RGB triples"
+                )
+            palette = body
+        elif tag == b"tRNS":
+            if ctype == 3:
+                raise ValueError(
+                    "palette PNG with tRNS (per-index alpha) is "
+                    "unsupported — expanding without it would silently "
+                    "drop the alpha channel"
+                )
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
@@ -236,6 +274,19 @@ def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError(f"PNG scanline {y} has invalid filter {ftype}")
         out[y * stride : (y + 1) * stride] = line
         prev = bytes(line)
+    if ctype == 3:
+        if palette is None:
+            raise ValueError("palette PNG has no PLTE chunk")
+        n_entries = len(palette) // 3
+        expanded = bytearray(len(out) * 3)
+        for i, idx in enumerate(out):
+            if idx >= n_entries:
+                raise ValueError(
+                    f"palette index {idx} out of range for a "
+                    f"{n_entries}-entry palette"
+                )
+            expanded[i * 3 : i * 3 + 3] = palette[idx * 3 : idx * 3 + 3]
+        return width, height, 3, bytes(expanded)
     return width, height, bpp, bytes(out)
 
 

@@ -89,13 +89,14 @@ class TestPngValidation:
             png_probe_dims(bytes(data))
 
     def test_unsupported_shape_named(self):
-        # Rebuild an IHDR claiming palette (color type 3 — the one
-        # 8-bit type the r13 codec still excludes): the decoder must
-        # name the unsupported field, not mis-decode.
+        # Rebuild an IHDR claiming Adam7 interlace (the shape the
+        # codec genuinely excludes — all five 8-bit color types are
+        # supported as of r13): the decoder must name the unsupported
+        # field, not mis-decode.
         import struct
         import zlib
 
-        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
         chunk = (
             struct.pack(">I", 13)
             + b"IHDR"
@@ -103,7 +104,7 @@ class TestPngValidation:
             + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
         )
         data = b"\x89PNG\r\n\x1a\n" + chunk
-        with pytest.raises(ValueError, match="color_type=3"):
+        with pytest.raises(ValueError, match="interlace=1"):
             png_decode(data)
 
     def test_invalid_scanline_filter(self):

@@ -401,3 +401,66 @@ class TestBenchSelfAttribution:
                 "prev_load1_at_reps", "mean_load1", "prev_mean_load1",
                 "rep_spread", "verdict",
             }
+
+
+class TestPngPalette:
+    """Color type 3 (the last 8-bit layout): PLTE round-trip, index
+    expansion to RGB on decode, loud failures on the shapes that
+    would silently lose data."""
+
+    def _palette(self, n=5):
+        return bytes((i * 11 + c * 3) % 256 for i in range(n) for c in range(3))
+
+    def test_round_trip_expands_to_rgb(self):
+        pal = self._palette(5)
+        w, h = 4, 6
+        idx = bytes((x + y) % 5 for y in range(h) for x in range(w))
+        data = png_encode(w, h, idx, filter_seed=2, color_type=3, palette=pal)
+        got = png_decode(data)
+        expect = b"".join(pal[i * 3 : i * 3 + 3] for i in idx)
+        assert got == (w, h, 3, expect)
+        assert png_probe_dims(data) == (w, h)
+
+    def test_encode_validation(self):
+        with pytest.raises(ValueError, match="needs a palette"):
+            png_encode(2, 2, bytes(4), color_type=3)
+        with pytest.raises(ValueError, match="only valid with color_type 3"):
+            png_encode(2, 2, bytes(12), color_type=2, palette=bytes(6))
+        with pytest.raises(ValueError, match="out of range"):
+            png_encode(
+                2, 2, bytes([0, 1, 2, 9]), color_type=3,
+                palette=self._palette(3),
+            )
+
+    def test_decode_missing_plte_and_trns_rejected(self):
+        import struct
+        import zlib
+
+        def chunk(tag, body):
+            return (
+                struct.pack(">I", len(body))
+                + tag
+                + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)
+        raw = zlib.compress(bytes([0, 0]))  # filter 0 + one index
+        no_plte = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", raw)
+            + chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="no PLTE"):
+            png_decode(no_plte)
+        with_trns = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"PLTE", bytes(3))
+            + chunk(b"tRNS", bytes([128]))
+            + chunk(b"IDAT", raw)
+            + chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="tRNS"):
+            png_decode(with_trns)
