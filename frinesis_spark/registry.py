@@ -65,15 +65,15 @@ def _load_modules():
 
 
 # The driver checks ~50 queries per round in registration order, so the
-# order is a verification budget. Four tiers (refreshed at r13 start from
-# CORRECTNESS_r12.json via tools/refresh_tiers.py):
-#   0. changed since the r12 verdict — operators whose behavior this
+# order is a verification budget. Four tiers (refreshed at r14 start from
+# CORRECTNESS_r13.json via tools/refresh_tiers.py):
+#   0. changed since the r13 verdict — operators whose behavior this
 #      round touched, so their green rows no longer cover them;
 #   1. never driver-verified (implicit: in no list);
 #   2. stale evidence, ordered OLDEST ROUND FIRST within the tier:
-#      the 41 r10-green rows lead (the guarantee boundary — they must
-#      verify THIS round, r12 verdict item 2), then the 50 r11-green;
-#   3. green in CORRECTNESS_r12 (freshest evidence, cheapest to skip).
+#      the 46 r11-green rows lead (the guarantee boundary — they must
+#      verify THIS round, r13 verdict item 2), then the 45 r12-green;
+#   3. green in CORRECTNESS_r13 (freshest evidence, cheapest to skip).
 #
 # VERIFICATION-WINDOW POLICY (decided r10, per r9 verdict item 2).
 # The standing guarantee is "every registered query's latest driver
@@ -85,77 +85,23 @@ def _load_modules():
 #   * net registrations are FROZEN at REGISTRY_CAP = 141 queries
 #     (exactly the current size — adding one means retiring one);
 #   * per-round tier-0 churn budget is the window slack after the
-#     oldest-stale backlog is scheduled (r13: 50 - 41 = 9 slots);
+#     oldest-stale backlog is scheduled (r14: 50 - 46 = 4 slots, but
+#     a tier-0 promotion of a row already AT the boundary is free —
+#     it occupies the slot it was owed anyway);
 #   * tools/refresh_tiers.py ASSERTS the arithmetic at refresh time
 #     (window_capacity_ok) and tests/test_registry.py pins it, so a
 #     growth-busts-guarantee state fails at registration time, not at
 #     verdict time.
-# r13 window fill: the 41 r10-stale rows lead (guarantee boundary), then
-# tier-0 as changes land, then the oldest r11-stale rows absorb any
-# remaining slots.
+# r14 window fill: tier-0 leads (changes land here), then the 46
+# r11-stale rows (guarantee boundary; two of them — similarity_ann_lsh /
+# similarity_ann_ivf — are expected tier-0 promotions, shrinking the
+# tier-2 head), then the oldest r12-stale rows absorb any remainder.
 _CHANGED_SINCE_VERDICT = (
-    # r13: audit slice made size-absolute (mod = max(10, n/100)) and
-    # both-audit dedupe moved to the pair key — output changes for any
-    # corpus with >1000 vectors (sf0.01 driver fixture is unchanged,
-    # but the contract is new).
-    "dedup_embedding_ann_audit",
-    # r13: PNG corpus cycles 4 color types, decode gains a channels
-    # column, resize resamples real pixels on png rows (thumb_hash).
-    "multimodal_decode",
-    "multimodal_resize",
-    # r13: recall floor became family-conditional (80 closed / 55
-    # open) — the grading contract changed even though the boolean
-    # stays TRUE on the driver fixtures.
-    "dedup_simhash",
-    # r13: staging now asserts events.ts is non-null (inert on current
-    # fixtures, but the staging path changed).
-    "stream_dedup_bounded",
 )
 
-# tier 2: stale evidence — last green before r12 (91 queries); name -> last-green round, the
+# tier 2: stale evidence — last green before r13 (91 queries); name -> last-green round, the
 # _reorder sort key (oldest evidence claims window slots first)
 _STALE_EVIDENCE = {
-    "agg_collect_sorted": 10,
-    "agg_distinct": 10,
-    "agg_group_sum": 10,
-    "agg_grouping_sets": 10,
-    "agg_stats_corr": 10,
-    "agg_string_concat": 10,
-    "analytics_cumulative_distinct": 10,
-    "analytics_retention_cohort": 10,
-    "dedup_decontaminate": 10,
-    "dedup_fuzzy_editdist": 10,
-    "dedup_substring_chunks": 10,
-    "embedding_quantize_int8": 10,
-    "filter_in_between_like": 10,
-    "funnel_conversion": 10,
-    "join_anti": 10,
-    "join_broadcast": 10,
-    "join_bucketed_colocated": 10,
-    "join_inner_equi": 10,
-    "join_left_outer": 10,
-    "join_multiway_star": 10,
-    "join_semi": 10,
-    "project_filter": 10,
-    "scalar_variant_shred": 10,
-    "scan_parquet": 10,
-    "sink_compacted_parquet": 10,
-    "sink_partitioned_parquet": 10,
-    "sink_sorted_clustered": 10,
-    "sql_tpch_q1": 10,
-    "sql_tpch_q14": 10,
-    "sql_tpch_q17": 10,
-    "sql_tpch_q21": 10,
-    "sql_tpch_q22": 10,
-    "sql_tpch_q3": 10,
-    "sql_tpch_q4": 10,
-    "time_downsample_m4": 10,
-    "time_gapfill_locf": 10,
-    "window_first_last": 10,
-    "window_ranking_suite": 10,
-    "window_rolling_quantile": 10,
-    "window_running_frame": 10,
-    "window_session_islands": 10,
     "agg_approx_distinct": 11,
     "agg_bool_bitwise": 11,
     "agg_histogram": 11,
@@ -166,7 +112,6 @@ _STALE_EVIDENCE = {
     "dedup_cluster_cc": 11,
     "dedup_incremental_jaccard": 11,
     "dedup_ngram_jaccard": 11,
-    "explode_token_freq": 11,
     "join_asof": 11,
     "join_bloom_prefilter": 11,
     "join_cross_dims": 11,
@@ -195,67 +140,114 @@ _STALE_EVIDENCE = {
     "stream_tumbling_agg": 11,
     "stream_user_profile": 11,
     "stream_watermark_late": 11,
-    "text_analysis_stats": 11,
     "text_language_id": 11,
-    "text_pii_scrub": 11,
     "text_quality_score": 11,
     "time_resample_interp": 11,
     "time_rollup_hypertable": 11,
-    "tokenize_pack_sequences": 11,
     "udtf_table_chunks": 11,
     "window_ewma_smooth": 11,
     "window_rank_topk": 11,
     "window_time_range": 11,
+    "agg_approx_quantile": 12,
+    "agg_filtered_conditional": 12,
+    "agg_regression": 12,
+    "agg_rollup_cube": 12,
+    "dedup_containment_ngram": 12,
+    "dedup_embedding_ann": 12,
+    "dedup_embedding_cosine": 12,
+    "dedup_exact": 12,
+    "dedup_near_minhash": 12,
+    "join_asof_tolerance": 12,
+    "merge_scd2": 12,
+    "multimodal_frame_sample": 12,
+    "multimodal_join": 12,
+    "pipeline_llm_prep": 12,
+    "pipeline_shuffle_shard": 12,
+    "pipeline_source_mixture": 12,
+    "sample_stratified_hash": 12,
+    "scalar_array_map_json": 12,
+    "scalar_string_date_math": 12,
+    "similarity_topk_cosine": 12,
+    "source_csv_roundtrip": 12,
+    "source_json_roundtrip": 12,
+    "source_schema_evolution": 12,
+    "source_text_lines_roundtrip": 12,
+    "sql_tpch_q11": 12,
+    "sql_tpch_q12": 12,
+    "sql_tpch_q13": 12,
+    "sql_tpch_q15": 12,
+    "sql_tpch_q16": 12,
+    "sql_tpch_q18": 12,
+    "sql_tpch_q19": 12,
+    "sql_tpch_q2": 12,
+    "sql_tpch_q20": 12,
+    "sql_tpch_q7": 12,
+    "sql_tpch_q8": 12,
+    "sql_tpch_q9": 12,
+    "stream_foreach_batch_upsert": 12,
+    "stream_session_window": 12,
+    "text_fingerprint": 12,
+    "text_ngram_profile": 12,
+    "text_repetition_filter": 12,
+    "text_url_canonicalize": 12,
+    "time_ohlc_bars": 12,
+    "udf_python": 12,
+    "window_anomaly_zscore": 12,
 }
 
-# tier 3: green in CORRECTNESS_r12 (50 queries)
+# tier 3: green in CORRECTNESS_r13 (50 queries)
 _VERIFIED_LAST = frozenset(
     {
-        "agg_approx_quantile",
-        "agg_filtered_conditional",
-        "agg_regression",
-        "agg_rollup_cube",
-        "dedup_containment_ngram",
-        "dedup_embedding_ann",
-        "dedup_embedding_cosine",
-        "dedup_exact",
-        "dedup_near_minhash",
-        "join_asof_tolerance",
-        "merge_scd2",
-        "multimodal_frame_sample",
-        "multimodal_join",
-        "pipeline_llm_prep",
-        "pipeline_shuffle_shard",
-        "pipeline_source_mixture",
-        "sample_stratified_hash",
-        "scalar_array_map_json",
-        "scalar_string_date_math",
-        "similarity_topk_cosine",
-        "source_csv_roundtrip",
-        "source_json_roundtrip",
-        "source_schema_evolution",
-        "source_text_lines_roundtrip",
-        "sql_tpch_q11",
-        "sql_tpch_q12",
-        "sql_tpch_q13",
-        "sql_tpch_q15",
-        "sql_tpch_q16",
-        "sql_tpch_q18",
-        "sql_tpch_q19",
-        "sql_tpch_q2",
-        "sql_tpch_q20",
-        "sql_tpch_q7",
-        "sql_tpch_q8",
-        "sql_tpch_q9",
-        "stream_foreach_batch_upsert",
-        "stream_session_window",
-        "text_fingerprint",
-        "text_ngram_profile",
-        "text_repetition_filter",
-        "text_url_canonicalize",
-        "time_ohlc_bars",
-        "udf_python",
-        "window_anomaly_zscore",
+        "agg_collect_sorted",
+        "agg_distinct",
+        "agg_group_sum",
+        "agg_grouping_sets",
+        "agg_stats_corr",
+        "agg_string_concat",
+        "analytics_cumulative_distinct",
+        "analytics_retention_cohort",
+        "dedup_decontaminate",
+        "dedup_embedding_ann_audit",
+        "dedup_fuzzy_editdist",
+        "dedup_simhash",
+        "dedup_substring_chunks",
+        "embedding_quantize_int8",
+        "explode_token_freq",
+        "filter_in_between_like",
+        "funnel_conversion",
+        "join_anti",
+        "join_broadcast",
+        "join_bucketed_colocated",
+        "join_inner_equi",
+        "join_left_outer",
+        "join_multiway_star",
+        "join_semi",
+        "multimodal_decode",
+        "multimodal_resize",
+        "project_filter",
+        "scalar_variant_shred",
+        "scan_parquet",
+        "sink_compacted_parquet",
+        "sink_partitioned_parquet",
+        "sink_sorted_clustered",
+        "sql_tpch_q1",
+        "sql_tpch_q14",
+        "sql_tpch_q17",
+        "sql_tpch_q21",
+        "sql_tpch_q22",
+        "sql_tpch_q3",
+        "sql_tpch_q4",
+        "stream_dedup_bounded",
+        "text_analysis_stats",
+        "text_pii_scrub",
+        "time_downsample_m4",
+        "time_gapfill_locf",
+        "tokenize_pack_sequences",
+        "window_first_last",
+        "window_ranking_suite",
+        "window_rolling_quantile",
+        "window_running_frame",
+        "window_session_islands",
     }
 )
 
