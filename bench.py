@@ -99,7 +99,11 @@ def attribute_movers(
     Verdicts: ``plan-change`` (fingerprint differs — audit the plan),
     ``load-shift`` (fingerprint identical, mean load1 at this query's
     reps moved > _LOAD_SHIFT_DELTA between rounds — host contention),
-    ``unexplained`` (identical plan, comparable load — investigate),
+    ``loaded-both`` (identical plan, inter-round load delta small but
+    BOTH rounds ran loaded — the honest verdict when neither timing is
+    trustworthy; r13 verdict item 5: four of six r13 driver movers were
+    this case and read ``unexplained``), ``unexplained`` (identical
+    plan, both rounds quiet, comparable load — investigate),
     ``no-prev-fingerprint`` (anchor predates fingerprint recording).
     """
 
@@ -127,6 +131,13 @@ def attribute_movers(
             and abs(cur_load - prv_load) > _LOAD_SHIFT_DELTA
         ):
             verdict = "load-shift"
+        elif (
+            cur_load is not None
+            and prv_load is not None
+            and cur_load >= _QUIET_START_LOAD1
+            and prv_load >= _QUIET_START_LOAD1
+        ):
+            verdict = "loaded-both"
         else:
             verdict = "unexplained"
         out[name] = {

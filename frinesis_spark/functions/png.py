@@ -218,9 +218,19 @@ def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
                 )
             palette = body
         elif tag == b"tRNS":
-            if ctype == 3:
+            # tRNS carries transparency for every non-alpha color type:
+            # per-index alpha on palette (3), a transparent-color key on
+            # greyscale (0) and truecolor (2).  Decoding any of them
+            # without honoring the chunk would silently drop alpha, so
+            # the loud-failure contract is uniform across the three.
+            if ctype in (0, 2, 3):
+                kind = (
+                    "per-index alpha"
+                    if ctype == 3
+                    else "a transparent-color key"
+                )
                 raise ValueError(
-                    "palette PNG with tRNS (per-index alpha) is "
+                    f"color-type-{ctype} PNG with tRNS ({kind}) is "
                     "unsupported — expanding without it would silently "
                     "drop the alpha channel"
                 )

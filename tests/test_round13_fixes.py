@@ -365,7 +365,8 @@ class TestBenchSelfAttribution:
         vs_prev = {
             "q_plan": 1.40,   # fingerprint changed
             "q_load": 1.50,   # fp identical, load moved 0.2 -> 6.1
-            "q_mystery": 1.35,  # fp identical, load comparable
+            "q_mystery": 1.35,  # fp identical, load comparable, both quiet
+            "q_loadedboth": 1.45,  # fp identical, BOTH rounds loaded, small delta
             "q_old": 1.60,    # anchor predates fingerprints
             "q_small": 3.00,  # sub-noise-floor: excluded
             "q_flat": 1.05,   # not a mover: excluded
@@ -380,17 +381,23 @@ class TestBenchSelfAttribution:
         prev_fp["q_plan"] = "fpB"
         loads = {n: [0.1, 0.2, 0.1] for n in vs_prev}
         loads["q_load"] = [6.0, 6.3, 6.0]
+        loads["q_loadedboth"] = [4.9, 5.1, 5.0]
         prev_loads = {n: [0.1, 0.1, 0.2] for n in vs_prev}
+        prev_loads["q_loadedboth"] = [3.5, 3.6, 3.4]  # delta 1.5 < 2.0
         spreads = {n: 1.1 for n in vs_prev}
 
         out = bench.attribute_movers(
             vs_prev, timings, prev, plan_fp, prev_fp, loads, prev_loads,
             spreads,
         )
-        assert set(out) == {"q_plan", "q_load", "q_mystery", "q_old", "q_faster"}
+        assert set(out) == {
+            "q_plan", "q_load", "q_loadedboth", "q_mystery", "q_old",
+            "q_faster",
+        }
         assert out["q_plan"]["verdict"] == "plan-change"
         assert out["q_plan"]["plan_fp_identical"] is False
         assert out["q_load"]["verdict"] == "load-shift"
+        assert out["q_loadedboth"]["verdict"] == "loaded-both"
         assert out["q_mystery"]["verdict"] == "unexplained"
         assert out["q_old"]["verdict"] == "no-prev-fingerprint"
         assert out["q_old"]["plan_fp_identical"] is None
