@@ -421,19 +421,39 @@ def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # recall 0.90 (sf0.1) / 0.74 (sf0.01) at ~6% candidate fraction —
 # every other geometry tried (incl. all multi-probe LSH points) pays
 # ≥2× the candidates for the same recall, because IVF cells follow the
-# data's actual cluster structure instead of random hyperplanes. At
-# real scale grow lists ~√corpus (the standard IVF sizing) and probe
-# stays a small constant.
-_IVF_LISTS = 64  # inverted lists (cells)
+# data's actual cluster structure instead of random hyperplanes.
+#
+# r14 (verdict item 4): lists now grows ~√corpus — the standard IVF
+# sizing, and the geometry r11 measured directly (lists=√n at sf1:
+# recall 1.00 at 2.8% candidates) — floored at the r11-tuned 64 so
+# every corpus up to 4096 vectors (all sf ≤ 0.1 fixtures: 500–2000)
+# trains the IDENTICAL index the green driver/bench evidence was
+# recorded on. Candidate volume per query ≈ probe·n/lists =
+# probe·√n — the per-query work a serving index should cost — instead
+# of the probe·n/64 linear scan the fixed setting degrades to.
+_IVF_LISTS_FLOOR = 64  # minimum inverted lists (= the fixed r11 value)
 _IVF_PROBE = 4  # cells probed per query
 _IVF_ITERS = 3  # Lloyd refinement rounds (fixed → bounded, reproducible)
 
+# Test/measurement hook: a geometry-sweep tool pins lists explicitly
+# (tools/measure_ivf_sf1.py); production callers never set it.
+_IVF_LISTS_OVERRIDE: int | None = None
 
-def _ivf_centroids(corpus: DataFrame, emb_col: str):
+
+def _ivf_lists(n_corpus: int) -> int:
+    """Inverted-list count for a corpus of ``n_corpus`` vectors:
+    ``max(64, round(√n))`` — a pure function of corpus size, so the
+    trained geometry is reproducible from the corpus alone."""
+    if _IVF_LISTS_OVERRIDE is not None:
+        return _IVF_LISTS_OVERRIDE
+    return max(_IVF_LISTS_FLOOR, int(round(n_corpus**0.5)))
+
+
+def _ivf_centroids(corpus: DataFrame, emb_col: str, n_lists: int):
     """Train IVF cell centroids: deterministic seeding + a fixed
     number of distributed Lloyd rounds.
 
-    Seeds are the ``_IVF_LISTS`` lowest vec_ids (deterministic, no
+    Seeds are the ``n_lists`` lowest vec_ids (deterministic, no
     RNG). Each round is one map-only pass: every partition assigns its
     rows to the nearest centroid with a single numpy matmul and emits
     per-cell partial (sum, count); the driver reduces the
@@ -446,7 +466,7 @@ def _ivf_centroids(corpus: DataFrame, emb_col: str):
 
     seeds = (
         corpus.orderBy("vec_id")
-        .limit(_IVF_LISTS)
+        .limit(n_lists)
         .select(emb_col)
         .toPandas()[emb_col]
     )
@@ -525,9 +545,13 @@ def ivf_index(spark: SparkSession, sf_dir: str):
         # materialized into the cached artifact and recomputed fresh
         # by every consumer anyway (r9 review wave 10).
         c = c.select("neighbor_id", "ce").localCheckpoint(eager=True)
+        # √n list sizing needs the corpus size; the checkpoint above
+        # makes this count a cached-artifact scan, not a re-read.
+        n_lists = _ivf_lists(c.count())
         cents = _ivf_centroids(
             c.select(F.col("neighbor_id").alias("vec_id"), F.col("ce")),
             "ce",
+            n_lists,
         )
 
         def assign(batches):
@@ -579,7 +603,7 @@ def _ivf_probes(
     would Arrow-serialize every corpus embedding n_probe times into
     the shuffle just to be projected away (r9 review wave 1)."""
     # A tiny corpus trains fewer centroids than n_probe (seeds =
-    # min(corpus, _IVF_LISTS)); argsort then yields < n_probe columns
+    # min(corpus, lists)); argsort then yields < n_probe columns
     # while the row repeat assumes exactly n_probe — pandas length
     # mismatch kills the worker (r9 review wave 1). Probe every cell.
     n_probe = min(n_probe, int(cents.shape[0]))
@@ -628,7 +652,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     check (see ``q_similarity_ann_ivf``).
 
     The headline ANN path (see the lists/probe sizing note above):
-    train ``_IVF_LISTS`` cell centroids (distributed Lloyd, mergeable
+    train ``_ivf_lists(n)`` cell centroids (distributed Lloyd, mergeable
     partials), assign each corpus vector to its nearest cell
     (map-only), then for each query probe the ``_IVF_PROBE`` nearest
     cells and compute exact cosine only against those cells' members —

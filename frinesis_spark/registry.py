@@ -97,6 +97,27 @@ def _load_modules():
 # similarity_ann_ivf — are expected tier-0 promotions, shrinking the
 # tier-2 head), then the oldest r12-stale rows absorb any remainder.
 _CHANGED_SINCE_VERDICT = (
+    # r14 (verdict item 1): both hash-family grades now measure recall
+    # over the size-absolute md5 audit slice of the exact-Jaccard pair
+    # set (output column renamed n_sampled_exact_pairs; the audit
+    # predicate is pushed into the exact side's candidate generation) —
+    # the grading contract changed, so prior green rows no longer
+    # cover them.
+    "dedup_near_minhash",
+    "dedup_simhash",
+    # r14 (verdict item 4): IVF list count now scales ~sqrt(corpus)
+    # (floored at the old fixed 64, so every sf<=0.1 fixture trains the
+    # identical index — but the serving contract changed at scale).
+    # similarity_ann_ivf was already at the r11 guarantee boundary, so
+    # this promotion costs no extra window slot.
+    "similarity_ann_ivf",
+    # r14: the embedding pair pass holds its corpus coverage as lists
+    # grows (probe = lists/8, floor 8) — driver-fixture outputs are
+    # bit-identical (64 lists -> probe 8) but the serving contract at
+    # scale changed, same promotion standard r13 applied to its own
+    # fixture-inert changes.
+    "dedup_embedding_ann",
+    "dedup_embedding_ann_audit",
 )
 
 # tier 2: stale evidence — last green before r13 (91 queries); name -> last-green round, the
@@ -121,7 +142,6 @@ _STALE_EVIDENCE = {
     "merge_upsert": 11,
     "scalar_conditional_regex": 11,
     "set_union_except_intersect": 11,
-    "similarity_ann_ivf": 11,
     "similarity_ann_lsh": 11,
     "sink_kinesis_batched": 11,
     "sort_limit": 11,
@@ -153,10 +173,8 @@ _STALE_EVIDENCE = {
     "agg_regression": 12,
     "agg_rollup_cube": 12,
     "dedup_containment_ngram": 12,
-    "dedup_embedding_ann": 12,
     "dedup_embedding_cosine": 12,
     "dedup_exact": 12,
-    "dedup_near_minhash": 12,
     "join_asof_tolerance": 12,
     "merge_scd2": 12,
     "multimodal_frame_sample": 12,
@@ -207,9 +225,7 @@ _VERIFIED_LAST = frozenset(
         "analytics_cumulative_distinct",
         "analytics_retention_cohort",
         "dedup_decontaminate",
-        "dedup_embedding_ann_audit",
         "dedup_fuzzy_editdist",
-        "dedup_simhash",
         "dedup_substring_chunks",
         "embedding_quantize_int8",
         "explode_token_freq",

@@ -120,8 +120,15 @@ _EXPECTED_SHUFFLES = {
     "window_rolling_quantile": (4, 1),
     "similarity_ann_lsh": (9, 4),  # incl. 2 round-robin rebalances
     "dedup_cluster_cc": (2, 0),
-    "dedup_simhash": (4, 4),
-    "dedup_near_minhash": (3, 6),
+    # r14: both hash-family grades sample the exact-Jaccard side to the
+    # md5 audit slice (r13 verdict item 1). Shuffle counts are
+    # UNCHANGED — the restricted inverted-index join replaces the full
+    # self-join's exchanges one-for-one — and each plan gains exactly
+    # one BroadcastExchange: the ~audit-sized exact-pair set broadcast
+    # into the recall left-join instead of shuffle-joining, the plan a
+    # size-absolute audit should have.
+    "dedup_simhash": (4, 5),
+    "dedup_near_minhash": (3, 7),
     "agg_approx_quantile": (1, 0),
     "similarity_ann_ivf": (7, 2),  # incl. 1 round-robin rebalance
     "dedup_ngram_jaccard": (1, 3),

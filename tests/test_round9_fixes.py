@@ -170,17 +170,34 @@ def test_artifact_cache_eviction_is_lru_not_fifo():
 # --- self-grading dedup (VERDICT r8 item 2) ---------------------------------
 
 
-def test_dedup_self_grading_counts_and_floor(spark, sf_dir):
+def test_dedup_self_grading_counts_and_floor(spark):
     """Both registered hash-family dedup queries emit one row whose
-    n_exact_pairs equals the oracle-verified exact-Jaccard pair count
-    and whose recall floor is met on the fixture."""
-    from frinesis_spark.operators import dedup
+    n_sampled_exact_pairs equals the oracle-verified exact-Jaccard
+    pair count restricted to the md5 audit slice (r14: the grade is
+    sampled — r13 verdict item 1) and whose recall floor is met on
+    the fixture. Runs at sf0.01 (the driver's grading scale — the
+    sf0.001 slice is vacuous)."""
+    from pyspark.sql import functions as F
 
-    n_exact = dedup.q_dedup_ngram_jaccard(spark, sf_dir).count()
+    from frinesis_spark.catalog import table
+    from frinesis_spark.operators import dedup
+    from frinesis_spark.operators.text import _md5_bucket
+
+    sf_dir = "/root/testdata/sf0.01"
+    mod = dedup._ann_audit_mod(table(spark, sf_dir, "documents").count())
+    n_sampled = (
+        dedup.q_dedup_ngram_jaccard(spark, sf_dir)
+        .where(
+            (_md5_bucket(F.col("doc_a"), mod) == 0)
+            | (_md5_bucket(F.col("doc_b"), mod) == 0)
+        )
+        .count()
+    )
+    assert n_sampled > 0, "fixture audit slice must be non-vacuous"
     for q in ("dedup_near_minhash", "dedup_simhash"):
         out = dedup.QUERIES[q](spark, sf_dir).collect()
         assert len(out) == 1
-        assert out[0]["n_exact_pairs"] == n_exact
+        assert out[0]["n_sampled_exact_pairs"] == n_sampled
         assert out[0]["recall_floor_met"] is True
 
 

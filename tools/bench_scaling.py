@@ -67,9 +67,14 @@ SF1_EXCLUDED = {"dedup_embedding_cosine"}
 # run everywhere, but the timed query INCLUDES a quadratic in-query
 # audit term (exact-Jaccard / exact-top-k grader) that production
 # replaces with a sampled check — annotated, never flagged
+# r14 shrank this set: the minhash/simhash grades now sample the
+# exact-Jaccard side to the size-absolute md5 audit slice (r13 verdict
+# item 1), so only the three embedding-family queries still time an
+# exact grader — similarity_ann_lsh/ivf grade against the exact
+# brute-force top-k and dedup_embedding_ann against the full exact
+# pair set, both by declared correctness-time contract (the production
+# grading shape is dedup_embedding_ann_audit).
 GRADER_QUADRATIC = {
-    "dedup_near_minhash",
-    "dedup_simhash",
     "similarity_ann_lsh",
     "similarity_ann_ivf",
     "dedup_embedding_ann",

@@ -34,8 +34,8 @@ def measure(spark, sf_dir: str, lists: int) -> dict:
     from frinesis_spark.caches import clear_derived_caches
     from frinesis_spark.operators import similarity as S
 
-    orig = S._IVF_LISTS
-    S._IVF_LISTS = lists
+    orig = S._IVF_LISTS_OVERRIDE
+    S._IVF_LISTS_OVERRIDE = lists
     try:
         clear_derived_caches()
         load0 = round(os.getloadavg()[0], 1)
@@ -63,7 +63,7 @@ def measure(spark, sf_dir: str, lists: int) -> dict:
             "loadavg": load0,
         }
     finally:
-        S._IVF_LISTS = orig
+        S._IVF_LISTS_OVERRIDE = orig
         clear_derived_caches()
 
 
