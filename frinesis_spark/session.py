@@ -44,6 +44,19 @@ def get_spark(app_name: str = "frinesis_spark") -> SparkSession:
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    # Off-heap streaming state (r14): the default HDFS-backed provider
+    # keeps every state version in the JVM heap — measured at the GC
+    # wall at 100M unbounded-dedup keys in one local JVM (sf100
+    # decade; BENCH_scaling_sf100.json). RocksDB is the documented OSS
+    # remedy and what a production deployment at state volume runs;
+    # env-gated so default-config measurements stay comparable across
+    # rounds, and query RESULTS are identical either way.
+    if os.environ.get("SPARK_GRAFT_STATESTORE") == "rocksdb":
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -23,8 +23,15 @@ per decade because the corpus ratio is a full 10x (sf10 -> sf100 is
 10x the rows; "half-decade" refers to the fixture subset, not the
 ratio). Writes BENCH_scaling_sf100.json.
 
-Usage: python tools/bench_scaling100.py   (run SOLO; ~25 GB peak disk
-in .sf100, generation dominates the first run)
+Usage: python tools/bench_scaling100.py   (run SOLO; ~3 GB disk in
+.sf100, generation dominates the first run). 96g driver heap REQUIRED:
+the default HDFS-backed state store keeps streaming state in the JVM
+heap, and sf100's 100M-event unbounded-dedup state OOMed 32g (measured
+in-round — stream_dedup_stateful holds every seen event_id). A real
+cluster spreads state across executors; at this concentration the
+production answer is the RocksDB state store provider (off-heap,
+spill-capable) — documented in SCALE.md, deliberately NOT enabled here
+so all three decades measure the same engine configuration.
 """
 
 from __future__ import annotations
@@ -183,7 +190,7 @@ def _gen_partial(sf: float, out: str, seed: int = 42) -> None:
 def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
     os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
-    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "96g")
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
 
     from frinesis_spark import registry
@@ -234,9 +241,11 @@ def main() -> None:
                 flagged.append(name)
         out[name] = row
 
+    provider = os.environ.get("SPARK_GRAFT_STATESTORE", "hdfs-backed")
     record = {
         "metric": "per_query_scaling_exponents_sf10_sf100",
         "sf_points": ["sf10", "sf100"],
+        "state_store_provider": provider,
         "tables_generated_at_sf100": list(TABLES_NEEDED),
         "reps": reps,
         "load1_start": load1_start,
@@ -244,13 +253,16 @@ def main() -> None:
         "flagged": sorted(flagged),
         "queries": out,
     }
-    (REPO / "BENCH_scaling_sf100.json").write_text(
-        json.dumps(record, indent=1) + "\n"
+    name = (
+        "BENCH_scaling_sf100.json"
+        if provider == "hdfs-backed"
+        else f"BENCH_scaling_sf100_{provider}.json"
     )
+    (REPO / name).write_text(json.dumps(record, indent=1) + "\n")
     print(json.dumps({
         "flagged": sorted(flagged),
         "n_queries": len(out),
-        "out": "BENCH_scaling_sf100.json",
+        "out": name,
     }))
 
 
