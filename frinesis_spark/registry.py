@@ -65,15 +65,18 @@ def _load_modules():
 
 
 # The driver checks ~50 queries per round in registration order, so the
-# order is a verification budget. Four tiers (refreshed at r14 start from
-# CORRECTNESS_r13.json via tools/refresh_tiers.py):
-#   0. changed since the r13 verdict — operators whose behavior this
-#      round touched, so their green rows no longer cover them;
+# order is a verification budget. Four tiers, regenerated at every
+# round start by ``tools/refresh_tiers.py --write`` (which splices the
+# block between the TIERS markers below from the newest
+# CORRECTNESS_r*.json):
+#   0. changed since the last verdict — operators whose behavior this
+#      round touched, so their green rows no longer cover them
+#      (hand-added as changes land; a promoted name MOVES here from
+#      the list that held it — _check_tiers enforces disjointness);
 #   1. never driver-verified (implicit: in no list);
-#   2. stale evidence, ordered OLDEST ROUND FIRST within the tier:
-#      the 46 r11-green rows lead (the guarantee boundary — they must
-#      verify THIS round, r13 verdict item 2), then the 45 r12-green;
-#   3. green in CORRECTNESS_r13 (freshest evidence, cheapest to skip).
+#   2. stale evidence, ordered OLDEST ROUND FIRST within the tier
+#      (the guarantee-boundary rows lead and must verify this round);
+#   3. green in the newest artifact (freshest, cheapest to skip).
 #
 # VERIFICATION-WINDOW POLICY (decided r10, per r9 verdict item 2).
 # The standing guarantee is "every registered query's latest driver
@@ -85,89 +88,28 @@ def _load_modules():
 #   * net registrations are FROZEN at REGISTRY_CAP = 141 queries
 #     (exactly the current size — adding one means retiring one);
 #   * per-round tier-0 churn budget is the window slack after the
-#     oldest-stale backlog is scheduled (r14: 50 - 46 = 4 slots, but
-#     a tier-0 promotion of a row already AT the boundary is free —
-#     it occupies the slot it was owed anyway);
+#     oldest-stale backlog is scheduled; a tier-0 promotion of a row
+#     already AT the boundary is free — it occupies the slot it was
+#     owed anyway;
 #   * tools/refresh_tiers.py ASSERTS the arithmetic at refresh time
 #     (window_capacity_ok) and tests/test_registry.py pins it, so a
 #     growth-busts-guarantee state fails at registration time, not at
 #     verdict time.
-# r14 window fill: tier-0 leads (changes land here), then the 46
-# r11-stale rows (guarantee boundary; two of them — similarity_ann_lsh /
-# similarity_ann_ivf — are expected tier-0 promotions, shrinking the
-# tier-2 head), then the oldest r12-stale rows absorb any remainder.
+# Tier membership COUNTS are deliberately absent from the generated
+# comments: hand promotions move names between lists mid-round, and a
+# count written at refresh time silently drifts (the r13/r14 ADVICE
+# nit). Run tools/refresh_tiers.py for the live budget summary.
+# === TIERS BEGIN (tools/refresh_tiers.py --write) ===
+# Tiers generated from CORRECTNESS_r14 by tools/refresh_tiers.py --write.
+# tier 0 (changed since the r14 verdict): hand-add names here as r15
+# changes land, REMOVING them from the list below that held them
+# (_check_tiers enforces disjointness).
 _CHANGED_SINCE_VERDICT = (
-    # r14 (verdict item 1): both hash-family grades now measure recall
-    # over the size-absolute md5 audit slice of the exact-Jaccard pair
-    # set (output column renamed n_sampled_exact_pairs; the audit
-    # predicate is pushed into the exact side's candidate generation) —
-    # the grading contract changed, so prior green rows no longer
-    # cover them.
-    "dedup_near_minhash",
-    "dedup_simhash",
-    # r14 (verdict item 4): IVF list count now scales ~sqrt(corpus)
-    # (floored at the old fixed 64, so every sf<=0.1 fixture trains the
-    # identical index — but the serving contract changed at scale).
-    # similarity_ann_ivf was already at the r11 guarantee boundary, so
-    # this promotion costs no extra window slot.
-    "similarity_ann_ivf",
-    # r14: the embedding pair pass holds its corpus coverage as lists
-    # grows (probe = lists/8, floor 8) — driver-fixture outputs are
-    # bit-identical (64 lists -> probe 8) but the serving contract at
-    # scale changed, same promotion standard r13 applied to its own
-    # fixture-inert changes.
-    "dedup_embedding_ann",
-    "dedup_embedding_ann_audit",
 )
 
-# tier 2: stale evidence — last green before r13 (91 queries); name -> last-green round, the
-# _reorder sort key (oldest evidence claims window slots first)
+# tier 2: stale evidence — last green before r14; name -> last-green
+# round, the _reorder sort key (oldest evidence claims window slots first)
 _STALE_EVIDENCE = {
-    "agg_approx_distinct": 11,
-    "agg_bool_bitwise": 11,
-    "agg_histogram": 11,
-    "agg_mode_frequent": 11,
-    "agg_percentile": 11,
-    "agg_pivot": 11,
-    "analytics_ab_test": 11,
-    "dedup_cluster_cc": 11,
-    "dedup_incremental_jaccard": 11,
-    "dedup_ngram_jaccard": 11,
-    "join_asof": 11,
-    "join_bloom_prefilter": 11,
-    "join_cross_dims": 11,
-    "join_interval_buckets": 11,
-    "join_range_theta": 11,
-    "join_salted_skew": 11,
-    "merge_upsert": 11,
-    "scalar_conditional_regex": 11,
-    "set_union_except_intersect": 11,
-    "similarity_ann_lsh": 11,
-    "sink_kinesis_batched": 11,
-    "sort_limit": 11,
-    "source_compressed_roundtrip": 11,
-    "source_kinesis_datasource": 11,
-    "source_kinesis_read": 11,
-    "source_orc_roundtrip": 11,
-    "sql_tpch_q10": 11,
-    "sql_tpch_q5": 11,
-    "sql_tpch_q6": 11,
-    "stream_custom_sessionize": 11,
-    "stream_dedup_stateful": 11,
-    "stream_incremental_batches": 11,
-    "stream_sliding_agg": 11,
-    "stream_stream_join": 11,
-    "stream_tumbling_agg": 11,
-    "stream_user_profile": 11,
-    "stream_watermark_late": 11,
-    "text_language_id": 11,
-    "text_quality_score": 11,
-    "time_resample_interp": 11,
-    "time_rollup_hypertable": 11,
-    "udtf_table_chunks": 11,
-    "window_ewma_smooth": 11,
-    "window_rank_topk": 11,
-    "window_time_range": 11,
     "agg_approx_quantile": 12,
     "agg_filtered_conditional": 12,
     "agg_regression": 12,
@@ -211,61 +153,112 @@ _STALE_EVIDENCE = {
     "time_ohlc_bars": 12,
     "udf_python": 12,
     "window_anomaly_zscore": 12,
+    "agg_collect_sorted": 13,
+    "agg_distinct": 13,
+    "agg_group_sum": 13,
+    "agg_grouping_sets": 13,
+    "agg_stats_corr": 13,
+    "agg_string_concat": 13,
+    "analytics_cumulative_distinct": 13,
+    "analytics_retention_cohort": 13,
+    "dedup_decontaminate": 13,
+    "dedup_fuzzy_editdist": 13,
+    "dedup_substring_chunks": 13,
+    "embedding_quantize_int8": 13,
+    "explode_token_freq": 13,
+    "filter_in_between_like": 13,
+    "funnel_conversion": 13,
+    "join_anti": 13,
+    "join_broadcast": 13,
+    "join_bucketed_colocated": 13,
+    "join_inner_equi": 13,
+    "join_left_outer": 13,
+    "join_multiway_star": 13,
+    "join_semi": 13,
+    "multimodal_decode": 13,
+    "multimodal_resize": 13,
+    "project_filter": 13,
+    "scalar_variant_shred": 13,
+    "scan_parquet": 13,
+    "sink_compacted_parquet": 13,
+    "sink_partitioned_parquet": 13,
+    "sink_sorted_clustered": 13,
+    "sql_tpch_q1": 13,
+    "sql_tpch_q14": 13,
+    "sql_tpch_q17": 13,
+    "sql_tpch_q21": 13,
+    "sql_tpch_q22": 13,
+    "sql_tpch_q3": 13,
+    "sql_tpch_q4": 13,
+    "stream_dedup_bounded": 13,
+    "text_analysis_stats": 13,
+    "text_pii_scrub": 13,
+    "time_downsample_m4": 13,
+    "time_gapfill_locf": 13,
+    "tokenize_pack_sequences": 13,
+    "window_first_last": 13,
+    "window_ranking_suite": 13,
+    "window_rolling_quantile": 13,
+    "window_running_frame": 13,
+    "window_session_islands": 13,
 }
 
-# tier 3: green in CORRECTNESS_r13 (50 queries)
+# tier 3: green in CORRECTNESS_r14
 _VERIFIED_LAST = frozenset(
     {
-        "agg_collect_sorted",
-        "agg_distinct",
-        "agg_group_sum",
-        "agg_grouping_sets",
-        "agg_stats_corr",
-        "agg_string_concat",
-        "analytics_cumulative_distinct",
-        "analytics_retention_cohort",
-        "dedup_decontaminate",
-        "dedup_fuzzy_editdist",
-        "dedup_substring_chunks",
-        "embedding_quantize_int8",
-        "explode_token_freq",
-        "filter_in_between_like",
-        "funnel_conversion",
-        "join_anti",
-        "join_broadcast",
-        "join_bucketed_colocated",
-        "join_inner_equi",
-        "join_left_outer",
-        "join_multiway_star",
-        "join_semi",
-        "multimodal_decode",
-        "multimodal_resize",
-        "project_filter",
-        "scalar_variant_shred",
-        "scan_parquet",
-        "sink_compacted_parquet",
-        "sink_partitioned_parquet",
-        "sink_sorted_clustered",
-        "sql_tpch_q1",
-        "sql_tpch_q14",
-        "sql_tpch_q17",
-        "sql_tpch_q21",
-        "sql_tpch_q22",
-        "sql_tpch_q3",
-        "sql_tpch_q4",
-        "stream_dedup_bounded",
-        "text_analysis_stats",
-        "text_pii_scrub",
-        "time_downsample_m4",
-        "time_gapfill_locf",
-        "tokenize_pack_sequences",
-        "window_first_last",
-        "window_ranking_suite",
-        "window_rolling_quantile",
-        "window_running_frame",
-        "window_session_islands",
+        "agg_approx_distinct",
+        "agg_bool_bitwise",
+        "agg_histogram",
+        "agg_mode_frequent",
+        "agg_percentile",
+        "agg_pivot",
+        "analytics_ab_test",
+        "dedup_cluster_cc",
+        "dedup_embedding_ann",
+        "dedup_embedding_ann_audit",
+        "dedup_incremental_jaccard",
+        "dedup_near_minhash",
+        "dedup_ngram_jaccard",
+        "dedup_simhash",
+        "join_asof",
+        "join_bloom_prefilter",
+        "join_cross_dims",
+        "join_interval_buckets",
+        "join_range_theta",
+        "join_salted_skew",
+        "merge_upsert",
+        "scalar_conditional_regex",
+        "set_union_except_intersect",
+        "similarity_ann_ivf",
+        "similarity_ann_lsh",
+        "sink_kinesis_batched",
+        "sort_limit",
+        "source_compressed_roundtrip",
+        "source_kinesis_datasource",
+        "source_kinesis_read",
+        "source_orc_roundtrip",
+        "sql_tpch_q10",
+        "sql_tpch_q5",
+        "sql_tpch_q6",
+        "stream_custom_sessionize",
+        "stream_dedup_stateful",
+        "stream_incremental_batches",
+        "stream_sliding_agg",
+        "stream_stream_join",
+        "stream_tumbling_agg",
+        "stream_user_profile",
+        "stream_watermark_late",
+        "text_language_id",
+        "text_quality_score",
+        "time_resample_interp",
+        "time_rollup_hypertable",
+        "udtf_table_chunks",
+        "window_ewma_smooth",
+        "window_rank_topk",
+        "window_time_range",
     }
 )
+# === TIERS END ===
 
 # Mirror of tools/refresh_tiers.py's REGISTRY_CAP (3-round guarantee x
 # (50-slot window - 3 tier-0 churn)); tests/test_registry.py asserts the

@@ -13,10 +13,15 @@ The driver verifies ~50 queries per round in registration order, so
      newest artifact (their rotation priority);
   3. green in the newest artifact (freshest, cheapest to skip).
 
-Usage: ``python tools/refresh_tiers.py`` → prints the two frozensets
-(with per-name provenance) to paste into registry.py, plus a budget
-summary. Reads every CORRECTNESS_r*.json in the repo root; "green"
-means hash_match (or a rows-only row with no error).
+Usage: ``python tools/refresh_tiers.py`` prints the generated tier
+block plus a budget summary; ``--write`` splices the block directly
+into registry.py between the ``TIERS BEGIN``/``TIERS END`` markers
+(r14 verdict: the hand-paste step left stale counts behind twice, so
+the generated comments now carry NO counts — counts live only in the
+stdout budget summary, where they cannot drift when tier-0
+promotions later move names out of the lists). Reads every
+CORRECTNESS_r*.json in the repo root; "green" means hash_match (or a
+rows-only row with no error).
 """
 
 from __future__ import annotations
@@ -45,6 +50,11 @@ WINDOW_SLOTS = 50
 GUARANTEE_ROUNDS = 3
 CHURN_BUDGET = 3  # average tier-0 slots consumed per round
 REGISTRY_CAP = GUARANTEE_ROUNDS * (WINDOW_SLOTS - CHURN_BUDGET)  # = 141
+
+# Splice markers in registry.py for --write; everything between them is
+# machine-generated (plus the hand-added tier-0 names).
+_MARK_BEGIN = "# === TIERS BEGIN (tools/refresh_tiers.py --write) ==="
+_MARK_END = "# === TIERS END ==="
 
 
 def window_capacity_ok(
@@ -134,24 +144,50 @@ def main() -> None:
         for n in sorted(failed_newest):
             print(f"# !!!   {n} (last green: r{last_green.get(n, '-')})")
 
-    print(f"# Tiers from CORRECTNESS_r{newest:02d} "
-          f"({len(registered)} registered queries)")
-    print(f"# tier 0 (changed since verdict): FILL IN BY HAND as r{newest + 1} "
-          "changes land")
-    print("_CHANGED_SINCE_VERDICT = (\n)\n")
-    print(f"# tier 2: stale evidence — last green before r{newest} "
-          f"({len(stale)} queries); name -> last-green round, the\n"
-          "# _reorder sort key (oldest evidence claims window slots first)")
-    print("_STALE_EVIDENCE = {")
+    # The generated block carries NO counts — hand tier-0 promotions
+    # move names out of these lists after the refresh, and a count
+    # written here would silently go stale (the r13/r14 ADVICE nit,
+    # twice). Counts live in the stdout budget summary below.
+    lines: list[str] = []
+    lines.append(f"# Tiers generated from CORRECTNESS_r{newest:02d} by "
+                 "tools/refresh_tiers.py --write.")
+    lines.append(f"# tier 0 (changed since the r{newest} verdict): hand-add "
+                 f"names here as r{newest + 1}")
+    lines.append("# changes land, REMOVING them from the list below that "
+                 "held them")
+    lines.append("# (_check_tiers enforces disjointness).")
+    lines.append("_CHANGED_SINCE_VERDICT = (\n)\n")
+    lines.append(f"# tier 2: stale evidence — last green before r{newest}; "
+                 "name -> last-green")
+    lines.append("# round, the _reorder sort key (oldest evidence claims "
+                 "window slots first)")
+    lines.append("_STALE_EVIDENCE = {")
     for n in sorted(stale, key=lambda n: (last_green[n], n)):
-        print(f'    "{n}": {last_green[n]},')
-    print("}\n")
-    print(f"# tier 3: green in CORRECTNESS_r{newest:02d} ({len(fresh)} queries)")
-    print("_VERIFIED_LAST = frozenset(")
-    print("    {")
+        lines.append(f'    "{n}": {last_green[n]},')
+    lines.append("}\n")
+    lines.append(f"# tier 3: green in CORRECTNESS_r{newest:02d}")
+    lines.append("_VERIFIED_LAST = frozenset(")
+    lines.append("    {")
     for n in sorted(fresh):
-        print(f'        "{n}",')
-    print("    }\n)\n")
+        lines.append(f'        "{n}",')
+    lines.append("    }\n)")
+    block = "\n".join(lines)
+
+    if "--write" in sys.argv:
+        reg_path = REPO / "frinesis_spark" / "registry.py"
+        text = reg_path.read_text()
+        begin, end = _MARK_BEGIN + "\n", "\n" + _MARK_END
+        i, j = text.find(begin), text.find(end)
+        if i < 0 or j < 0 or j < i:
+            raise SystemExit(
+                f"splice markers not found in {reg_path} — expected "
+                f"{_MARK_BEGIN!r} ... {_MARK_END!r}"
+            )
+        reg_path.write_text(text[: i + len(begin)] + block + text[j:])
+        print(f"# wrote tier block into {reg_path}")
+    else:
+        print(block)
+
     print(f"# budget: tier1 (never verified) = {len(never)} queries:")
     for n in sorted(never):
         print(f"#   {n}")
