@@ -1302,44 +1302,140 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # against).
 _COS_DUP_THRESHOLD = 0.45
 
-# Dedup probes wider than the top-k search path: this fixture's
-# 0.45-threshold geometry is HARD for any bucketing scheme
-# (qualifying pairs at cosine 0.45–0.6 vs background p90 0.16 — see
-# q_dedup_embedding_cosine's docstring), and the measured recall /
-# candidate-fraction frontier at sf0.1 is probe-4: 0.69 @ 11%,
-# probe-8: 0.81 @ 22%, probe-12: 0.90 @ 32%, probe-16: 0.97 @ 42% of
-# all pairs. probe-8 is the chosen point: a missed dup stays in the
-# training set, so dedup pays double the probes the search path does
-# for the recall step, while still cutting the exact scan's FLOPs
-# ~4.6×.
+# Pair-pass candidate geometry (r15, verdict item 1): OR-AMPLIFIED
+# MULTI-ASSIGNMENT.  Each corpus vector is assigned to its c nearest
+# cells in each of L independently-seeded IVF partitions (salted
+# k-means — similarity._ivf_centroids seed_salt); a pair is a
+# candidate iff the two assignment sets share a (partition, cell).
+# The candidate join is memb ⋈ memb on that composite key, so raw
+# join volume is L·Σ_cells |memb_cell|² ≈ L·c²·n²/lists.
 #
-# r14: lists now grows ~√corpus (similarity.py, verdict item 4) —
-# good for top-k (fewer candidates per query at equal recall), but
-# finer cells scatter a near-dup PAIR across cells: with probe fixed
-# at 8 the pair pass's corpus coverage (probe/lists) fell 7× at sf10
-# and the recall floors failed (measured in-round: audit floor FALSE
-# at sf10, full grade FALSE at sf1). Dedup's recall constraint is
-# absolute — a missed dup stays in the training set — so the pair
-# pass HOLDS ITS COVERAGE: probe scales with lists to keep
-# probe/lists at the validated 8/64 = 1/8 of the corpus per vector.
-# Candidate volume is then n²/8 · (either-orientation constant) at
-# any geometry — the same work the r13 evidence was recorded on —
-# while the top-k path keeps the √n savings. Re-measured with this
-# rule: full-grade recall 0.801 at sf1 (floor 70), audit floor TRUE
-# at sf1 and sf10.
-_EMB_ANN_PROBE_FLOOR = 8
-_EMB_ANN_COVERAGE_DIV = 8  # probe = lists/8 ⇔ scan 1/8 of the corpus
+# Why this shape and not a single wider partition: the r15 sweep
+# (tools/measure_emb_pair_sweep.py + the numpy prototype it mirrors)
+# measured single-partition recall to be a SCHEME-INDEPENDENT concave
+# function of the covered pair fraction v = c²/lists —
+#   f(v) ≈ 1.609·v^0.459   (fit on sf1/sf10; sf0.1 predicted 0.854
+#                           vs measured 0.84)
+# — the r14 probe-hold at matched volume measured the same recall
+# (0.801 vs 0.804 at sf1 @ ~0.25·n²), i.e. at this fixture's HARD
+# geometry (dup threshold 0.45 barely above background p90 0.16) a
+# single partition of ANY granularity needs a CONSTANT fraction of
+# all pairs to hold a recall floor — the r14 dead end.  But f's
+# concavity (β≈0.46 < 1) is exactly the LSH amplification condition:
+# L independent partitions at small per-partition coverage v recall
+# 1-(1-f(v))^L — measured near-perfectly independent across salted
+# Lloyd optima (sf1 c=4: L=2 union 0.831 vs 0.834 predicted; sf10
+# L=4: 0.814 vs 0.820) — so total coverage L·v SHRINKS in n while
+# the floor holds:
+#   sf0.1:  L=1, 0.25·n², recall 0.84
+#   sf1:    L=2, 0.23·n², recall 0.831   (floor 70 ✓)
+#   sf10:   L=4, 0.14·n², recall 0.814   (floors 70/60 ✓)
+# measured sf1→sf10 raw-volume exponent 1.80; the L rule below gives
+# volume ∝ n^(2−0.5+0.5β) ≈ n^1.73 asymptotically (L ∝ n^0.23,
+# v ∝ n^-0.5). The serving top-k path is untouched — dedup pays the
+# L× premium because a missed dup stays in the training set.
+_EMB_ANN_ASSIGN = 4  # c: cells per vector per partition
+_EMB_ANN_SIZING_RECALL = 0.8  # L sizes to this; floors sit below it
+_EMB_ANN_F_A, _EMB_ANN_F_BETA = 1.609, 0.459  # calibrated f(v) fit
+_EMB_ANN_MAX_PARTITIONS = 16  # guard: L grows ~n^0.23, 16 ≈ sf10⁶
+
+# Sweep hooks (tools/measure_emb_pair_sweep.py pins these per run);
+# production callers never set them.
+_EMB_ANN_ASSIGN_OVERRIDE: int | None = None
+_EMB_ANN_PARTITIONS_OVERRIDE: int | None = None
 
 
-def _emb_ann_probe(n_lists: int) -> int:
-    """Pair-pass probe width for an index with ``n_lists`` cells:
-    ``max(8, lists // 8)`` — at the fixture floor (64 lists) this is
-    the r11-tuned probe-8; past it, coverage stays 1/8."""
-    return max(_EMB_ANN_PROBE_FLOOR, n_lists // _EMB_ANN_COVERAGE_DIV)
+def _emb_ann_assign() -> int:
+    """Cells each corpus vector is assigned to per partition — the
+    measured c=4 point unless a sweep overrides it."""
+    if _EMB_ANN_ASSIGN_OVERRIDE is not None:
+        return _EMB_ANN_ASSIGN_OVERRIDE
+    return _EMB_ANN_ASSIGN
+
+
+def _emb_ann_partitions(n_lists: int, c: int) -> int:
+    """Number of independently-seeded partitions L for an index with
+    ``n_lists`` cells and per-partition assignment width ``c``: the
+    smallest L whose predicted union recall 1-(1-f(v))^L reaches the
+    sizing target, under the calibrated single-partition model
+    f(v) = min(0.95, 1.609·v^0.459), v = c²/lists. Pure function of
+    the geometry, so the built index is reproducible from the corpus
+    alone. Gives L=1 at the ≤sf0.1 fixture floor (64 lists), 2 at
+    sf1 (141), 4 at sf10 (447), 7 at sf100 (1414)."""
+    import math
+
+    if _EMB_ANN_PARTITIONS_OVERRIDE is not None:
+        return _EMB_ANN_PARTITIONS_OVERRIDE
+    v = min(1.0, c * c / n_lists)
+    f = min(0.95, _EMB_ANN_F_A * v**_EMB_ANN_F_BETA)
+    L = math.ceil(
+        math.log(1 - _EMB_ANN_SIZING_RECALL) / math.log(1 - f)
+    )
+    return max(1, min(_EMB_ANN_MAX_PARTITIONS, L))
+
+
+# Multi-assignment table cache, per (session, corpus): the (part,
+# cell, vec_id) assignment is a pure function of the corpus + the
+# geometry rule, is consumed by BOTH sides of the candidate self-join
+# and by both the full and audit grading queries in one round, and at
+# real scale is a persisted index sidecar — same rationale as
+# _IVF_INDEX_CACHE.
+_EMB_MEMBERSHIP_CACHE: dict = {}
+
+
+def _emb_ann_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, part, cell) OR-amplified multi-assignment: every
+    corpus vector in its ``_emb_ann_assign()`` nearest cells of each
+    of ``_emb_ann_partitions()`` salted IVF partitions (checkpointed
+    + memoized). Partition 0 reuses the cached serving index's
+    centroids — one training shared with the top-k path; salts ≥ 1
+    train fresh Lloyd optima (3 bounded rounds each, map-only)."""
+    from frinesis_spark.caches import cached
+    from frinesis_spark.operators import similarity as sim
+
+    def build():
+        cells, cents = sim.ivf_index(spark, sf_dir)
+        corpus = cells.select(
+            F.col("neighbor_id").alias("query_id"), F.col("ce").alias("qe")
+        )
+        c = _emb_ann_assign()
+        n_parts = _emb_ann_partitions(int(cents.shape[0]), c)
+        parts = []
+        for salt in range(n_parts):
+            cents_l = (
+                cents
+                if salt == 0
+                else sim._ivf_centroids(
+                    corpus.select(
+                        F.col("query_id").alias("vec_id"), F.col("qe").alias("ce")
+                    ),
+                    "ce",
+                    int(cents.shape[0]),
+                    seed_salt=salt,
+                )
+            )
+            parts.append(
+                sim._ivf_probes(
+                    corpus, cents_l, n_probe=c, with_embedding=False
+                ).select(
+                    F.col("query_id").alias("vec_id"),
+                    F.lit(salt).alias("part"),
+                    "cell",
+                )
+            )
+        memb = parts[0]
+        for p in parts[1:]:
+            memb = memb.unionByName(p)
+        return memb.localCheckpoint(eager=True)
+
+    return cached(
+        _EMB_MEMBERSHIP_CACHE, spark, sf_dir, build, table="embeddings"
+    )
+
 
 # Recall floor, percent of the exact pair set recovered.
-# Deterministic per fixture (fixed k-means seeds): observed at
-# probe-8 — 1.00/0.93/0.81 at sf0.001/0.01/0.1 — the floor sits a
+# Deterministic per fixture (fixed k-means seeds): observed at c=4
+# multi-assignment — see the sweep table above — the floor sits a
 # full step below the worst observed (same slack policy as
 # _MINHASH_RECALL_FLOOR_PCT).
 _EMB_ANN_RECALL_FLOOR_PCT = 70
@@ -1352,66 +1448,49 @@ def embedding_ann_pairs(
     cosine re-rank — the raw pair output; the registered query wraps
     it in the recall grade (see ``q_dedup_embedding_ann``).
 
-    Candidate generation: every corpus vector probes its
-    ``_emb_ann_probe(lists)`` nearest cells (the SAME cached index
-    artifact the ANN top-k query uses — one index, two access
-    patterns; the pair pass holds probe/lists at 1/8 as lists grows
-    √n, see ``_emb_ann_probe``); a pair is a candidate iff either
-    member's home cell is among the other's probed cells. Join is on
-    the cell id, so per-cell work is |probes_in_cell| × |members| —
-    the classic IVF-blocking bound of ~probe/lists × n² FLOPs instead
-    of n², and never an all-pairs shuffle. Verification joins the two embedding columns back by id
+    Candidate generation (r15, OR-amplified multi-assignment —
+    verdict item 1): every corpus vector is assigned to its
+    ``_emb_ann_assign()`` nearest cells in each of
+    ``_emb_ann_partitions()`` salted IVF partitions (partition 0 IS
+    the cached serving index — one training shared with the top-k
+    path); a pair is a candidate iff the two assignment sets share a
+    (partition, cell). The join is memb ⋈ memb on that composite key,
+    so raw join volume is L·c²·n²/lists ≈ n^1.73 under the L rule —
+    sub-quadratic, replacing the r14 coverage hold whose volume was
+    n²/8 at every geometry (see the geometry comment above
+    ``_EMB_ANN_ASSIGN``) — and never an all-pairs shuffle.
+    Verification joins the two embedding columns back by id
     (candidates are int pairs until then) and keeps exact cosine ≥
     the shared 0.45 threshold.
 
     ``audit_mod`` (r13, the sf10 flag fix): when set, restrict
     candidate generation to pairs with ≥1 endpoint in the md5 audit
-    set BEFORE the cell join — one orientation keeps only audit
-    probes, the other only audit members, so per-side work is
-    O(audit_size × cell) instead of the full probe/lists × n² serving
-    volume. The output is EXACTLY the full candidate set filtered by
-    the audit predicate (differential-pinned in
-    tests/test_round13_fixes.py): a pair survives either restricted
-    orientation iff it touches the audit set and satisfies the same
-    either-member-probes-the-other rule. This is what a scheduled
-    production audit does — query the serving index for the audit
-    vectors only — and it is what makes the grading query O(n)
-    end-to-end (the sf10 measurement flagged exp 2.25 when the filter
-    sat ABOVE the full pair materialization).
+    set BEFORE the cell join. Multi-assignment makes the rule
+    symmetric, so ONE restricted orientation covers it: cutting the
+    a-side input of the self-join to audit members emits every pair
+    whose lexicographically-either endpoint is audit (the b-side
+    stays full), at O(audit_assignments × cell) work instead of the
+    full c²·n²/lists serving volume. The output is EXACTLY the full
+    candidate set filtered by the audit predicate
+    (differential-pinned in tests/test_round13_fixes.py). This is
+    what a scheduled production audit does — probe the serving index
+    for the audit vectors only — and it is what makes the grading
+    query O(n) end-to-end (the r13 sf10 measurement flagged exp 2.25
+    when the filter sat ABOVE the full pair materialization).
     """
     from frinesis_spark.functions.vectors import (
         cosine_from_norms,
         dot,
         l2_norm,
     )
-    from frinesis_spark.operators import similarity as sim
     from frinesis_spark.operators.text import _md5_bucket
 
-    cells, cents = sim.ivf_index(spark, sf_dir)
-    probes = sim._ivf_probes(
-        cells.select(
-            F.col("neighbor_id").alias("query_id"), F.col("ce").alias("qe")
-        ),
-        cents,
-        n_probe=_emb_ann_probe(int(cents.shape[0])),
-        # Candidates are int pairs until the verify join — carrying
-        # the embedding here would serialize it n_probe× per vector.
-        with_embedding=False,
-    )
-    probe_side = probes.select(F.col("query_id").alias("p_id"), "cell")
-    member_side = cells.select(F.col("neighbor_id").alias("m_id"), "cell")
-    if audit_mod is None:
-        raw = probe_side.join(member_side, "cell")
-    else:
-        audit_probe = probe_side.where(
-            _md5_bucket(F.col("p_id"), audit_mod) == 0
-        )
-        audit_member = member_side.where(
-            _md5_bucket(F.col("m_id"), audit_mod) == 0
-        )
-        raw = audit_probe.join(member_side, "cell").unionByName(
-            probe_side.join(audit_member, "cell")
-        )
+    memb = _emb_ann_membership(spark, sf_dir)
+    a_side = memb.select(F.col("vec_id").alias("p_id"), "part", "cell")
+    member_side = memb.select(F.col("vec_id").alias("m_id"), "part", "cell")
+    if audit_mod is not None:
+        a_side = a_side.where(_md5_bucket(F.col("p_id"), audit_mod) == 0)
+    raw = a_side.join(member_side, ["part", "cell"])
     cand = (
         raw.where(F.col("p_id") != F.col("m_id"))
         # least/greatest canonicalization: a pair can surface in both

@@ -449,12 +449,21 @@ def _ivf_lists(n_corpus: int) -> int:
     return max(_IVF_LISTS_FLOOR, int(round(n_corpus**0.5)))
 
 
-def _ivf_centroids(corpus: DataFrame, emb_col: str, n_lists: int):
+def _ivf_centroids(
+    corpus: DataFrame, emb_col: str, n_lists: int, seed_salt: int = 0
+):
     """Train IVF cell centroids: deterministic seeding + a fixed
     number of distributed Lloyd rounds.
 
     Seeds are the ``n_lists`` lowest vec_ids (deterministic, no
-    RNG). Each round is one map-only pass: every partition assigns its
+    RNG); ``seed_salt > 0`` instead seeds from the ``n_lists`` lowest
+    ``xxhash64(salt, vec_id)`` rows — a deterministic pseudo-shuffle
+    that lands Lloyd in a DIFFERENT local optimum over the same
+    corpus. The dedup pair pass unions candidates over several salted
+    partitions (dedup._emb_ann_membership, r15): measured at sf1/sf10,
+    differently-salted partitions recall near-independently, which is
+    what makes the OR-construction amplify. Each round is one
+    map-only pass: every partition assigns its
     rows to the nearest centroid with a single numpy matmul and emits
     per-cell partial (sum, count); the driver reduces the
     ``partitions × cells`` partials — KB-sized regardless of corpus
@@ -464,8 +473,13 @@ def _ivf_centroids(corpus: DataFrame, emb_col: str, n_lists: int):
     """
     import numpy as np
 
+    seed_order = (
+        F.xxhash64(F.lit(seed_salt), F.col("vec_id"))
+        if seed_salt
+        else F.col("vec_id")
+    )
     seeds = (
-        corpus.orderBy("vec_id")
+        corpus.orderBy(seed_order)
         .limit(n_lists)
         .select(emb_col)
         .toPandas()[emb_col]

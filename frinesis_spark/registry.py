@@ -105,6 +105,21 @@ def _load_modules():
 # changes land, REMOVING them from the list below that held them
 # (_check_tiers enforces disjointness).
 _CHANGED_SINCE_VERDICT = (
+    # r15 (verdict item 1): the embedding pair pass replaced the r14
+    # coverage hold (probe = lists/8, n²/8 FLOPs at every geometry)
+    # with OR-amplified multi-assignment over L salted IVF partitions
+    # — candidate volume now shrinks as a fraction of n² (measured
+    # sf1→sf10 exponent 1.80) while the recall floors hold; the
+    # serving contract changed, so prior green rows no longer cover
+    # these two.
+    "dedup_embedding_ann",
+    "dedup_embedding_ann_audit",
+    # r15 (verdict item 2): the media fixture cycle widened from four
+    # direct PNG color types to six slots — palette PNG (type 3) and
+    # baseline JPEG — changing both queries' outputs on every media
+    # row.
+    "multimodal_decode",
+    "multimodal_resize",
 )
 
 # tier 2: stale evidence — last green before r14; name -> last-green
@@ -175,8 +190,6 @@ _STALE_EVIDENCE = {
     "join_left_outer": 13,
     "join_multiway_star": 13,
     "join_semi": 13,
-    "multimodal_decode": 13,
-    "multimodal_resize": 13,
     "project_filter": 13,
     "scalar_variant_shred": 13,
     "scan_parquet": 13,
@@ -214,8 +227,6 @@ _VERIFIED_LAST = frozenset(
         "agg_pivot",
         "analytics_ab_test",
         "dedup_cluster_cc",
-        "dedup_embedding_ann",
-        "dedup_embedding_ann_audit",
         "dedup_incremental_jaccard",
         "dedup_near_minhash",
         "dedup_ngram_jaccard",

@@ -112,11 +112,13 @@ _EXPECTED_SHUFFLES = {
     # a_id,b_id,cos_sim) hash-partitions on exactly the columns the
     # downstream recall join needs, so Catalyst reuses the exchange —
     # one shuffle FEWER than the r12 pin. The audit-restricted
-    # candidate generation (the sf10 flag fix) then broadcasts the
-    # ~100-row audit sides of its two cell joins instead of
-    # shuffle-joining them: +1 broadcast, shuffle count unchanged —
-    # exactly the plan a fixed-size audit should have.
-    "dedup_embedding_ann_audit": (4, 4),
+    # candidate generation (the sf10 flag fix) broadcasts the
+    # ~100-row audit side of its cell join instead of
+    # shuffle-joining it — the plan a fixed-size audit should have.
+    # r15: multi-assignment made the candidate rule symmetric, so ONE
+    # restricted join orientation replaces the r13 two-orientation
+    # union: one broadcast FEWER (4,4 → 4,3), shuffles unchanged.
+    "dedup_embedding_ann_audit": (4, 3),
     "window_rolling_quantile": (4, 1),
     "similarity_ann_lsh": (9, 4),  # incl. 2 round-robin rebalances
     "dedup_cluster_cc": (2, 0),
