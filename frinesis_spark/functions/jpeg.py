@@ -361,7 +361,12 @@ def jpeg_decode(data: bytes) -> tuple[int, int, bytes]:
 
     Raises ``ValueError`` on anything non-baseline — progressive
     (SOF2), extended sequential (SOF1), arithmetic coding, 12-bit
-    samples, restart intervals, sampling factors > 2, truncation."""
+    samples, restart intervals, sampling factors > 2, truncation —
+    and on the two silent-wrong-output shapes the r14 ADVICE flagged:
+    a single-component scan of a subsampled component (T.81 A.2 makes
+    ns=1 scans non-interleaved raster order, not the MCU-cluster
+    order this decoder walks) and Adobe/component-ID-tagged RGB color
+    space (applying the YCbCr inverse would decode wrong colors)."""
     if len(data) < 4 or data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: missing SOI marker")
     pos = 2
@@ -371,6 +376,7 @@ def jpeg_decode(data: bytes) -> tuple[int, int, bytes]:
     comps: list[dict] = []
     scan_map: list[tuple[int, int]] = []
     scan_start = None
+    adobe_transform = None
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at byte {pos}")
@@ -430,6 +436,13 @@ def jpeg_decode(data: bytes) -> tuple[int, int, bytes]:
             (interval,) = struct.unpack(">H", body[:2])
             if interval:
                 raise ValueError("JPEG restart intervals unsupported")
+        elif marker == 0xFFEE and body[:5] == b"Adobe":  # APP14
+            # Byte 11 of the Adobe segment is the color transform:
+            # 1 = YCbCr, 2 = YCCK, 0 = none (RGB or CMYK by channel
+            # count) — transform 0 on a 3-component frame means the
+            # scan data IS RGB and the YCbCr inverse must not run.
+            if len(body) >= 12:
+                adobe_transform = body[11]
         elif marker == 0xFFDA:  # SOS
             ns = body[0]
             scan_map = []
@@ -444,6 +457,30 @@ def jpeg_decode(data: bytes) -> tuple[int, int, bytes]:
     width, height = frame
     if len(scan_map) != len(comps):
         raise ValueError("scan component count != frame component count")
+    # r14 ADVICE: T.81 A.2 — a single-component scan is NON-interleaved
+    # (raster order over the component's own ceil(w/8)×ceil(h/8)
+    # blocks, MCU = one data unit). This decoder walks interleaved
+    # 2×2-cluster MCU order, which for a subsampled ns=1 component
+    # silently scrambles blocks whenever the block counts happen to
+    # match; refuse loudly instead of decoding wrong.
+    if len(scan_map) == 1 and (comps[0]["h"] > 1 or comps[0]["v"] > 1):
+        raise ValueError(
+            f"single-component scan of a {comps[0]['h']}x{comps[0]['v']}-"
+            "sampled component decodes non-interleaved (T.81 A.2) — "
+            "unsupported by this interleaved baseline decoder"
+        )
+    # r14 ADVICE: 3-component frames are only YCbCr when nothing says
+    # otherwise — Adobe APP14 transform=0 or R/G/B component IDs mark
+    # the scan data as stored RGB, and running the YCbCr inverse would
+    # silently decode wrong colors.
+    if len(comps) == 3:
+        ids = tuple(c["id"] for c in comps)
+        if adobe_transform == 0 or ids == (ord("R"), ord("G"), ord("B")):
+            raise ValueError(
+                "RGB-colorspace JPEG (Adobe APP14 transform=0 or R/G/B "
+                "component IDs) unsupported — this decoder applies the "
+                "YCbCr inverse only to YCbCr scan data"
+            )
 
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)

@@ -136,7 +136,11 @@ class TestFixturePayloads:
     """The registered queries' PNG branch: payloads are real PNGs whose
     decode the DuckDB oracle recomputes from the generation rule."""
 
-    @pytest.mark.parametrize("doc_id", [0, 10, 20, 130, 12340])
+    # doc_ids land on direct-layout slots of the r15 six-slot cycle
+    # (12340 was a direct slot under the r13 4-cycle but is the
+    # palette slot under the 6-cycle — its decode rule moved to
+    # test_round15_fixes; 12360 is slot 0 = RGB).
+    @pytest.mark.parametrize("doc_id", [0, 10, 20, 130, 12360])
     def test_payload_decodes_to_oracle_rule(self, doc_id):
         assert doc_id % _PNG_EVERY == 0
         w, h, ch, rgb = png_decode(_png_payload(doc_id))

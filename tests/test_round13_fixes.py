@@ -47,11 +47,18 @@ class TestPngColorTypes:
         with pytest.raises(ValueError, match="expected 2x2x1"):
             png_encode(2, 2, bytes(5), color_type=0)
 
-    def test_fixture_cycles_all_four_types(self):
+    def test_fixture_cycles_all_five_png_types(self):
+        # r15 widened the media cycle to six slots (5 png color types
+        # + baseline jpeg); png rows must still cover every stdlib
+        # color type, palette included.
+        from frinesis_spark.operators.multimodal import _media_codec
+
         seen = {
-            _png_ctype(doc_id) for doc_id in range(0, 40 * _PNG_EVERY, _PNG_EVERY)
+            _png_ctype(doc_id)
+            for doc_id in range(0, 60 * _PNG_EVERY, _PNG_EVERY)
+            if _media_codec(doc_id) == "png"
         }
-        assert seen == set(_PNG_CTYPES) == {0, 2, 4, 6}
+        assert seen == set(_PNG_CTYPES) == {0, 2, 3, 4, 6}
 
     @pytest.mark.parametrize("doc_id", [0, 10, 20, 30])
     def test_fixture_payload_per_type(self, doc_id):
