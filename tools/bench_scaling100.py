@@ -57,6 +57,14 @@ SF100_DIR = str(REPO / ".sf100")
 # only events or documents.
 SCALE_CRITICAL = [
     "dedup_exact",
+    # r15 (r14 verdict item 6): the ngram family's containment
+    # disposition claimed the capped join-row volume exponent decays
+    # toward 1.0 as the Heaps mid-df body saturates, "bend ~2 decades
+    # out" — previously arithmetic, now measured: both queries run at
+    # sf100 docs (5M), and the Σdf² statistic below measures the
+    # row-volume exponent directly.
+    "dedup_ngram_jaccard",
+    "dedup_containment_ngram",
     "tokenize_pack_sequences",
     "text_analysis_stats",
     "stream_tumbling_agg",
@@ -211,6 +219,7 @@ def main() -> None:
         load1_start = -1.0
 
     results: dict[str, dict] = {}
+    ngram_stats: dict[str, dict] = {}
     for sf_label, sf_dir in (("sf10", SF10_DIR), ("sf100", SF100_DIR)):
         for t in TABLES_NEEDED:
             table(spark, sf_dir, t).count()
@@ -227,6 +236,31 @@ def main() -> None:
             t = min(run_once(name) for _ in range(reps))
             results.setdefault(name, {})[f"t_{sf_label}"] = round(t, 3)
             print(f"{sf_label} {name}: {t:.2f}s", flush=True)
+        # Direct join-row-volume statistic for the ngram family (r15):
+        # the capped inverted index's Σdf² IS the self-join's row
+        # count; its sf10→sf100 exponent is the containment
+        # disposition's claim, measured instead of extrapolated. The
+        # index is warm from the queries above (cost: one groupBy over
+        # postings).
+        from pyspark.sql import functions as Fx
+
+        from frinesis_spark.operators.dedup import _cached_shingle_index
+
+        stats = (
+            _cached_shingle_index(spark, sf_dir)
+            .groupBy("shingle")
+            .count()
+            .agg(
+                Fx.sum("count").alias("postings"),
+                Fx.sum(Fx.col("count") * Fx.col("count")).alias("sum_df_sq"),
+            )
+            .collect()[0]
+        )
+        ngram_stats[sf_label] = {
+            "postings": int(stats["postings"]),
+            "sum_df_sq": int(stats["sum_df_sq"]),
+        }
+        print(f"{sf_label} ngram stats: {ngram_stats[sf_label]}", flush=True)
         clear_derived_caches()
 
     out: dict[str, dict] = {}
@@ -251,6 +285,14 @@ def main() -> None:
         "load1_start": load1_start,
         "flag_rule": f"exp_10_100 > {FLAG_EXP} and t_sf100 >= {FLAG_SEC}s",
         "flagged": sorted(flagged),
+        "ngram_row_volume": {
+            **ngram_stats,
+            **({"sum_df_sq_exp_10_100": round(
+                __import__("math").log10(
+                    ngram_stats["sf100"]["sum_df_sq"]
+                    / ngram_stats["sf10"]["sum_df_sq"]
+                ), 2)} if len(ngram_stats) == 2 else {}),
+        },
         "queries": out,
     }
     name = (
