@@ -115,6 +115,7 @@ def attribute_movers(
     prev_load_reps: dict[str, list[float]],
     spreads: dict[str, float],
     noise_floor: float = _NOISE_FLOOR_SEC,
+    prev_norm_version: int | None = None,
 ) -> dict[str, dict]:
     """Per-mover evidence + mechanical verdict for every above-floor
     >_MOVER_RATIO shift (either direction matters, but only slowdowns
@@ -133,9 +134,18 @@ def attribute_movers(
     on its own; r14 ADVICE: these previously fell into
     ``unexplained``, whose definition they contradict),
     ``unexplained`` (identical plan, both rounds quiet, comparable
-    load — investigate), ``no-prev-fingerprint`` (anchor predates
+    load — investigate), ``fp-norm-upgraded`` (the fingerprint
+    NORMALIZATION rules changed between the rounds — planfp
+    NORM_VERSION differs — so fingerprints are incomparable and a
+    textual mismatch proves nothing; r15: the distinct-agg sort rule
+    re-hashed every plan), ``no-prev-fingerprint`` (anchor predates
     fingerprint recording).
     """
+    from frinesis_spark import planfp as _pfp
+
+    norm_comparable = (
+        prev_norm_version is None or prev_norm_version == _pfp.NORM_VERSION
+    )
 
     def _mean(xs: list[float]) -> float | None:
         xs = [x for x in xs if x >= 0]
@@ -148,11 +158,17 @@ def attribute_movers(
         if max(timings.get(name, 0.0), prev.get(name, 0.0)) < noise_floor:
             continue
         prev_fp = prev_plan_fp.get(name)
+        if not norm_comparable:
+            prev_fp = None  # void: hashed under different rules
         fp_same = prev_fp is not None and prev_fp == plan_fp.get(name)
         cur_load = _mean(load_reps.get(name, []))
         prv_load = _mean(prev_load_reps.get(name, []))
         if prev_fp is None:
-            verdict = "no-prev-fingerprint"
+            verdict = (
+                "fp-norm-upgraded"
+                if not norm_comparable and prev_plan_fp.get(name) is not None
+                else "no-prev-fingerprint"
+            )
         elif not fp_same:
             verdict = (
                 "plan-change-expected"
@@ -549,6 +565,7 @@ def main() -> None:
         "raw_reps": raw_reps,
         "load_reps": load_reps,
         "plan_fp": plan_fp,
+        "planfp_norm_version": _planfp.NORM_VERSION,
         "load_quality": load_quality(load1_start),
     }
     if sink:
@@ -626,6 +643,10 @@ def main() -> None:
             load_reps,
             _prev_full.get("load_reps") or {},
             spreads,
+            prev_norm_version=_prev_full.get(
+                "planfp_norm_version",
+                1 if _prev_full.get("plan_fp") else None,
+            ),
         )
         full["expected_plan_changes"] = _EXPECTED_PLAN_CHANGES
         # Settled re-measure (r15, r14 verdict item 7): three straight

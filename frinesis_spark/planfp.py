@@ -33,6 +33,15 @@ from __future__ import annotations
 import hashlib
 import re
 
+# Normalization-rule version, recorded in BENCH_full.json: fingerprints
+# hashed under different versions are NOT comparable, and
+# bench.attribute_movers says so ("fp-norm-upgraded") instead of crying
+# plan-change on every query the round a rule lands. Bump when a rule
+# changes what existing plans hash to.
+#   v2 (r15): distinct-aggregate group order normalized — see
+#   _sort_set_lists.
+NORM_VERSION = 2
+
 _SUBS: list[tuple[re.Pattern, str]] = [
     # expression IDs: col#123, col#123L — session-history dependent
     (re.compile(r"#\d+L?"), "#x"),
@@ -88,6 +97,120 @@ _SUBS: list[tuple[re.Pattern, str]] = [
 _PARTNUM = re.compile(r"(?i)((?:hash|range)partitioning\(.*), \d+\)")
 
 
+# Distinct-aggregate group order (found r15 — the agg_distinct
+# same-HEAD "plan-change"): Catalyst's RewriteDistinctAggregates
+# collects the distinct-argument groups into hash-keyed collections,
+# so the ORDER of the groups — which column lands in which Expand
+# slot, which gid literal each FILTER carries, the grouping-key order
+# of the distinct pre-aggregate — follows the hash codes of
+# expressions, which follow the session-global exprId counter. Two
+# sessions with different planning histories produce SEMANTICALLY
+# IDENTICAL plans whose text differs only in that order (verified by
+# diffing the two captured variants; the bimodal fingerprint flapped
+# across committed BENCH_full.json history for four rounds). Identity
+# must not depend on it: gid literals normalize to `n` and every
+# set-semantic bracket list (grouping keys, aggregate function lists,
+# node outputs, hashpartitioning args, Expand projections) is sorted.
+# Deliberate trade: a real code change that merely reorders grouping
+# keys or output columns now fingerprints identically — fine for a
+# PERF-attribution artifact (column order is verified by the
+# correctness gate's schema compare, not here).
+_GID = re.compile(r"\(gid#x = \d+\)")
+_SET_LIST_MARKERS = ("keys=[", "functions=[", "output=[")
+_HASHPART = "hashpartitioning("
+_EXPAND = "Expand "
+
+
+def _split_top(s: str) -> list[str]:
+    """Split on ', ' at bracket/paren depth 0."""
+    items, depth, start = [], 0, 0
+    i = 0
+    while i < len(s):
+        ch = s[i]
+        if ch in "[(":
+            depth += 1
+        elif ch in "])":
+            depth -= 1
+        elif depth == 0 and s.startswith(", ", i):
+            items.append(s[start:i])
+            start = i + 2
+            i += 2
+            continue
+        i += 1
+    items.append(s[start:])
+    return items
+
+
+def _region_end(s: str, start: int, open_ch: str, close_ch: str) -> int:
+    depth = 0
+    for i in range(start, len(s)):
+        if s[i] == open_ch:
+            depth += 1
+        elif s[i] == close_ch:
+            depth -= 1
+            if depth == 0:
+                return i
+    return -1
+
+
+def _sorted_bracket(s: str) -> str:
+    """Sort a '[...]' list's top-level items, nested lists first.
+    Bare integer items (Expand's gid / grouping-id literals — the
+    group-order-dependent labels themselves) normalize to ``n``."""
+    items = _split_top(s[1:-1])
+    items = [
+        _sorted_bracket(it)
+        if it.startswith("[") and it.endswith("]")
+        else ("n" if it.isdigit() else it)
+        for it in items
+    ]
+    return "[" + ", ".join(sorted(items)) + "]"
+
+
+def _sort_set_lists(line: str) -> str:
+    for marker in _SET_LIST_MARKERS:
+        pos = 0
+        while True:
+            pos = line.find(marker, pos)
+            if pos < 0:
+                break
+            b = pos + len(marker) - 1  # the '['
+            e = _region_end(line, b, "[", "]")
+            if e < 0:
+                break
+            line = line[:b] + _sorted_bracket(line[b : e + 1]) + line[e + 1 :]
+            pos = b + 1
+    pos = 0
+    while True:
+        pos = line.find(_HASHPART, pos)
+        if pos < 0:
+            break
+        b = pos + len(_HASHPART) - 1  # the '('
+        e = _region_end(line, b, "(", ")")
+        if e < 0:
+            break
+        inner = ", ".join(sorted(_split_top(line[b + 1 : e])))
+        line = line[: b + 1] + inner + line[e:]
+        pos = b + 1
+    # Expand nodes: both the nested projection list AND the trailing
+    # output list are group-order-dependent; sort every top-level
+    # bracket region after "Expand ". (Sorting preserves length, so
+    # the scan index stays valid.)
+    pos = line.find(_EXPAND)
+    if pos >= 0:
+        i = pos + len(_EXPAND)
+        while i < len(line):
+            if line[i] == "[":
+                e = _region_end(line, i, "[", "]")
+                if e < 0:
+                    break
+                line = line[:i] + _sorted_bracket(line[i : e + 1]) + line[e + 1 :]
+                i = e + 1
+            else:
+                i += 1
+    return line
+
+
 def normalize(plan_text: str) -> str:
     """Strip every run-varying token from a physical-plan string."""
     out = plan_text
@@ -96,8 +219,10 @@ def normalize(plan_text: str) -> str:
     while True:
         new = _PARTNUM.sub(r"\1, n)", out)
         if new == out:
-            return out
+            break
         out = new
+    out = _GID.sub("(gid#x = n)", out)
+    return "\n".join(_sort_set_lists(ln) for ln in out.splitlines())
 
 
 def fingerprint_text(plan_text: str) -> str:
