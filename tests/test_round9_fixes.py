@@ -256,9 +256,13 @@ def test_embedding_ann_reuses_cached_ivf_index(spark, sf_dir):
     as the ANN top-k query — one (session, corpus) build, two access
     patterns."""
     import frinesis_spark.operators.similarity as sim
+    from frinesis_spark.caches import clear_derived_caches
     from frinesis_spark.operators import dedup
 
-    sim._IVF_INDEX_CACHE.clear()
+    # Full derived-cache reset: since r15 the pair pass ALSO memoizes
+    # its multi-assignment table, which would otherwise serve this
+    # call without touching the IVF cache at all (test-order found).
+    clear_derived_caches()
     dedup.embedding_ann_pairs(spark, sf_dir).count()
     assert len(sim._IVF_INDEX_CACHE) == 1
     key = next(iter(sim._IVF_INDEX_CACHE))

@@ -17,15 +17,21 @@ co-membership) — across c and scale:
     cached across c points);
   * audit-slice recall at sf1/sf10 (the production grading shape —
     the full exact set at 200k vectors is ~45 min of matmul, excluded
-    by the same declaration bench_scaling10.py documents).
+    by the same declaration bench_scaling10.py documents);
+  * with ``--sf100``: a third decade (2M vectors, lists 1414, L=7 —
+    the regime where the OR-amplification rule carries the recall
+    floor almost entirely), embeddings-only fixture generated on
+    demand into .sf100.
 
 Run SOLO (no other Spark JVM). Writes JSON to stdout for SCALE.md.
-Usage: python tools/measure_emb_pair_sweep.py [c ...]  (default 3 4 6)
+Usage: python tools/measure_emb_pair_sweep.py [--sf100] [c ...]
+(default c sweep: 3 4 6)
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -40,9 +46,61 @@ SF_POINTS = [
     ("sf10", str(REPO / ".sf10"), False, True),
 ]
 
+# --sf100: the third decade (2M vectors, lists 1414, L rule gives 7).
+# Embeddings-only fixture, generated on demand with gen_fixtures'
+# distribution rule (unit gaussians — the ≥0.45 pairs are the natural
+# d=64 cosine tail, same population as every smaller point).
+SF100_POINT = ("sf100", str(REPO / ".sf100"), False, True)
+
+
+def _gen_sf100_embeddings(out_dir: str, n: int = 2_000_000) -> None:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(42)
+    schema = pa.schema(
+        [
+            ("vec_id", pa.int64()),
+            ("embedding", pa.list_(pa.float32())),
+            ("label", pa.int32()),
+        ]
+    )
+    chunk = 250_000
+    path = os.path.join(out_dir, "embeddings.parquet")
+    with pq.ParquetWriter(path, schema) as w:
+        for s in range(0, n, chunk):
+            m = min(chunk, n - s)
+            emb = rng.normal(0, 1, (m, 64))
+            emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+            w.write_table(
+                pa.table(
+                    {
+                        "vec_id": np.arange(s, s + m, dtype=np.int64),
+                        "embedding": pa.FixedSizeListArray.from_arrays(
+                            pa.array(emb.astype(np.float32).ravel()), 64
+                        ).cast(pa.list_(pa.float32())),
+                        "label": pa.array(
+                            rng.integers(0, 10, m), pa.int32()
+                        ),
+                    },
+                    schema=schema,
+                )
+            )
+
 
 def main() -> None:
-    cs = [int(a) for a in sys.argv[1:]] or [3, 4, 6]
+    args = [a for a in sys.argv[1:] if a != "--sf100"]
+    cs = [int(a) for a in args] or [3, 4, 6]
+    points = list(SF_POINTS)
+    if "--sf100" in sys.argv[1:]:
+        os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
+        label, d, _, _ = SF100_POINT
+        if not (Path(d) / "embeddings.parquet").exists():
+            print(f"# generating {label} embeddings at {d}", file=sys.stderr)
+            _gen_sf100_embeddings(d)
+        points.append(SF100_POINT)
 
     from pyspark.sql import functions as F
 
@@ -55,7 +113,7 @@ def main() -> None:
     results = []
     exact_counts: dict[str, int] = {}
     audit_exact_counts: dict[str, int] = {}
-    for sf_label, sf_dir, full_grade, audit_grade in SF_POINTS:
+    for sf_label, sf_dir, full_grade, audit_grade in points:
         if not Path(sf_dir).exists():
             print(f"# skipping {sf_label}: {sf_dir} missing", file=sys.stderr)
             continue
