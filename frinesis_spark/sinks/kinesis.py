@@ -88,8 +88,28 @@ class KinesisSinkConfig:
     # A15: periodic stats emission during drains (StatInterval,
     # batchproducer.go:235-239, :458-470).
     stat_interval_s: float = 1.0
+    # r15: fallback partition-key strategy when the caller supplies no
+    # key. "uuid" is the reference's only behavior (A16 — a fresh
+    # UUIDv4 per record, sink.go:76 / utils.go:16-19), which spreads
+    # shards evenly only IN EXPECTATION. "round_robin" cycles a fixed
+    # per-topic pool of ``round_robin_width`` keys deterministically —
+    # exactly-even traffic per key, bounded key cardinality (what
+    # KPL-style per-key aggregation and per-key throughput metrics
+    # want), and replay-stable keys. Valid ONLY under the orderless
+    # delivery contract this sink already declares: records for one
+    # entity land on rotating shards, so any per-key ordering
+    # requirement must pass explicit keys instead.
+    partition_key_mode: str = "uuid"
+    round_robin_width: int = 64
 
     def validate(self) -> None:
+        if self.partition_key_mode not in ("uuid", "round_robin"):
+            raise ConfigError(
+                "partition_key_mode must be 'uuid' (A16 per-record "
+                f"UUIDv4) or 'round_robin', got {self.partition_key_mode!r}"
+            )
+        if self.round_robin_width < 1:
+            raise ConfigError("round_robin_width must be >= 1")
         if not 1 <= self.batch_size <= MAX_KINESIS_BATCH_SIZE:
             raise ConfigError(
                 f"batch_size must be in [1, {MAX_KINESIS_BATCH_SIZE}]"
@@ -229,11 +249,22 @@ class BatchProducer:
         self.stats = ProducerStats()
         # A15 ticker: last periodic stats emission (clock units).
         self._last_stat_emit = self.clock()
+        # r15 round-robin key fallback: per-producer (= per-topic)
+        # cycle position; keys are a pure function of (topic, slot) so
+        # a foreachBatch replay regenerates the identical key stream.
+        self._rr_slot = 0
 
     # -- A3: buffered ingest with backpressure policy ------------------
     def add(self, data: bytes, partition_key: str | None = None) -> None:
         if partition_key is None:
-            partition_key = generate_partition_key()
+            if self.config.partition_key_mode == "round_robin":
+                partition_key = (
+                    f"rr-{self.stream_name}-"
+                    f"{self._rr_slot % self.config.round_robin_width}"
+                )
+                self._rr_slot += 1
+            else:
+                partition_key = generate_partition_key()
         if len(self._buffer) >= self.config.buffer_size:
             if not self.config.add_blocks_when_buffer_full:
                 raise BufferFullError(
