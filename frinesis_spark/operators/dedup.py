@@ -1328,12 +1328,17 @@ _COS_DUP_THRESHOLD = 0.45
 # L=4: 0.814 vs 0.820) — so total coverage L·v SHRINKS in n while
 # the floor holds:
 #   sf0.1:  L=1, 0.25·n², recall 0.84
-#   sf1:    L=2, 0.23·n², recall 0.831   (floor 70 ✓)
-#   sf10:   L=4, 0.14·n², recall 0.814   (floors 70/60 ✓)
-# measured sf1→sf10 raw-volume exponent 1.80; the L rule below gives
-# volume ∝ n^(2−0.5+0.5β) ≈ n^1.73 asymptotically (L ∝ n^0.23,
-# v ∝ n^-0.5). The serving top-k path is untouched — dedup pays the
-# L× premium because a missed dup stays in the training set.
+#   sf1:    L=2, 0.23·n², recall 0.829   (floor 70 ✓)
+#   sf10:   L=4, 0.14·n², audit recall 0.849   (floors 70/60 ✓)
+#   sf100:  L=7, 0.079·n², audit recall 0.819 over 17,441 audit
+#           pairs (2M vectors — predicted 0.079 / 0.80: the rule
+#           lands ON the model in the regime where L carries the
+#           floor almost entirely)
+# measured raw-volume exponents 1.80 (sf1→10) and 1.74 (sf10→100),
+# converging on the predicted asymptote volume ∝ n^(2−0.5+0.5β) ≈
+# n^1.73 (L ∝ n^0.23, v ∝ n^-0.5). The serving top-k path is
+# untouched — dedup pays the L× premium because a missed dup stays
+# in the training set.
 _EMB_ANN_ASSIGN = 4  # c: cells per vector per partition
 _EMB_ANN_SIZING_RECALL = 0.8  # L sizes to this; floors sit below it
 _EMB_ANN_F_A, _EMB_ANN_F_BETA = 1.609, 0.459  # calibrated f(v) fit
