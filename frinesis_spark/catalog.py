@@ -180,14 +180,23 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
-def spread(df: DataFrame) -> DataFrame:
+def spread(df: DataFrame, min_parts: int = 0) -> DataFrame:
     """Repartition ONLY when the scan yields fewer partitions than
-    cores (the one-file test corpus): an unconditional repartition is
-    a full shuffle of the corpus, never the advertised no-op — at real
-    scale the scan already has many splits and this returns df as-is.
-    (Hoisted from similarity.py so the dedup artifact builders share
-    one definition — they each carried the unconditional form.)"""
-    par = df.sparkSession.sparkContext.defaultParallelism
+    the target: an unconditional repartition is a full shuffle of the
+    corpus, never the advertised no-op — at real scale the scan
+    already has many splits and this returns df as-is. (Hoisted from
+    similarity.py so the dedup artifact builders share one
+    definition — they each carried the unconditional form.)
+
+    ``min_parts`` (r15): row-expanding builders pass a DATA-
+    PROPORTIONAL floor so per-task output stays bounded as the corpus
+    grows — the shingle-index explode at 5M docs OOMed a 96 GiB heap
+    when 32 fixed partitions each had to materialize ~8M string rows
+    (measured, tools/bench_scaling100.py); partition count must scale
+    with volume, not core count (SCALE.md principles)."""
+    par = max(
+        df.sparkSession.sparkContext.defaultParallelism, min_parts
+    )
     if df.rdd.getNumPartitions() >= par:
         return df
     return df.repartition(par)

@@ -34,6 +34,7 @@ _K = 128
 _BANDS = 32
 _ROWS = _K // _BANDS
 _SHINGLE = 3  # words per shingle
+_INDEX_DOCS_PER_TASK = 50_000  # shingle-index build fan-out bound (r15)
 _JACCARD_THRESHOLD = 0.5
 
 # SimHash: 64-bit fingerprint, 4 bands × 16 bits; hamming ≤ 8 = near-dup.
@@ -100,8 +101,15 @@ def _shingle_index(docs: DataFrame, max_df: int = _MAX_DF) -> DataFrame:
     split restores the r3 plan in the common case while keeping the
     hot-bucket bound contractual.
     """
+    # Data-proportional fan-out (r15): the explode multiplies rows
+    # ~50× with string payloads, so per-task output must stay bounded
+    # as the corpus grows — 32 fixed partitions at 5M docs put ~8M
+    # string rows in each task's checkpoint block and OOMed a 96 GiB
+    # heap (tools/bench_scaling100.py, measured). One metadata-cheap
+    # count sizes the build; inert below ~1.6M docs (32 cores × the
+    # per-task bound), so every plan ≤ sf10 is unchanged.
     inv = (
-        spread(docs)
+        spread(docs, min_parts=docs.count() // _INDEX_DOCS_PER_TASK)
         .select("doc_id", F.explode(_shingles()).alias("shingle"))
         .localCheckpoint(eager=True)
     )
