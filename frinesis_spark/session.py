@@ -33,6 +33,44 @@ def get_spark(app_name: str = "frinesis_spark") -> SparkSession:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE coalescing floor (r15, guide §2.2): the default 1 MiB
+        # minPartitionSize is a bytes-first guard that assumes shuffle
+        # overhead dominates — but this engine's evaluator-dense stages
+        # (trailing-frame quantiles, hash graders, distance re-ranks)
+        # carry heavy per-ROW cost on few bytes, and the 1 MiB floor
+        # coalesced them to 1-3 tasks, serializing CPU-bound work
+        # (measured: window_rolling_quantile's final stage ran 2 tasks
+        # on 32 cores; 1.9 s → 1.0 s with the lower floor). 64 KiB
+        # keeps AQE's parallelism-first targeting effective on small
+        # intermediates while still merging genuinely tiny partitions.
+        # Scale note: with parallelismFirst (default on) the coalescing
+        # target is max(total/defaultParallelism, THIS), so on cluster-
+        # sized shuffles (total/cores ≫ 1 MiB) the floor never binds —
+        # it only changes sub-(cores × 1 MiB) intermediates, which are
+        # exactly the stages where task overhead is cheaper than idle
+        # cores. Parameterised for deployments that want it back up.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "64k"),
+        )
+        # Scan split floor (r15, guide §6): maxSplitBytes =
+        # min(maxPartitionBytes, max(openCostInBytes, bytes/minPartitionNum)),
+        # so the default 4 MiB open cost floors every split at 4 MiB —
+        # a sub-128 MiB table can never scan with more than ~size/4MiB
+        # tasks, serializing the scan-fused stages (filter, project,
+        # partial agg, ArrowEvalPython) of small inputs. 4 MiB models
+        # spinning-disk file-open overhead; on local NVMe/page cache —
+        # and on the object stores a cluster reads — per-file overhead
+        # is far below 128 KiB of scan. Only small tables/splits are
+        # affected: above ~cores x 4 MiB, bytes/minPartitionNum
+        # dominates and the floor never binds. Pairs with the
+        # row-group relayout in catalog._split_staged_path (a split
+        # without a row-group boundary inside it is still one task's
+        # work).
+        .config(
+            "spark.sql.files.openCostInBytes",
+            os.environ.get("SPARK_GRAFT_OPEN_COST_BYTES", "131072"),
+        )
         # Deterministic timestamp semantics vs the DuckDB oracle
         # (DuckDB timestamps are UTC-naive).
         .config("spark.sql.session.timeZone", "UTC")
