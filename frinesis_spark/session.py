@@ -58,18 +58,22 @@ def get_spark(app_name: str = "frinesis_spark") -> SparkSession:
         # so the default 4 MiB open cost floors every split at 4 MiB —
         # a sub-128 MiB table can never scan with more than ~size/4MiB
         # tasks, serializing the scan-fused stages (filter, project,
-        # partial agg, ArrowEvalPython) of small inputs. 4 MiB models
-        # spinning-disk file-open overhead; on local NVMe/page cache —
-        # and on the object stores a cluster reads — per-file overhead
-        # is far below 128 KiB of scan. Only small tables/splits are
-        # affected: above ~cores x 4 MiB, bytes/minPartitionNum
-        # dominates and the floor never binds. Pairs with the
-        # row-group relayout in catalog._split_staged_path (a split
-        # without a row-group boundary inside it is still one task's
-        # work).
+        # partial agg, ArrowEvalPython) of small inputs. 1 MiB is the
+        # measured sweet spot (interleaved A/B over both the scan-dense
+        # winners and the multi-stage sub-second tail): the first cut
+        # to 128 KiB over-split the small joins/multi-stage queries
+        # into ~300 KiB tasks whose scheduling overhead exceeded their
+        # scan work (sql_tpch_q15/q2/q11, merge_upsert regressed ~2x),
+        # while 1 MiB keeps every split-staging win (sql_tpch_q1,
+        # udf_python, dedup graders) AND recovers the tail. Only small
+        # tables/splits are affected: above ~cores x 4 MiB,
+        # bytes/minPartitionNum dominates and the floor never binds.
+        # Pairs with the row-group relayout in
+        # catalog._split_staged_path (a split without a row-group
+        # boundary inside it is still one task's work).
         .config(
             "spark.sql.files.openCostInBytes",
-            os.environ.get("SPARK_GRAFT_OPEN_COST_BYTES", "131072"),
+            os.environ.get("SPARK_GRAFT_OPEN_COST_BYTES", "1048576"),
         )
         # Deterministic timestamp semantics vs the DuckDB oracle
         # (DuckDB timestamps are UTC-naive).

@@ -151,7 +151,7 @@ def stream_state_partitions(
 ) -> int:
     """State-store partition count for a run-to-completion streaming
     query: ``SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS`` if set (must be
-    ≥ 1), else cores/4 clamped to [4, session setting]. See the sizing
+    ≥ 1), else cores/8 clamped to [2, session setting]. See the sizing
     rationale at the call site in :func:`run_append_to_files`.
     """
     env = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS")
@@ -169,7 +169,7 @@ def stream_state_partitions(
                 f"got {env!r}"
             )
         return n
-    return min(session_parts, max(4, default_parallelism // 4))
+    return min(session_parts, max(2, default_parallelism // 8))
 
 
 def run_append_to_files(stream_df: DataFrame) -> DataFrame:
@@ -212,8 +212,13 @@ def run_append_to_files(stream_df: DataFrame) -> DataFrame:
     # r11 (interleaved min-of-3, quiet host, identical outputs
     # asserted per rep): 32 → 8 partitions cut the 8-query streaming
     # family 16.6 s → 9.3 s at sf0.1 (stream_stream_join 6.1 → 2.2,
-    # incremental_batches 4.5 → 2.5, watermark_late 2.3 → 1.5). The
-    # replayed fixtures carry KB–MB of state, so cores/4 (min 4) is
+    # incremental_batches 4.5 → 2.5, watermark_late 2.3 → 1.5); the
+    # r15 re-measure (same protocol, progress-metric breakdown in
+    # OPTIMIZATION_r15.md) pushed 8 → 4 for another −1.5 s on the
+    # six-query family (stream_stream_join 2.81 → 2.12: a stream-
+    # stream join opens/commits FOUR stores per partition per batch,
+    # so partition count multiplies hardest there). The replayed
+    # fixtures carry KB–MB of state, so cores/8 (min 2) is
     # still far above the volume floor; a production deployment with
     # large keyspaces sizes this up so per-task state fits in memory —
     # override via SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS. Fresh

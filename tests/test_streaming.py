@@ -330,15 +330,15 @@ def test_restart_from_checkpoint_exactly_once(spark, stage, tmp_path):
 def test_stream_state_partitions_sizing(monkeypatch):
     """The state-store partition clamp: every state partition pays a
     fixed store-open + delta-commit per micro-batch, so the default
-    sizes to cores/4 (floor 4), never above the session setting; the
+    sizes to cores/8 (floor 2), never above the session setting; the
     env override wins outright (the production up-sizing knob)."""
     from frinesis_spark.streaming.runner import stream_state_partitions
 
     monkeypatch.delenv("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS", raising=False)
-    assert stream_state_partitions(32, 32) == 8      # local[32] default
-    assert stream_state_partitions(32, 8) == 4       # floor at 4
+    assert stream_state_partitions(32, 32) == 4      # local[32] default
+    assert stream_state_partitions(32, 8) == 2       # floor at 2
     assert stream_state_partitions(2, 32) == 2       # never above session
-    assert stream_state_partitions(200, 1000) == 200  # big cluster, capped
+    assert stream_state_partitions(200, 1600) == 200  # big cluster, capped
     monkeypatch.setenv("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS", "96")
     assert stream_state_partitions(32, 32) == 96     # override wins
     monkeypatch.setenv("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS", "0")

@@ -25,25 +25,26 @@ os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
 os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
 
 # Each config: (label, {sql conf: value}, {env var: value})
+_FLOOR = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
 CONFIGS = [
     (
         "cur",
-        {"spark.sql.files.openCostInBytes": "131072"},
+        {"spark.sql.files.openCostInBytes": "1048576", _FLOOR: "64k"},
         {"SPARK_GRAFT_SPLIT_STAGE": "1"},
     ),
     (
-        "open512k",
-        {"spark.sql.files.openCostInBytes": "524288"},
+        "floor128k",
+        {"spark.sql.files.openCostInBytes": "1048576", _FLOOR: "128k"},
         {"SPARK_GRAFT_SPLIT_STAGE": "1"},
     ),
     (
-        "open1m",
-        {"spark.sql.files.openCostInBytes": "1048576"},
+        "floor256k",
+        {"spark.sql.files.openCostInBytes": "1048576", _FLOOR: "256k"},
         {"SPARK_GRAFT_SPLIT_STAGE": "1"},
     ),
     (
         "nosplit4m",
-        {"spark.sql.files.openCostInBytes": "4194304"},
+        {"spark.sql.files.openCostInBytes": "4194304", _FLOOR: "1m"},
         {"SPARK_GRAFT_SPLIT_STAGE": "0"},
     ),
 ]
