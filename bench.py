@@ -84,6 +84,16 @@ _EXPECTED_PLAN_CHANGES: dict[str, str] = {
         "(palette PNG + baseline JPEG; verdict item 2)"
     ),
     "multimodal_resize": ("r15: same six-slot cycle widening"),
+    "dedup_near_minhash": (
+        "r15 opt: the audit-slice grader now broadcasts the "
+        "size-absolute AUDIT side of its restricted index join "
+        "instead of the corpus-sized index side (build-side flip; "
+        "shuffle/broadcast counts unchanged)"
+    ),
+    "dedup_simhash": (
+        "r15 opt: same grader build-side flip (shared "
+        "audit_exact_jaccard_pairs)"
+    ),
 }
 
 
