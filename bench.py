@@ -578,6 +578,14 @@ def main() -> None:
         "planfp_norm_version": _planfp.NORM_VERSION,
         "load_quality": load_quality(load1_start),
     }
+    # Per-table split-staging cost (r16, VERDICT r15 item 4): the
+    # once-per-process row-group relayout runs outside every per-query
+    # timer; record it so the warm numbers can't silently absorb a
+    # growing setup cost.
+    from frinesis_spark.catalog import SPLIT_STAGE_SECONDS
+
+    if SPLIT_STAGE_SECONDS:
+        full["split_staging_sec"] = dict(SPLIT_STAGE_SECONDS)
     if sink:
         full["sink"] = sink
     if sink_wire:

@@ -170,6 +170,56 @@ _SPLIT_DIRS: list[str] = []
 _SPLIT_MIN_BYTES = 1 << 20  # leave sub-MiB dimension tables alone
 _SPLIT_TARGET_GROUPS = 64  # supports up to 64-way scan parallelism
 _SPLIT_MIN_ROWS_PER_GROUP = 4096  # vectorized-reader efficiency floor
+# Upper staging cap (r16, VERDICT item 3): past this, a relayout costs
+# a full read+rewrite of the table before the first query — at that
+# size the layout should be fixed where the table is WRITTEN (guide
+# §6), not re-staged per process. Skipped tables scan the original
+# (one task per row group — slow but correct) with a stderr note.
+_SPLIT_MAX_BYTES = int(
+    os.environ.get("SPARK_GRAFT_SPLIT_MAX_BYTES", str(4 << 30))
+)
+
+# name -> relayout seconds for this process's staged tables; bench.py
+# records it in BENCH_full.json so the per-run setup cost the warm
+# timings exclude stays visible (VERDICT r15 item 4).
+SPLIT_STAGE_SECONDS: dict[str, float] = {}
+
+
+def _parquet_column_types(path: str) -> list[tuple]:
+    """(name, physical, logical) per column from one file's footer."""
+    import pyarrow.parquet as pq
+
+    s = pq.ParquetFile(path).schema
+    return [
+        (
+            s.column(i).name,
+            s.column(i).physical_type,
+            str(s.column(i).logical_type),
+        )
+        for i in range(len(s.names))
+    ]
+
+
+def _timestamp_types_preserved(orig: str, staged: str) -> bool:
+    """True when every timestamp-bearing column keeps its parquet
+    physical/logical type across the relayout (ADVICE r15): pyarrow's
+    v2.6 writer maps INT96 → TIMESTAMP(NANOS), which Spark's
+    vectorized reader REJECTS (and the ns branch then flips a
+    session-global legacy flag the fixture never required). Value
+    equality is already guaranteed by the byte-level rewrite; this
+    guards the TYPE, and only for timestamp columns — benign encoding
+    differences elsewhere must not forfeit the relayout."""
+
+    def ts_cols(types):
+        return [
+            t
+            for t in types
+            if t[1] == "INT96" or "Timestamp" in t[2] or "Time" in t[2]
+        ]
+
+    return ts_cols(_parquet_column_types(orig)) == ts_cols(
+        _parquet_column_types(staged)
+    )
 
 
 @atexit.register
@@ -196,12 +246,23 @@ def _split_staged_path(sf_dir: str, name: str) -> str:
         return staged if staged is not None else orig
     staged: str | None = None
     try:
-        if sum(os.path.getsize(p) for p in files) >= _SPLIT_MIN_BYTES:
+        total_bytes = sum(os.path.getsize(p) for p in files)
+        if total_bytes > _SPLIT_MAX_BYTES:
+            print(
+                f"split-staging of {name} skipped: {total_bytes} bytes "
+                f"> cap {_SPLIT_MAX_BYTES} (fix the layout at the "
+                "writer, or raise SPARK_GRAFT_SPLIT_MAX_BYTES)",
+                file=sys.stderr,
+            )
+        elif total_bytes >= _SPLIT_MIN_BYTES:
+            import time as _time
+
             import pyarrow.parquet as pq
 
-            metas = [pq.ParquetFile(p).metadata for p in files]
-            rows = sum(m.num_rows for m in metas)
-            groups = sum(m.num_row_groups for m in metas)
+            t0 = _time.perf_counter()
+            pfs = [pq.ParquetFile(p) for p in files]
+            rows = sum(pf.metadata.num_rows for pf in pfs)
+            groups = sum(pf.metadata.num_row_groups for pf in pfs)
             target = min(
                 _SPLIT_TARGET_GROUPS,
                 max(1, rows // _SPLIT_MIN_ROWS_PER_GROUP),
@@ -212,20 +273,48 @@ def _split_staged_path(sf_dir: str, name: str) -> str:
                 per_group = max(
                     _SPLIT_MIN_ROWS_PER_GROUP, -(-rows // target)
                 )
-                for i, p in enumerate(files):
+                for i, pf in enumerate(pfs):
                     # Byte-level rechunk: schema, values and row order
                     # are preserved exactly; only row-group boundaries
                     # (and their min/max stats, a pushdown bonus)
                     # change. version=2.6 keeps ns/µs timestamp
                     # physical types as-is instead of legacy coercion.
-                    pq.write_table(
-                        pq.read_table(p),
-                        os.path.join(outdir, f"part-{i:05d}.parquet"),
-                        row_group_size=per_group,
+                    # STREAMED (r16, VERDICT item 3): iter_batches →
+                    # ParquetWriter holds one ~per_group-row batch in
+                    # memory at a time, never the whole table — the
+                    # read_table form materialized exactly the
+                    # single-huge-row-group pathology this fix targets
+                    # in DRIVER memory.
+                    out = os.path.join(outdir, f"part-{i:05d}.parquet")
+                    with pq.ParquetWriter(
+                        out,
+                        pf.schema_arrow,
                         version="2.6",
                         use_deprecated_int96_timestamps=False,
+                    ) as writer:
+                        for batch in pf.iter_batches(batch_size=per_group):
+                            writer.write_batch(batch)
+                # Timestamp-type guard (ADVICE r15): a relayout that
+                # changes a timestamp column's parquet type (INT96 →
+                # TIMESTAMP(NANOS)) would reroute the read through the
+                # legacy nanos branch — discard it, keep the original.
+                if _timestamp_types_preserved(
+                    files[0], os.path.join(outdir, "part-00000.parquet")
+                ):
+                    staged = outdir
+                else:
+                    print(
+                        f"split-staging of {name} discarded: relayout "
+                        "changed a timestamp column's parquet type; "
+                        "scanning the original layout",
+                        file=sys.stderr,
                     )
-                staged = outdir
+                    shutil.rmtree(outdir, ignore_errors=True)
+                    _SPLIT_DIRS.remove(outdir)
+                if staged is not None:
+                    SPLIT_STAGE_SECONDS[name] = round(
+                        _time.perf_counter() - t0, 3
+                    )
     except Exception as exc:  # staging is an optimization, never a gate
         print(
             f"split-staging of {name} failed ({type(exc).__name__}: "

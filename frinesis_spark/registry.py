@@ -303,6 +303,16 @@ def _check_tiers(registered: set[str]) -> None:
                 f"registry tier {tier_name} names unregistered queries "
                 f"{sorted(unknown)} — refresh the tier lists"
             )
+    # The shape-conf sets are hand-maintained query-name lists too —
+    # same typo hazard, same loud failure (r16).
+    from frinesis_spark import tuning
+
+    unknown_shape = (tuning.COARSE_SHUFFLE | tuning.COARSE_SCAN) - registered
+    if unknown_shape:
+        raise ValueError(
+            f"tuning coarse-shape sets name unregistered queries "
+            f"{sorted(unknown_shape)} — fix frinesis_spark/tuning.py"
+        )
     # Pairwise disjointness (ADVICE r7): a name in two tiers is only
     # harmless because _reorder checks _CHANGED_SINCE_VERDICT first;
     # assert it so a precedence change or one-sided removal can't
@@ -336,6 +346,24 @@ def _reorder(names: list[str]) -> list[str]:
     return [n for _, n in sorted(enumerate(names), key=key)]
 
 
+def _shaped(
+    name: str, fn: Callable[[SparkSession, str], DataFrame]
+) -> Callable[[SparkSession, str], DataFrame]:
+    """Wrap a query builder so the per-query-shape split knobs
+    (tuning.apply_shape_conf — r16 VERDICT item 1) are in force for
+    its execution. Conf-only: the computed result is untouched."""
+    from frinesis_spark import tuning
+
+    def run(spark: SparkSession, sf_dir: str, *a, **kw) -> DataFrame:
+        tuning.apply_shape_conf(spark, name)
+        return fn(spark, sf_dir, *a, **kw)
+
+    run.__name__ = fn.__name__
+    run.__doc__ = fn.__doc__
+    run.__wrapped__ = fn  # introspection hook for tests/tools
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in _load_modules():
@@ -344,7 +372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             raise ValueError(f"duplicate query names {overlap} in {mod.__name__}")
         out.update(mod.QUERIES)
     _check_tiers(set(out))
-    return {n: out[n] for n in _reorder(list(out))}
+    return {n: _shaped(n, out[n]) for n in _reorder(list(out))}
 
 
 def oracle_sql() -> dict[str, str]:

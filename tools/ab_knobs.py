@@ -23,6 +23,9 @@ sys.path.insert(0, str(REPO))
 
 os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
 os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
+# The registry's per-query shape wrapper (r16) re-sets the two split
+# knobs at build time — disable it so each arm's explicit conf wins.
+os.environ.setdefault("SPARK_GRAFT_SHAPE_CONF", "0")
 
 # Each config: (label, {sql conf: value}, {env var: value})
 _FLOOR = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
@@ -33,19 +36,19 @@ CONFIGS = [
         {"SPARK_GRAFT_SPLIT_STAGE": "1"},
     ),
     (
-        "floor128k",
-        {"spark.sql.files.openCostInBytes": "1048576", _FLOOR: "128k"},
+        "aqe1m",
+        {"spark.sql.files.openCostInBytes": "1048576", _FLOOR: "1m"},
         {"SPARK_GRAFT_SPLIT_STAGE": "1"},
     ),
     (
-        "floor256k",
-        {"spark.sql.files.openCostInBytes": "1048576", _FLOOR: "256k"},
+        "open4m",
+        {"spark.sql.files.openCostInBytes": "4194304", _FLOOR: "64k"},
         {"SPARK_GRAFT_SPLIT_STAGE": "1"},
     ),
     (
-        "nosplit4m",
+        "coarse",
         {"spark.sql.files.openCostInBytes": "4194304", _FLOOR: "1m"},
-        {"SPARK_GRAFT_SPLIT_STAGE": "0"},
+        {"SPARK_GRAFT_SPLIT_STAGE": "1"},
     ),
 ]
 
