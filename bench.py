@@ -71,28 +71,19 @@ _SETTLE_POLL_S = 10.0
 # accidental ones — a reader should not need to cross-reference the
 # pin test. Cleared when the change has appeared in a driver artifact.
 _EXPECTED_PLAN_CHANGES: dict[str, str] = {
-    "dedup_embedding_ann": (
-        "r15: OR-amplified multi-assignment candidate pass replaces "
-        "the probe=lists/8 coverage hold (verdict item 1)"
-    ),
-    "dedup_embedding_ann_audit": (
-        "r15: same rewrite; the symmetric rule needs one audit join "
-        "orientation instead of two (one broadcast fewer)"
-    ),
-    "multimodal_decode": (
-        "r15: media fixture cycle widened to six slots "
-        "(palette PNG + baseline JPEG; verdict item 2)"
-    ),
-    "multimodal_resize": ("r15: same six-slot cycle widening"),
+    # (r15 declarations cleared: all six appeared in the r15 driver
+    # artifact, which is now the comparison anchor.)
     "dedup_near_minhash": (
-        "r15 opt: the audit-slice grader now broadcasts the "
-        "size-absolute AUDIT side of its restricted index join "
-        "instead of the corpus-sized index side (build-side flip; "
-        "shuffle/broadcast counts unchanged)"
+        "r16 opt: the audit-slice grader's two orientation joins "
+        "fused into ONE pass over the index (orientation decided in "
+        "the join filter; audit side still the broadcast build) — "
+        "one BroadcastExchange fewer, shuffles unchanged"
     ),
     "dedup_simhash": (
-        "r15 opt: same grader build-side flip (shared "
-        "audit_exact_jaccard_pairs)"
+        "r16 opt: same grader one-pass fuse (shared "
+        "audit_exact_jaccard_pairs); plus the corpus-family floor "
+        "probe is memoized per (session, corpus) — one distributed "
+        "job fewer per invocation, floor value identical"
     ),
 }
 
@@ -712,6 +703,7 @@ def main() -> None:
     print(compact_line(
         timings, regressions, sf, total,
         sink_rps=sink.get("records_per_sec") if sink else None,
+        anchor_names=_prev_compact_names(Path(__file__).resolve().parent, sf),
     ))
 
 
@@ -887,9 +879,18 @@ def compact_line(
     sf: float,
     total: float,
     sink_rps: int | None = None,
+    anchor_names: frozenset | set | None = None,
 ) -> str:
     """The stdout line, guaranteed to fit the driver's 2000-char tail
-    capture (tests/test_round6_fixes.py pins the worst case)."""
+    capture (tests/test_round6_fixes.py pins the worst case).
+
+    ``anchor_names`` (r16, VERDICT r15 item 8): the query names the
+    PREVIOUS round's driver-recorded compact line carried. The budget
+    keeps those before any unanchored sub-floor query, so the driver's
+    round-over-round comparison — which reads only the compact lines —
+    stops churning anchors: r15's slowest-first-only budgeting dropped
+    23 queries that had simply gotten FASTER, and the r15 PERF file
+    showed 47 spurious dropped/new rows."""
     compact = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -918,12 +919,25 @@ def compact_line(
                 )[:20]
             }
             compact["regressions_truncated"] = len(regressions) - 20
-        # Then BUDGET the queries map, slowest first (r8: the headline
-        # grew past what fits whole): keep as many entries as fit —
-        # the dropped tail is the FASTEST queries, which sit under the
-        # regression alarm's noise floor anyway, so losing their
-        # next-round anchors costs nothing the alarm could have used.
-        ordered = sorted(compact["queries"].items(), key=lambda kv: -kv[1])
+        # Then BUDGET the queries map (r8: the headline grew past what
+        # fits whole): keep as many entries as fit, in priority order
+        # (r16) — (0) above-floor queries slowest-first (the
+        # regression alarm's population must never lose an anchor),
+        # (1) queries the previous compact line anchored (keeping them
+        # means the driver comparison sees no spurious drop), (2) the
+        # rest. Within each class slowest-first, name tie-break, so
+        # the kept set is deterministic and near-stable across rounds.
+        anchors = anchor_names or frozenset()
+        ordered = sorted(
+            compact["queries"].items(),
+            key=lambda kv: (
+                0
+                if kv[1] >= _NOISE_FLOOR_SEC
+                else (1 if kv[0] in anchors else 2),
+                -kv[1],
+                kv[0],
+            ),
+        )
         base = dict(compact)
         base["queries"] = {}
         # Pre-reserve the annotation key: appending it AFTER budgeting
@@ -960,17 +974,17 @@ def compact_line(
     return line
 
 
-def _load_prev_bench(repo: Path, sf: float) -> tuple[int, dict] | None:
-    """(round, per-query times) from the newest BENCH_r{N}.json at the
-    same sf — the round number drives _EXPECTED_SHIFTS self-expiry.
+def _prev_compact_names(repo: Path, sf: float) -> frozenset:
+    """Query names the newest same-sf BENCH_r{N}.json's compact line
+    carried — the anchor set the driver's next comparison will look
+    for (compact_line keeps these under budget pressure, r16)."""
+    loaded = _load_prev_compact(repo, sf)
+    return frozenset(loaded[1]) if loaded else frozenset()
 
-    The compact driver-recorded line BUDGETS its queries map, so a
-    growing headline set drops its fastest tail from BENCH_r{N}. The
-    committed BENCH_full.json (read HERE, before this run overwrites
-    it) carries every query — its same-sf entries backfill the
-    missing anchors so a compact-dropped query still gets a vs_prev
-    ratio and stays alarm-eligible next round (r9 review wave 5: the
-    old behavior silently un-anchored the dropped tail)."""
+
+def _load_prev_compact(repo: Path, sf: float) -> tuple[int, dict] | None:
+    """(round, per-query times) of the newest same-sf driver-recorded
+    compact line, WITHOUT the BENCH_full backfill."""
     best: tuple[int, dict] | None = None
     for p in repo.glob("BENCH_r*.json"):
         m = re.match(r"BENCH_r(\d+)\.json", p.name)
@@ -985,6 +999,21 @@ def _load_prev_bench(repo: Path, sf: float) -> tuple[int, dict] | None:
         n = int(m.group(1))
         if best is None or n > best[0]:
             best = (n, parsed["queries"])
+    return best
+
+
+def _load_prev_bench(repo: Path, sf: float) -> tuple[int, dict] | None:
+    """(round, per-query times) from the newest BENCH_r{N}.json at the
+    same sf — the round number drives _EXPECTED_SHIFTS self-expiry.
+
+    The compact driver-recorded line BUDGETS its queries map, so a
+    growing headline set drops its fastest tail from BENCH_r{N}. The
+    committed BENCH_full.json (read HERE, before this run overwrites
+    it) carries every query — its same-sf entries backfill the
+    missing anchors so a compact-dropped query still gets a vs_prev
+    ratio and stays alarm-eligible next round (r9 review wave 5: the
+    old behavior silently un-anchored the dropped tail)."""
+    best = _load_prev_compact(repo, sf)
     if best is None:
         return None
     try:

@@ -104,6 +104,7 @@ def clear_derived_caches(unpersist: bool = True) -> int:
         dedup._SIG_CACHE,
         dedup._SIZES_CACHE,
         dedup._SIMHASH_CACHE,
+        dedup._SIMHASH_FLOOR_CACHE,
         dedup._EMB_MEMBERSHIP_CACHE,
         similarity._LSH_INDEX_CACHE,
         similarity._IVF_INDEX_CACHE,

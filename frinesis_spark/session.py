@@ -94,10 +94,23 @@ def get_spark(app_name: str = "frinesis_spark") -> SparkSession:
     # env-gated so default-config measurements stay comparable across
     # rounds, and query RESULTS are identical either way.
     if os.environ.get("SPARK_GRAFT_STATESTORE") == "rocksdb":
-        builder = builder.config(
-            "spark.sql.streaming.stateStore.providerClass",
-            "org.apache.spark.sql.execution.streaming.state."
-            "RocksDBStateStoreProvider",
+        builder = (
+            builder.config(
+                "spark.sql.streaming.stateStore.providerClass",
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider",
+            )
+            # Changelog checkpointing (r16): commit the per-batch
+            # CHANGELOG instead of a full snapshot zip per store per
+            # batch — the documented production pairing for RocksDB
+            # state at scale; snapshots still happen, just async and
+            # less often. Exactly-once and watermark semantics are
+            # unchanged (the checkpoint contract is the same).
+            .config(
+                "spark.sql.streaming.stateStore.rocksdb."
+                "changelogCheckpointing.enabled",
+                "true",
+            )
         )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

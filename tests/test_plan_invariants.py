@@ -129,8 +129,13 @@ _EXPECTED_SHUFFLES = {
     # one BroadcastExchange: the ~audit-sized exact-pair set broadcast
     # into the recall left-join instead of shuffle-joining, the plan a
     # size-absolute audit should have.
-    "dedup_simhash": (4, 5),
-    "dedup_near_minhash": (3, 7),
+    # r16: the shared audit grader's two orientation joins fused into
+    # ONE pass over the index (orientation decided in the join
+    # filter, audit side still the broadcast build) — one
+    # BroadcastExchange fewer in each consumer, shuffles unchanged
+    # (measured 0.778 → 0.536 s on the grader, identical output).
+    "dedup_simhash": (4, 4),
+    "dedup_near_minhash": (3, 6),
     "agg_approx_quantile": (1, 0),
     "similarity_ann_ivf": (7, 2),  # incl. 1 round-robin rebalance
     "dedup_ngram_jaccard": (1, 3),

@@ -27,15 +27,24 @@ def _plan_text(df) -> str:
 
 class TestAuditGraderBuildSide:
     def test_audit_side_is_build_side(self, spark, sf_dir):
-        """Both orientation joins of audit_exact_jaccard_pairs build
-        (broadcast) their LEFT input — the audit postings — not the
-        full-index right side."""
+        """The grader's orientation join (ONE since the r16 one-pass
+        fuse; two through r15) builds (broadcasts) its LEFT input —
+        the audit postings — never the full-index right side.
+        Anchored to the shingle-keyed join specifically (ADVICE r15:
+        the old whole-plan count could be satisfied by an unrelated
+        BuildLeft elsewhere in the cached-index lineage)."""
+        from frinesis_spark import planfp
         from frinesis_spark.operators import dedup as D
 
-        plan = _plan_text(D.audit_exact_jaccard_pairs(spark, sf_dir))
-        # The two orientation joins carry the doc_id inequality in
-        # their join condition; both must be BuildLeft now.
-        assert plan.count("BroadcastHashJoin Inner BuildLeft") >= 2, plan
+        plan = planfp.plan_text(D.audit_exact_jaccard_pairs(spark, sf_dir))
+        shingle_joins = [
+            ln
+            for ln in plan.splitlines()
+            if "BroadcastHashJoin [shingle" in ln
+        ]
+        assert len(shingle_joins) == 1, shingle_joins
+        assert "BuildLeft" in shingle_joins[0], shingle_joins[0]
+        assert "BuildRight" not in shingle_joins[0], shingle_joins[0]
 
     def test_restricted_equals_filtered_full_still_holds(
         self, spark, sf_dir
