@@ -100,74 +100,22 @@ def _load_modules():
 # count written at refresh time silently drifts (the r13/r14 ADVICE
 # nit). Run tools/refresh_tiers.py for the live budget summary.
 # === TIERS BEGIN (tools/refresh_tiers.py --write) ===
-# Tiers generated from CORRECTNESS_r14 by tools/refresh_tiers.py --write.
-# tier 0 (changed since the r14 verdict): hand-add names here as r15
+# Tiers generated from CORRECTNESS_r15 by tools/refresh_tiers.py --write.
+# tier 0 (changed since the r15 verdict): hand-add names here as r16
 # changes land, REMOVING them from the list below that held them
 # (_check_tiers enforces disjointness).
 _CHANGED_SINCE_VERDICT = (
-    # r15 (verdict item 1): the embedding pair pass replaced the r14
-    # coverage hold (probe = lists/8, n²/8 FLOPs at every geometry)
-    # with OR-amplified multi-assignment over L salted IVF partitions
-    # — candidate volume now shrinks as a fraction of n² (measured
-    # sf1→sf10 exponent 1.80) while the recall floors hold; the
-    # serving contract changed, so prior green rows no longer cover
-    # these two.
-    "dedup_embedding_ann",
-    "dedup_embedding_ann_audit",
-    # r15 (verdict item 2): the media fixture cycle widened from four
-    # direct PNG color types to six slots — palette PNG (type 3) and
-    # baseline JPEG — changing both queries' outputs on every media
-    # row.
-    "multimodal_decode",
-    "multimodal_resize",
+    # r16 opt: the shared audit grader fused its two orientation
+    # joins into one pass (plan change, result-identical — both
+    # consumers promoted from the r14 boundary, so the slots are the
+    # ones they were owed anyway).
+    "dedup_near_minhash",
+    "dedup_simhash",
 )
 
-# tier 2: stale evidence — last green before r14; name -> last-green
+# tier 2: stale evidence — last green before r15; name -> last-green
 # round, the _reorder sort key (oldest evidence claims window slots first)
 _STALE_EVIDENCE = {
-    "agg_approx_quantile": 12,
-    "agg_filtered_conditional": 12,
-    "agg_regression": 12,
-    "agg_rollup_cube": 12,
-    "dedup_containment_ngram": 12,
-    "dedup_embedding_cosine": 12,
-    "dedup_exact": 12,
-    "join_asof_tolerance": 12,
-    "merge_scd2": 12,
-    "multimodal_frame_sample": 12,
-    "multimodal_join": 12,
-    "pipeline_llm_prep": 12,
-    "pipeline_shuffle_shard": 12,
-    "pipeline_source_mixture": 12,
-    "sample_stratified_hash": 12,
-    "scalar_array_map_json": 12,
-    "scalar_string_date_math": 12,
-    "similarity_topk_cosine": 12,
-    "source_csv_roundtrip": 12,
-    "source_json_roundtrip": 12,
-    "source_schema_evolution": 12,
-    "source_text_lines_roundtrip": 12,
-    "sql_tpch_q11": 12,
-    "sql_tpch_q12": 12,
-    "sql_tpch_q13": 12,
-    "sql_tpch_q15": 12,
-    "sql_tpch_q16": 12,
-    "sql_tpch_q18": 12,
-    "sql_tpch_q19": 12,
-    "sql_tpch_q2": 12,
-    "sql_tpch_q20": 12,
-    "sql_tpch_q7": 12,
-    "sql_tpch_q8": 12,
-    "sql_tpch_q9": 12,
-    "stream_foreach_batch_upsert": 12,
-    "stream_session_window": 12,
-    "text_fingerprint": 12,
-    "text_ngram_profile": 12,
-    "text_repetition_filter": 12,
-    "text_url_canonicalize": 12,
-    "time_ohlc_bars": 12,
-    "udf_python": 12,
-    "window_anomaly_zscore": 12,
     "agg_collect_sorted": 13,
     "agg_distinct": 13,
     "agg_group_sum": 13,
@@ -180,7 +128,6 @@ _STALE_EVIDENCE = {
     "dedup_fuzzy_editdist": 13,
     "dedup_substring_chunks": 13,
     "embedding_quantize_int8": 13,
-    "explode_token_freq": 13,
     "filter_in_between_like": 13,
     "funnel_conversion": 13,
     "join_anti": 13,
@@ -205,68 +152,114 @@ _STALE_EVIDENCE = {
     "sql_tpch_q4": 13,
     "stream_dedup_bounded": 13,
     "text_analysis_stats": 13,
-    "text_pii_scrub": 13,
     "time_downsample_m4": 13,
     "time_gapfill_locf": 13,
-    "tokenize_pack_sequences": 13,
     "window_first_last": 13,
     "window_ranking_suite": 13,
     "window_rolling_quantile": 13,
     "window_running_frame": 13,
     "window_session_islands": 13,
+    "agg_approx_distinct": 14,
+    "agg_bool_bitwise": 14,
+    "agg_histogram": 14,
+    "agg_mode_frequent": 14,
+    "agg_percentile": 14,
+    "agg_pivot": 14,
+    "analytics_ab_test": 14,
+    "dedup_cluster_cc": 14,
+    "dedup_incremental_jaccard": 14,
+    "dedup_ngram_jaccard": 14,
+    "join_asof": 14,
+    "join_bloom_prefilter": 14,
+    "join_cross_dims": 14,
+    "join_interval_buckets": 14,
+    "join_range_theta": 14,
+    "join_salted_skew": 14,
+    "merge_upsert": 14,
+    "scalar_conditional_regex": 14,
+    "set_union_except_intersect": 14,
+    "similarity_ann_ivf": 14,
+    "similarity_ann_lsh": 14,
+    "sink_kinesis_batched": 14,
+    "sort_limit": 14,
+    "source_compressed_roundtrip": 14,
+    "source_kinesis_datasource": 14,
+    "source_kinesis_read": 14,
+    "source_orc_roundtrip": 14,
+    "sql_tpch_q10": 14,
+    "sql_tpch_q5": 14,
+    "sql_tpch_q6": 14,
+    "stream_custom_sessionize": 14,
+    "stream_dedup_stateful": 14,
+    "stream_incremental_batches": 14,
+    "stream_sliding_agg": 14,
+    "stream_stream_join": 14,
+    "stream_tumbling_agg": 14,
+    "stream_user_profile": 14,
+    "stream_watermark_late": 14,
+    "text_language_id": 14,
+    "text_quality_score": 14,
+    "time_resample_interp": 14,
+    "time_rollup_hypertable": 14,
+    "udtf_table_chunks": 14,
+    "window_ewma_smooth": 14,
+    "window_rank_topk": 14,
+    "window_time_range": 14,
 }
 
-# tier 3: green in CORRECTNESS_r14
+# tier 3: green in CORRECTNESS_r15
 _VERIFIED_LAST = frozenset(
     {
-        "agg_approx_distinct",
-        "agg_bool_bitwise",
-        "agg_histogram",
-        "agg_mode_frequent",
-        "agg_percentile",
-        "agg_pivot",
-        "analytics_ab_test",
-        "dedup_cluster_cc",
-        "dedup_incremental_jaccard",
-        "dedup_near_minhash",
-        "dedup_ngram_jaccard",
-        "dedup_simhash",
-        "join_asof",
-        "join_bloom_prefilter",
-        "join_cross_dims",
-        "join_interval_buckets",
-        "join_range_theta",
-        "join_salted_skew",
-        "merge_upsert",
-        "scalar_conditional_regex",
-        "set_union_except_intersect",
-        "similarity_ann_ivf",
-        "similarity_ann_lsh",
-        "sink_kinesis_batched",
-        "sort_limit",
-        "source_compressed_roundtrip",
-        "source_kinesis_datasource",
-        "source_kinesis_read",
-        "source_orc_roundtrip",
-        "sql_tpch_q10",
-        "sql_tpch_q5",
-        "sql_tpch_q6",
-        "stream_custom_sessionize",
-        "stream_dedup_stateful",
-        "stream_incremental_batches",
-        "stream_sliding_agg",
-        "stream_stream_join",
-        "stream_tumbling_agg",
-        "stream_user_profile",
-        "stream_watermark_late",
-        "text_language_id",
-        "text_quality_score",
-        "time_resample_interp",
-        "time_rollup_hypertable",
-        "udtf_table_chunks",
-        "window_ewma_smooth",
-        "window_rank_topk",
-        "window_time_range",
+        "agg_approx_quantile",
+        "agg_filtered_conditional",
+        "agg_regression",
+        "agg_rollup_cube",
+        "dedup_containment_ngram",
+        "dedup_embedding_ann",
+        "dedup_embedding_ann_audit",
+        "dedup_embedding_cosine",
+        "dedup_exact",
+        "explode_token_freq",
+        "join_asof_tolerance",
+        "merge_scd2",
+        "multimodal_decode",
+        "multimodal_frame_sample",
+        "multimodal_join",
+        "multimodal_resize",
+        "pipeline_llm_prep",
+        "pipeline_shuffle_shard",
+        "pipeline_source_mixture",
+        "sample_stratified_hash",
+        "scalar_array_map_json",
+        "scalar_string_date_math",
+        "similarity_topk_cosine",
+        "source_csv_roundtrip",
+        "source_json_roundtrip",
+        "source_schema_evolution",
+        "source_text_lines_roundtrip",
+        "sql_tpch_q11",
+        "sql_tpch_q12",
+        "sql_tpch_q13",
+        "sql_tpch_q15",
+        "sql_tpch_q16",
+        "sql_tpch_q18",
+        "sql_tpch_q19",
+        "sql_tpch_q2",
+        "sql_tpch_q20",
+        "sql_tpch_q7",
+        "sql_tpch_q8",
+        "sql_tpch_q9",
+        "stream_foreach_batch_upsert",
+        "stream_session_window",
+        "text_fingerprint",
+        "text_ngram_profile",
+        "text_pii_scrub",
+        "text_repetition_filter",
+        "text_url_canonicalize",
+        "time_ohlc_bars",
+        "tokenize_pack_sequences",
+        "udf_python",
+        "window_anomaly_zscore",
     }
 )
 # === TIERS END ===
