@@ -37,11 +37,8 @@ QUERIES = [
 # label -> env overrides for the child process
 ARMS: dict[str, dict[str, str]] = {
     "hdfs_p4": {"SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS": "4"},
-    "hdfs_p8": {"SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS": "8"},
-    "rocks_p4": {
-        "SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS": "4",
-        "SPARK_GRAFT_STATESTORE": "rocksdb",
-    },
+    "hdfs_p3": {"SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS": "3"},
+    "hdfs_p2": {"SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS": "2"},
 }
 
 _CHILD = r"""
